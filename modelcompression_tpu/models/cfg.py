@@ -1,0 +1,309 @@
+"""Darknet ``.cfg`` importer → typed layer spec.
+
+The reference's config system IS the Darknet cfg format (SURVEY.md §5.6):
+INI-style sections (``[net]``, ``[convolutional]``, ``[maxpool]``, ``[route]``,
+``[reorg]``, ``[region]``) that define both the architecture and training
+hyper-parameters. We keep `.cfg` compatibility as an importer/exporter (needed
+to ingest reference architectures and to emit rewritten cfgs after structured
+repack, SURVEY.md §3.3) while the in-memory representation is a typed
+dataclass tree.
+
+Layer indexing follows Darknet: every section after ``[net]`` gets an index,
+and ``[route]`` ``layers=`` entries are relative (negative) or absolute layer
+indices into that numbering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+from typing import List, Sequence, Tuple, Union
+
+
+@dataclasses.dataclass
+class NetConfig:
+    width: int = 416
+    height: int = 416
+    channels: int = 3
+    batch: int = 64
+    subdivisions: int = 8
+    momentum: float = 0.9
+    decay: float = 0.0005
+    learning_rate: float = 1e-3
+    max_batches: int = 80200
+    policy: str = "steps"
+    steps: Tuple[int, ...] = ()
+    scales: Tuple[float, ...] = ()
+    burn_in: int = 0
+    # augmentation knobs (Darknet [net] section)
+    angle: float = 0.0
+    saturation: float = 1.5
+    exposure: float = 1.5
+    hue: float = 0.1
+
+
+@dataclasses.dataclass
+class ConvLayer:
+    filters: int
+    size: int = 3
+    stride: int = 1
+    pad: int = 1
+    batch_normalize: bool = False
+    activation: str = "leaky"
+    # filled in at build time
+    in_channels: int = -1
+
+    @property
+    def padding(self) -> int:
+        return self.size // 2 if self.pad else 0
+
+
+@dataclasses.dataclass
+class MaxPoolLayer:
+    size: int = 2
+    stride: int = 2
+
+
+@dataclasses.dataclass
+class RouteLayer:
+    layers: Tuple[int, ...]  # absolute layer indices (resolved at parse time)
+
+
+@dataclasses.dataclass
+class ReorgLayer:
+    stride: int = 2
+
+
+@dataclasses.dataclass
+class RegionLayer:
+    anchors: Tuple[float, ...] = ()
+    classes: int = 20
+    num: int = 5
+    coords: int = 4
+    softmax: bool = True
+    rescore: bool = True
+    bias_match: bool = True
+    jitter: float = 0.3
+    object_scale: float = 5.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+    thresh: float = 0.6
+    absolute: bool = True
+    random: bool = False
+
+    @property
+    def anchor_pairs(self) -> Tuple[Tuple[float, float], ...]:
+        a = self.anchors
+        return tuple((a[2 * i], a[2 * i + 1]) for i in range(len(a) // 2))
+
+
+Layer = Union[ConvLayer, MaxPoolLayer, RouteLayer, ReorgLayer, RegionLayer]
+
+
+@dataclasses.dataclass
+class NetworkSpec:
+    net: NetConfig
+    layers: List[Layer]
+
+    @property
+    def region(self) -> RegionLayer:
+        for l in reversed(self.layers):
+            if isinstance(l, RegionLayer):
+                return l
+        raise ValueError("spec has no [region] layer")
+
+    def conv_indices(self) -> List[int]:
+        return [i for i, l in enumerate(self.layers)
+                if isinstance(l, ConvLayer)]
+
+
+def _parse_sections(text: str) -> List[Tuple[str, dict]]:
+    sections: List[Tuple[str, dict]] = []
+    current = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith(("#", ";")):
+            continue
+        if line.startswith("["):
+            current = (line.strip("[]").lower(), {})
+            sections.append(current)
+        elif current is not None and "=" in line:
+            k, v = line.split("=", 1)
+            current[1][k.strip()] = v.strip()
+    return sections
+
+
+def _ints(s: str) -> Tuple[int, ...]:
+    return tuple(int(x) for x in s.replace(" ", "").split(",") if x)
+
+
+def _floats(s: str) -> Tuple[float, ...]:
+    return tuple(float(x) for x in s.replace(" ", "").split(",") if x)
+
+
+def parse_cfg(text: str) -> NetworkSpec:
+    sections = _parse_sections(text)
+    if not sections or sections[0][0] not in ("net", "network"):
+        raise ValueError("cfg must start with a [net] section")
+
+    o = sections[0][1]
+    net = NetConfig(
+        width=int(o.get("width", 416)),
+        height=int(o.get("height", 416)),
+        channels=int(o.get("channels", 3)),
+        batch=int(o.get("batch", 64)),
+        subdivisions=int(o.get("subdivisions", 1)),
+        momentum=float(o.get("momentum", 0.9)),
+        decay=float(o.get("decay", 0.0005)),
+        learning_rate=float(o.get("learning_rate", 1e-3)),
+        max_batches=int(o.get("max_batches", 80200)),
+        policy=o.get("policy", "steps"),
+        steps=_ints(o["steps"]) if "steps" in o else (),
+        scales=_floats(o["scales"]) if "scales" in o else (),
+        burn_in=int(o.get("burn_in", 0)),
+        angle=float(o.get("angle", 0)),
+        saturation=float(o.get("saturation", 1.5)),
+        exposure=float(o.get("exposure", 1.5)),
+        hue=float(o.get("hue", 0.1)),
+    )
+
+    layers: List[Layer] = []
+    for name, o in sections[1:]:
+        idx = len(layers)
+        if name == "convolutional":
+            layers.append(ConvLayer(
+                filters=int(o["filters"]),
+                size=int(o.get("size", 1)),
+                stride=int(o.get("stride", 1)),
+                pad=int(o.get("pad", 0)),
+                batch_normalize=bool(int(o.get("batch_normalize", 0))),
+                activation=o.get("activation", "logistic"),
+            ))
+        elif name == "maxpool":
+            layers.append(MaxPoolLayer(
+                size=int(o.get("size", 2)),
+                stride=int(o.get("stride", 2)),
+            ))
+        elif name == "route":
+            rel = _ints(o["layers"])
+            absolute = tuple(r if r >= 0 else idx + r for r in rel)
+            for a in absolute:
+                if not (0 <= a < idx):
+                    raise ValueError(f"route at layer {idx} references {a}")
+            layers.append(RouteLayer(layers=absolute))
+        elif name == "reorg":
+            layers.append(ReorgLayer(stride=int(o.get("stride", 2))))
+        elif name == "region":
+            layers.append(RegionLayer(
+                anchors=_floats(o.get("anchors", "")),
+                classes=int(o.get("classes", 20)),
+                num=int(o.get("num", 5)),
+                coords=int(o.get("coords", 4)),
+                softmax=bool(int(o.get("softmax", 1))),
+                rescore=bool(int(o.get("rescore", 0))),
+                bias_match=bool(int(o.get("bias_match", 0))),
+                jitter=float(o.get("jitter", 0.3)),
+                object_scale=float(o.get("object_scale", 5)),
+                noobject_scale=float(o.get("noobject_scale", 1)),
+                class_scale=float(o.get("class_scale", 1)),
+                coord_scale=float(o.get("coord_scale", 1)),
+                thresh=float(o.get("thresh", 0.6)),
+                absolute=bool(int(o.get("absolute", 1))),
+                random=bool(int(o.get("random", 0))),
+            ))
+        else:
+            raise ValueError(f"unsupported cfg section [{name}]")
+
+    spec = NetworkSpec(net=net, layers=layers)
+    _resolve_channels(spec)
+    return spec
+
+
+def load_cfg(path: str) -> NetworkSpec:
+    with open(path) as f:
+        return parse_cfg(f.read())
+
+
+def _resolve_channels(spec: NetworkSpec) -> None:
+    """Fill ConvLayer.in_channels by walking the graph (needed by the weights
+    codec and the structured-repack keep-set propagation, SURVEY.md §3.3)."""
+    channels: List[int] = []
+    c = spec.net.channels
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            l.in_channels = c
+            c = l.filters
+        elif isinstance(l, MaxPoolLayer):
+            pass
+        elif isinstance(l, RouteLayer):
+            c = sum(channels[a] for a in l.layers)
+        elif isinstance(l, ReorgLayer):
+            c = c * l.stride * l.stride
+        elif isinstance(l, RegionLayer):
+            pass
+        channels.append(c)
+
+
+def out_channels(spec: NetworkSpec) -> List[int]:
+    """Per-layer output channel counts (same walk as _resolve_channels)."""
+    channels: List[int] = []
+    c = spec.net.channels
+    for l in spec.layers:
+        if isinstance(l, ConvLayer):
+            c = l.filters
+        elif isinstance(l, RouteLayer):
+            c = sum(channels[a] for a in l.layers)
+        elif isinstance(l, ReorgLayer):
+            c = c * l.stride * l.stride
+        channels.append(c)
+    return channels
+
+
+def dump_cfg(spec: NetworkSpec) -> str:
+    """Serialize a NetworkSpec back to Darknet cfg text (used by structured
+    repack to emit the slimmed architecture, SURVEY.md §3.3 / BASELINE.json:9).
+    """
+    out = io.StringIO()
+    n = spec.net
+    out.write("[net]\n")
+    out.write(f"batch={n.batch}\nsubdivisions={n.subdivisions}\n")
+    out.write(f"height={n.height}\nwidth={n.width}\nchannels={n.channels}\n")
+    out.write(f"momentum={n.momentum}\ndecay={n.decay}\n")
+    out.write(f"learning_rate={n.learning_rate}\nmax_batches={n.max_batches}\n")
+    out.write(f"policy={n.policy}\n")
+    if n.steps:
+        out.write("steps=" + ",".join(str(s) for s in n.steps) + "\n")
+    if n.scales:
+        out.write("scales=" + ",".join(str(s) for s in n.scales) + "\n")
+    for i, l in enumerate(spec.layers):
+        out.write("\n")
+        if isinstance(l, ConvLayer):
+            out.write("[convolutional]\n")
+            if l.batch_normalize:
+                out.write("batch_normalize=1\n")
+            out.write(f"filters={l.filters}\nsize={l.size}\n"
+                      f"stride={l.stride}\npad={l.pad}\n"
+                      f"activation={l.activation}\n")
+        elif isinstance(l, MaxPoolLayer):
+            out.write(f"[maxpool]\nsize={l.size}\nstride={l.stride}\n")
+        elif isinstance(l, RouteLayer):
+            rel = ",".join(str(a - i) for a in l.layers)
+            out.write(f"[route]\nlayers={rel}\n")
+        elif isinstance(l, ReorgLayer):
+            out.write(f"[reorg]\nstride={l.stride}\n")
+        elif isinstance(l, RegionLayer):
+            out.write("[region]\n")
+            out.write("anchors = " + ",".join(
+                f"{a:g}" for a in l.anchors) + "\n")
+            out.write(f"bias_match={int(l.bias_match)}\nclasses={l.classes}\n"
+                      f"coords={l.coords}\nnum={l.num}\n"
+                      f"softmax={int(l.softmax)}\njitter={l.jitter}\n"
+                      f"rescore={int(l.rescore)}\n"
+                      f"object_scale={l.object_scale}\n"
+                      f"noobject_scale={l.noobject_scale}\n"
+                      f"class_scale={l.class_scale}\n"
+                      f"coord_scale={l.coord_scale}\n"
+                      f"absolute={int(l.absolute)}\nthresh={l.thresh}\n"
+                      f"random={int(l.random)}\n")
+    return out.getvalue()

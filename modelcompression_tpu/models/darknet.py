@@ -1,0 +1,235 @@
+"""Functional Darknet/YOLOv2 forward pass — TPU-first (NHWC, jit-friendly).
+
+Design notes (vs the reference's torch ``nn.Module`` graph, SURVEY.md §1.2 L1):
+
+* **Pure function of (params, x)** — the architecture lives in a static
+  ``NetworkSpec``; ``forward`` closes over it and is traced once per spec.
+  Structured repack produces a *new* spec + sliced params, which recompiles a
+  new XLA program (SURVEY.md §7.4.1: treat architectures as static).
+* **NHWC layout** with HWIO conv kernels — the native TPU conv layout
+  (channels on the 128-lane minor dimension feeds the MXU directly).
+  The Darknet ``.weights`` codec (weights_io.py) transposes from OIHW.
+* **BN is pre-folded into scale/shift outside the conv** at inference via
+  ``fold_batchnorm`` so eval runs conv+affine+leaky as one fused XLA op; for
+  training we keep explicit batch statistics (region fine-tune uses batch
+  stats like the reference's torch BatchNorm2d).
+* Darknet quirks covered (SURVEY.md §7.4.6): maxpool size-2/stride-1 pads
+  bottom/right with -inf; ``reorg`` follows the pytorch-yolo2 lineage
+  semantics (verified against the torch oracle in tests/oracle/).
+
+Behavioral contract provenance: BASELINE.json:5 (conv forward/backward in
+XLA), SURVEY.md Appendix A.1 (architecture).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.core.precision import Precision, BITMATCH
+from modelcompression_tpu.models.cfg import (
+    ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
+)
+
+# Matches torch.nn.BatchNorm2d default (the reference repo class is
+# pytorch-yolo2-lineage, SURVEY.md §1.1): y = g*(x-mu)/sqrt(var+eps)+b.
+BN_EPS = 1e-5
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+
+def conv_key(layer_idx: int) -> str:
+    return f"conv{layer_idx}"
+
+
+def init_params(spec: NetworkSpec, rng: jax.Array,
+                dtype=jnp.float32) -> Params:
+    """He-init conv weights (HWIO); BN gamma=1, beta=0, mean=0, var=1."""
+    params: Params = {}
+    for i, l in enumerate(spec.layers):
+        if not isinstance(l, ConvLayer):
+            continue
+        rng, k = jax.random.split(rng)
+        fan_in = l.in_channels * l.size * l.size
+        std = math.sqrt(2.0 / fan_in)
+        w = jax.random.normal(
+            k, (l.size, l.size, l.in_channels, l.filters), dtype) * std
+        p = {"w": w}
+        if l.batch_normalize:
+            p["gamma"] = jnp.ones((l.filters,), dtype)
+            p["beta"] = jnp.zeros((l.filters,), dtype)
+            p["mean"] = jnp.zeros((l.filters,), dtype)
+            p["var"] = jnp.ones((l.filters,), dtype)
+        else:
+            p["bias"] = jnp.zeros((l.filters,), dtype)
+        params[conv_key(i)] = p
+    return params
+
+
+def _activate(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "leaky":
+        return jnp.where(x > 0, x, 0.1 * x)
+    if kind == "linear":
+        return x
+    if kind == "relu":
+        return jnp.maximum(x, 0)
+    if kind == "logistic":
+        return jax.nn.sigmoid(x)
+    raise ValueError(f"unsupported activation {kind!r}")
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, layer: ConvLayer,
+          precision: Precision) -> jnp.ndarray:
+    pad = layer.padding
+    return jax.lax.conv_general_dilated(
+        precision.cast_in(x), precision.cast_in(w),
+        window_strides=(layer.stride, layer.stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision.conv_precision,
+        preferred_element_type=precision.accum_dtype,
+    )
+
+
+def conv_bn_act(x: jnp.ndarray, p: Dict[str, jnp.ndarray], layer: ConvLayer,
+                precision: Precision,
+                train_stats: bool = False) -> jnp.ndarray:
+    """Conv + (BN | bias) + activation. XLA fuses the affine+leaky into the
+    conv epilogue; no hand-fusion needed (SURVEY.md build plan §7.2.1)."""
+    y = _conv(x, p["w"], layer, precision)
+    if layer.batch_normalize:
+        if train_stats:
+            mu = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.var(y, axis=(0, 1, 2))
+        else:
+            mu = p["mean"].astype(y.dtype)
+            var = p["var"].astype(y.dtype)
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + BN_EPS).astype(y.dtype)
+        y = (y - mu) * (p["gamma"].astype(y.dtype) * inv) \
+            + p["beta"].astype(y.dtype)
+    else:
+        y = y + p["bias"].astype(y.dtype)
+    y = _activate(y, layer.activation)
+    return precision.cast_out(y)
+
+
+def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
+    """Darknet maxpool: out = (in + (size-1) - size)//stride + 1, window
+    origin at 0, out-of-bounds reads as -inf (i.e. effective bottom/right
+    padding). For even inputs with size=stride=2 this is plain VALID pooling;
+    for the Tiny-YOLOv2 size-2/stride-1 pool it pads bottom/right by one
+    (SURVEY.md §7.4.6)."""
+    k, s = layer.size, layer.stride
+    h, w = x.shape[1], x.shape[2]
+    pad_total = k - 1
+    out_h = (h + pad_total - k) // s + 1
+    out_w = (w + pad_total - k) // s + 1
+    pad_h_end = max(0, (out_h - 1) * s + k - h)
+    pad_w_end = max(0, (out_w - 1) * s + k - w)
+    neg_inf = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
+    return jax.lax.reduce_window(
+        x, neg_inf, jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding=((0, 0), (0, pad_h_end), (0, pad_w_end), (0, 0)),
+    )
+
+
+def reorg(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
+    """Darknet passthrough/reorg, pytorch-yolo2 semantics (NHWC):
+
+    out[b, i, j, (s*hi + wi)*C + c] = x[b, s*i + hi, s*j + wi, c]
+
+    i.e. channel-major over the 2x2 subpixel position, original channels
+    minor — equivalent to TF space_to_depth. Verified against the torch
+    oracle transcription in tests/oracle/torch_ref.py.
+    """
+    b, h, w, c = x.shape
+    s = stride
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // s, w // s, s * s * c)
+
+
+def forward(params: Params, x: jnp.ndarray, spec: NetworkSpec,
+            precision: Precision = BITMATCH,
+            train_stats: bool = False) -> jnp.ndarray:
+    """Run the network; returns the raw detection feature map
+    (B, H/32, W/32, num_anchors*(5+classes)) before region decode.
+
+    ``x``: NHWC float images in [0, 1] (Darknet normalization is /255 only).
+    """
+    outputs: List[Optional[jnp.ndarray]] = []
+    y = precision.cast_in(x)
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            y = conv_bn_act(y, params[conv_key(i)], l, precision,
+                            train_stats=train_stats)
+        elif isinstance(l, MaxPoolLayer):
+            y = maxpool(y, l)
+        elif isinstance(l, RouteLayer):
+            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+        elif isinstance(l, ReorgLayer):
+            y = reorg(y, l.stride)
+        elif isinstance(l, RegionLayer):
+            pass  # decode handled by evaluation.decode on the raw map
+        outputs.append(y)
+    return y.astype(jnp.float32)
+
+
+def fold_batchnorm(params: Params, spec: NetworkSpec) -> Params:
+    """Fold BN into conv weights+bias for inference:
+        w' = w * gamma/sqrt(var+eps);  b' = beta - gamma*mean/sqrt(var+eps).
+
+    Halves the epilogue work per conv and removes 4 HBM-resident vectors per
+    layer — the inference-speed mode used by the batch-64 streaming config
+    (BASELINE.json:11). Not bit-identical to unfolded BN (one fewer rounding
+    step), so the bit-match path keeps BN unfolded.
+    """
+    folded: Params = {}
+    for i, l in enumerate(spec.layers):
+        if not isinstance(l, ConvLayer):
+            continue
+        p = params[conv_key(i)]
+        if l.batch_normalize:
+            inv = p["gamma"] / jnp.sqrt(p["var"] + BN_EPS)
+            folded[conv_key(i)] = {
+                "w": p["w"] * inv[None, None, None, :],
+                "bias": p["beta"] - p["mean"] * inv,
+            }
+        else:
+            folded[conv_key(i)] = dict(p)
+    return folded
+
+
+def forward_folded(params: Params, x: jnp.ndarray, spec: NetworkSpec,
+                   precision: Precision) -> jnp.ndarray:
+    """Forward pass for BN-folded params (every conv uses bias path)."""
+    outputs: List[Optional[jnp.ndarray]] = []
+    y = precision.cast_in(x)
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            p = params[conv_key(i)]
+            y = _conv(y, p["w"], l, precision)
+            y = y + p["bias"].astype(y.dtype)
+            y = _activate(y, l.activation)
+        elif isinstance(l, MaxPoolLayer):
+            y = maxpool(y, l)
+        elif isinstance(l, RouteLayer):
+            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+        elif isinstance(l, ReorgLayer):
+            y = reorg(y, l.stride)
+        elif isinstance(l, RegionLayer):
+            pass
+        outputs.append(y)
+    return y.astype(jnp.float32)
+
+
+def num_params(params: Params) -> int:
+    return sum(int(np.prod(v.shape))
+               for p in params.values() for v in p.values())

@@ -1,0 +1,19 @@
+"""Bundled model architectures (the reference's two model families,
+BASELINE.json:5,10: YOLOv2-VOC and Tiny-YOLOv2)."""
+
+from __future__ import annotations
+
+import os
+
+from modelcompression_tpu.models.cfg import NetworkSpec, load_cfg
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "configs")
+
+
+def yolov2_voc() -> NetworkSpec:
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov2-voc.cfg"))
+
+
+def tiny_yolov2_voc() -> NetworkSpec:
+    return load_cfg(os.path.join(CONFIG_DIR, "tiny-yolo-voc.cfg"))
