@@ -1,0 +1,17 @@
+from modelcompression_tpu.compress.criteria import (
+    apply_masks, global_threshold, l1_filter_keep, l1_filter_keep_sets,
+    l1_filter_scores, magnitude_mask_layer, magnitude_masks_global,
+    magnitude_masks_perlayer, mask_sparsity,
+)
+from modelcompression_tpu.compress.repack import (
+    channel_masks_from_keep, propagate_keep_sets, repack,
+    uniform_filter_fraction_keep_sets,
+)
+
+__all__ = [
+    "apply_masks", "global_threshold", "l1_filter_keep",
+    "l1_filter_keep_sets", "l1_filter_scores", "magnitude_mask_layer",
+    "magnitude_masks_global", "magnitude_masks_perlayer", "mask_sparsity",
+    "channel_masks_from_keep", "propagate_keep_sets", "repack",
+    "uniform_filter_fraction_keep_sets",
+]

@@ -1,0 +1,146 @@
+"""Structured channel repack (SURVEY.md §3.3, §7.4.1; BASELINE.json:5,9:
+"physically repacks pruned channels into slimmed dense convs so sparsity
+converts to real TPU speedup").
+
+Given per-conv keep-sets (from L1 filter ranking), emit a *smaller dense*
+network: a rewritten NetworkSpec with reduced filter counts and a params
+pytree with sliced tensors. The correctness trap is keep-set propagation
+through the graph (SURVEY.md §7.4.1):
+
+* conv:     w[:, :, in_keep, :][:, :, :, out_keep]; BN rows [out_keep]
+* maxpool:  passes the keep-set through unchanged
+* route:    concatenates source keep-sets with the *original* channel
+            offsets of each source
+* reorg /s: input keep K over C channels -> output keep
+            {s2*C + c : s2 in [0, s*s), c in K} (block-major ordering of
+            space-to-depth; enumerating s2-major with K ascending keeps the
+            keep-set sorted, matching the physically sliced reorg output)
+
+The invariant (tested): slimmed_forward(x) == masked_forward(x) exactly,
+where masked mode multiplies each pruned conv's *post-activation* output by
+the 0/1 channel mask (so dropped channels contribute exact zeros
+downstream — see models/darknet.py channel_masks).
+
+Because channel counts change, the slimmed spec is a new static
+architecture: XLA compiles a fresh program per prune round (cached by
+channel signature via jit's normal cache on shapes).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.models.cfg import (
+    ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
+    out_channels,
+)
+from modelcompression_tpu.models.darknet import Params, conv_key
+
+
+def propagate_keep_sets(spec: NetworkSpec,
+                        keep_sets: Dict[int, np.ndarray]
+                        ) -> Tuple[Dict[int, np.ndarray],
+                                   Dict[int, np.ndarray]]:
+    """Walk the graph computing, for every conv layer i:
+      in_keep[i]  — kept input-channel indices (in original coordinates)
+      out_keep[i] — kept output-filter indices (original coordinates)
+
+    ``keep_sets`` maps conv layer index -> kept filter indices; convs not
+    present keep all filters.
+    """
+    orig_out = out_channels(spec)
+    in_keep: Dict[int, np.ndarray] = {}
+    out_keep: Dict[int, np.ndarray] = {}
+    # current keep-set flowing along the main path, in original coords
+    cur = np.arange(spec.net.channels)
+    # per-layer output keep-set (original coords of that layer's channels)
+    layer_keep: List[np.ndarray] = []
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            in_keep[i] = cur
+            if i in keep_sets:
+                cur = np.asarray(keep_sets[i], np.int64)
+            else:
+                cur = np.arange(l.filters)
+            out_keep[i] = cur
+        elif isinstance(l, MaxPoolLayer):
+            pass
+        elif isinstance(l, RouteLayer):
+            parts = []
+            off = 0
+            for a in l.layers:
+                parts.append(layer_keep[a] + off)
+                off += orig_out[a]
+            cur = np.concatenate(parts)
+        elif isinstance(l, ReorgLayer):
+            s2 = l.stride * l.stride
+            # source channel count BEFORE slicing is the original count of
+            # the producing layer; cur holds kept indices into it
+            src_c = orig_out[i - 1]
+            cur = np.concatenate([k * src_c + np.sort(cur)
+                                  for k in range(s2)])
+        elif isinstance(l, RegionLayer):
+            pass
+        layer_keep.append(cur)
+    return in_keep, out_keep
+
+
+def repack(spec: NetworkSpec, params: Params,
+           keep_sets: Dict[int, np.ndarray]
+           ) -> Tuple[NetworkSpec, Params]:
+    """Produce the slimmed (spec, params) pair."""
+    keep_sets = {i: np.sort(np.asarray(k, np.int64))
+                 for i, k in keep_sets.items()}
+    in_keep, out_keep = propagate_keep_sets(spec, keep_sets)
+
+    new_spec = copy.deepcopy(spec)
+    for i, l in enumerate(new_spec.layers):
+        if isinstance(l, ConvLayer):
+            l.filters = int(len(out_keep[i]))
+    # recompute in_channels for the slimmed widths
+    from modelcompression_tpu.models.cfg import _resolve_channels
+    _resolve_channels(new_spec)
+
+    new_params: Params = {}
+    for i, l in enumerate(spec.layers):
+        if not isinstance(l, ConvLayer):
+            continue
+        p = params[conv_key(i)]
+        ik = jnp.asarray(in_keep[i])
+        ok = jnp.asarray(out_keep[i])
+        q = {"w": p["w"][:, :, ik, :][:, :, :, ok]}
+        for name in ("bias", "gamma", "beta", "mean", "var"):
+            if name in p:
+                q[name] = p[name][ok]
+        new_params[conv_key(i)] = q
+    return new_spec, new_params
+
+
+def channel_masks_from_keep(spec: NetworkSpec,
+                            keep_sets: Dict[int, np.ndarray]
+                            ) -> Dict[int, jnp.ndarray]:
+    """0/1 post-activation channel masks equivalent to the repack — the
+    masked twin used for fine-tuning before physical slicing and for the
+    slimmed==masked equivalence test."""
+    masks = {}
+    for i, keep in keep_sets.items():
+        l = spec.layers[i]
+        assert isinstance(l, ConvLayer)
+        m = jnp.zeros((l.filters,), jnp.float32).at[
+            jnp.asarray(np.asarray(keep, np.int64))].set(1.0)
+        masks[i] = m
+    return masks
+
+
+def uniform_filter_fraction_keep_sets(spec: NetworkSpec, params: Params,
+                                      fraction: float,
+                                      skip=()) -> Dict[int, np.ndarray]:
+    """Convenience: L1 keep-sets at one drop fraction for all prunable
+    convs (detection conv protected)."""
+    from modelcompression_tpu.compress.criteria import l1_filter_keep_sets
+    sets = l1_filter_keep_sets(params, spec, fraction, skip=skip)
+    return {i: np.asarray(k) for i, k in sets.items()}

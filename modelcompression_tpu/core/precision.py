@@ -59,7 +59,11 @@ FAST = Precision(
     compute_dtype=jnp.bfloat16,
     param_dtype=jnp.float32,
     conv_precision=jax.lax.Precision.DEFAULT,
-    accum_dtype=jnp.float32,
+    # bf16 in -> bf16 out: the MXU still accumulates fp32 internally, and a
+    # uniform dtype keeps conv VJPs well-typed (a bf16-in/fp32-out conv has
+    # no valid transpose in jax 0.9: the cotangent arrives fp32 against
+    # bf16 residuals).
+    accum_dtype=jnp.bfloat16,
 )
 
 

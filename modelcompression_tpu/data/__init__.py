@@ -1,0 +1,19 @@
+from modelcompression_tpu.data.preprocess import (
+    letterbox_device, letterbox_host, mosaic4, normalize, random_flip,
+    stretch_resize_device,
+)
+from modelcompression_tpu.data.voc import (
+    Sample, VOC_CLASSES, load_list_dataset, load_voc_devkit, pad_labels,
+    parse_voc_xml, read_data_cfg, read_names,
+)
+from modelcompression_tpu.data.fixtures import (
+    FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
+)
+
+__all__ = [
+    "letterbox_device", "letterbox_host", "mosaic4", "normalize",
+    "random_flip", "stretch_resize_device", "Sample", "VOC_CLASSES",
+    "load_list_dataset", "load_voc_devkit", "pad_labels", "parse_voc_xml",
+    "read_data_cfg", "read_names", "FIXTURE_CLASSES", "make_fake_voc",
+    "tiny_region_cfg",
+]

@@ -1,0 +1,176 @@
+"""Synthetic VOC-style dataset fixtures (SURVEY.md §4.5, §7.5).
+
+No real dataset or network access exists in this environment, so
+correctness/integration tests and smoke benchmarks run on generated data:
+images containing axis-aligned solid rectangles whose class is determined by
+color, written in the Darknet list format that data/voc.py loads. A detector
+can genuinely learn this task, which makes the fixture usable for
+train-loop integration tests, not just plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+FIXTURE_CLASSES = ("redbox", "greenbox", "bluebox")
+_COLORS = ((220, 40, 40), (40, 200, 40), (40, 60, 220))
+
+
+def make_fake_voc(root: str, n_images: int = 8, image_size: int = 416,
+                  max_objects: int = 3, seed: int = 0,
+                  classes: Tuple[str, ...] = FIXTURE_CLASSES) -> str:
+    """Write a synthetic dataset; returns path to the ``.data`` cfg file.
+
+    Layout: root/images/*.png, root/labels/*.txt, root/names.list,
+    root/all.list, root/fixture.data.
+    """
+    import cv2
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+
+    list_lines: List[str] = []
+    for i in range(n_images):
+        h = w = image_size
+        img = np.full((h, w, 3), 110, np.uint8)
+        noise = rng.integers(0, 30, (h, w, 3), dtype=np.uint8)
+        img = np.clip(img.astype(np.int16) + noise - 15, 0, 255) \
+            .astype(np.uint8)
+        rows = []
+        for _ in range(int(rng.integers(1, max_objects + 1))):
+            cls = int(rng.integers(0, len(classes)))
+            bw = int(rng.integers(w // 8, w // 3))
+            bh = int(rng.integers(h // 8, h // 3))
+            x1 = int(rng.integers(0, w - bw))
+            y1 = int(rng.integers(0, h - bh))
+            color = _COLORS[cls % len(_COLORS)]
+            img[y1:y1 + bh, x1:x1 + bw] = color
+            rows.append([cls, (x1 + bw / 2) / w, (y1 + bh / 2) / h,
+                         bw / w, bh / h])
+        name = f"img{i:04d}"
+        path = os.path.join(img_dir, f"{name}.png")
+        cv2.imwrite(path, img[:, :, ::-1])  # RGB -> BGR for cv2
+        np.savetxt(os.path.join(lbl_dir, f"{name}.txt"),
+                   np.asarray(rows, np.float32), fmt="%.6f")
+        list_lines.append(path)
+
+    names_path = os.path.join(root, "names.list")
+    with open(names_path, "w") as f:
+        f.write("\n".join(classes) + "\n")
+    list_path = os.path.join(root, "all.list")
+    with open(list_path, "w") as f:
+        f.write("\n".join(list_lines) + "\n")
+    data_path = os.path.join(root, "fixture.data")
+    with open(data_path, "w") as f:
+        f.write(f"classes={len(classes)}\ntrain={list_path}\n"
+                f"valid={list_path}\nnames={names_path}\n")
+    return data_path
+
+
+def tiny_region_cfg(num_classes: int = 3, width: int = 416,
+                    height: int = 416) -> str:
+    """A minimal fast Tiny-YOLO-style cfg for fixture integration tests
+    (3 convs + pools down to stride 32)."""
+    filters = 5 * (5 + num_classes)
+    return f"""
+[net]
+batch=4
+subdivisions=1
+width={width}
+height={height}
+channels=3
+learning_rate=0.001
+momentum=0.9
+decay=0.0005
+max_batches=500
+policy=constant
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters={filters}
+activation=linear
+
+[region]
+anchors = 1.08,1.19,  3.42,4.41,  6.63,11.38,  9.42,5.11,  16.62,10.52
+bias_match=1
+classes={num_classes}
+coords=4
+num=5
+softmax=1
+jitter=.2
+rescore=1
+object_scale=5
+noobject_scale=1
+class_scale=1
+coord_scale=1
+absolute=1
+thresh=.6
+random=0
+"""

@@ -1,0 +1,160 @@
+"""Image preprocessing — device-side (jittable) wherever possible.
+
+The north-star (BASELINE.json:5) requires "image preprocessing (letterbox
+resize, normalize, mosaic/flip augment) fused into the same program" as the
+convs. Host work is limited to JPEG decode + an optional resize for
+variable-size source images (SURVEY.md §7.4.5); everything after a uint8
+tensor exists is jnp inside the jitted step:
+
+  * ``letterbox_device`` — aspect-preserving resize + gray padding, static
+    shapes (source shape is a compile-time constant per bucket).
+  * ``normalize`` — uint8 -> float /255 (Darknet's only normalization).
+  * ``random_flip`` / ``mosaic4`` — training augmentations, pure jnp on
+    fixed-size uint8/float batches.
+
+Host fallbacks (``letterbox_host``) cover variable-size eval images using
+opencv; they produce the same uint8 canvas the device path produces for
+fixed-size input (oracle-tested).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GRAY = 127  # Darknet letterbox padding value (0.5 in float)
+
+
+def normalize(images_uint8: jnp.ndarray) -> jnp.ndarray:
+    return images_uint8.astype(jnp.float32) / 255.0
+
+
+def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
+                     ) -> jnp.ndarray:
+    """Aspect-preserving resize + center pad, jittable.
+
+    Args:
+      images: (B, H, W, 3) uint8 or float; H, W static.
+    Returns:
+      (B, net_h, net_w, 3) float32 in [0, 1].
+    """
+    b, h, w, c = images.shape
+    r = min(net_w / w, net_h / h)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 \
+        else images.astype(jnp.float32)
+    x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
+    pad_top = (net_h - new_h) // 2
+    pad_left = (net_w - new_w) // 2
+    return jnp.pad(
+        x, ((0, 0), (pad_top, net_h - new_h - pad_top),
+            (pad_left, net_w - new_w - pad_left), (0, 0)),
+        constant_values=0.5)
+
+
+def stretch_resize_device(images: jnp.ndarray, net_h: int, net_w: int
+                          ) -> jnp.ndarray:
+    """Plain stretch resize to net size (the pytorch-yolo2 valid.py mode)."""
+    b, _, _, c = images.shape
+    x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 \
+        else images.astype(jnp.float32)
+    return jax.image.resize(x, (b, net_h, net_w, c), method="bilinear")
+
+
+def letterbox_host(image: np.ndarray, net_h: int, net_w: int
+                   ) -> Tuple[np.ndarray, float, int, int]:
+    """Host letterbox for variable-size images (eval path).
+
+    Returns (canvas uint8 (net_h, net_w, 3), scale r, pad_left, pad_top).
+    """
+    import cv2
+    h, w = image.shape[:2]
+    r = min(net_w / w, net_h / h)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    resized = cv2.resize(image, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    canvas = np.full((net_h, net_w, 3), GRAY, np.uint8)
+    pad_top = (net_h - new_h) // 2
+    pad_left = (net_w - new_w) // 2
+    canvas[pad_top:pad_top + new_h, pad_left:pad_left + new_w] = resized
+    return canvas, r, pad_left, pad_top
+
+
+def random_flip(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Horizontal flip with p=0.5 per sample.
+
+    boxes: (B, M, 5) [cls, cx, cy, w, h] normalized; cx -> 1-cx when
+    flipped (invalid boxes marked w<=0 are left untouched in validity).
+    """
+    b = images.shape[0]
+    flip = jax.random.bernoulli(rng, 0.5, (b,))
+    flipped = images[:, :, ::-1, :]
+    images = jnp.where(flip[:, None, None, None], flipped, images)
+    cx = jnp.where(flip[:, None], 1.0 - boxes[..., 1], boxes[..., 1])
+    boxes = boxes.at[..., 1].set(jnp.where(boxes[..., 3] > 0, cx,
+                                           boxes[..., 1]))
+    return images, boxes
+
+
+def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """4-image mosaic augmentation, fixed shapes (SURVEY.md §7.4.5).
+
+    Composes sample i with samples (i+1, i+2, i+3) mod B into a 2x2 grid at
+    half resolution (center fixed at the midpoint — the fixed-size-gather
+    composition that keeps this jittable).
+
+    Args:
+      images: (B, H, W, 3) float; H, W even.
+      boxes: (B, M, 5) [cls, cx, cy, w, h] normalized; invalid rows have
+        w == 0.
+    Returns:
+      (B, H, W, 3) images, (B, 4*M, 5) boxes.
+    """
+    b, h, w, c = images.shape
+    half = jax.image.resize(images, (b, h // 2, w // 2, c), "bilinear")
+
+    def quadrant(offset_b, off_y, off_x):
+        q = jnp.roll(half, -offset_b, axis=0)
+        bx = jnp.roll(boxes, -offset_b, axis=0)
+        # box in quadrant: scaled by 1/2 and shifted
+        scaled = bx.at[..., 1].set(bx[..., 1] * 0.5 + off_x) \
+                   .at[..., 2].set(bx[..., 2] * 0.5 + off_y) \
+                   .at[..., 3].set(bx[..., 3] * 0.5) \
+                   .at[..., 4].set(bx[..., 4] * 0.5)
+        # keep invalid rows invalid
+        scaled = jnp.where(bx[..., 3:4] > 0, scaled,
+                           jnp.zeros_like(scaled))
+        return q, scaled
+
+    q00, b00 = quadrant(0, 0.0, 0.0)
+    q01, b01 = quadrant(1, 0.0, 0.5)
+    q10, b10 = quadrant(2, 0.5, 0.0)
+    q11, b11 = quadrant(3, 0.5, 0.5)
+    top = jnp.concatenate([q00, q01], axis=2)
+    bot = jnp.concatenate([q10, q11], axis=2)
+    out = jnp.concatenate([top, bot], axis=1)
+    out_boxes = jnp.concatenate([b00, b01, b10, b11], axis=1)
+    return out, out_boxes
+
+
+def distort_hsv(images: jnp.ndarray, rng: jax.Array,
+                hue: float = 0.1, sat: float = 1.5, expo: float = 1.5
+                ) -> jnp.ndarray:
+    """Darknet-style random hue/saturation/exposure jitter (cfg [net] knobs),
+    approximated in RGB space jittably: exposure/saturation as scale factors,
+    hue as channel rotation mix. images float [0,1], (B,H,W,3)."""
+    b = images.shape[0]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    d_sat = jax.random.uniform(k1, (b, 1, 1, 1), minval=1.0 / sat, maxval=sat)
+    d_exp = jax.random.uniform(k2, (b, 1, 1, 1), minval=1.0 / expo,
+                               maxval=expo)
+    d_hue = jax.random.uniform(k3, (b, 1, 1, 1), minval=-hue, maxval=hue)
+    gray = jnp.mean(images, axis=-1, keepdims=True)
+    x = gray + (images - gray) * d_sat          # saturation about luminance
+    x = x * d_exp                               # exposure
+    x = x + d_hue * (jnp.roll(x, 1, axis=-1) - x)  # cheap hue-ish mix
+    return jnp.clip(x, 0.0, 1.0)

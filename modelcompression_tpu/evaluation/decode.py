@@ -1,0 +1,104 @@
+"""On-device YOLOv2 region decode (SURVEY.md §3.1, Appendix A.1; the
+north-star requires "anchor-box decode and NMS run on-device to keep eval
+fully in XLA", BASELINE.json:5).
+
+The raw network output is (B, H, W, A*(5+C)) NHWC, channel layout identical
+to Darknet's filter ordering: anchor-major, per anchor
+[tx, ty, tw, th, to, class logits...]. Decode (Appendix A.1):
+
+    bx = (sigmoid(tx) + cx) / W      (normalized to [0, 1] of network input)
+    by = (sigmoid(ty) + cy) / H
+    bw = pw * exp(tw) / W            (pw, ph = anchors in cell units)
+    bh = ph * exp(th) / H
+    objectness = sigmoid(to)
+    class probs = softmax(logits)
+
+Everything is fixed-shape: every cell/anchor produces a box; confidence
+thresholding is done downstream by masking scores, never by dynamic
+filtering (XLA static-shape rule).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from modelcompression_tpu.models.cfg import RegionLayer
+
+
+def decode_region(raw: jnp.ndarray, region: RegionLayer
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode raw feature map to boxes.
+
+    Args:
+      raw: (B, H, W, A*(5+C)) float32.
+      region: the [region] layer config (anchors in cell units).
+
+    Returns:
+      boxes: (B, H*W*A, 4) center-format (cx, cy, w, h), normalized [0,1].
+      objectness: (B, H*W*A).
+      class_probs: (B, H*W*A, C) softmax probabilities.
+    """
+    b, h, w, _ = raw.shape
+    a = region.num
+    c = region.classes
+    raw = raw.reshape(b, h, w, a, 5 + c)
+
+    cy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    anchors = jnp.asarray(region.anchor_pairs, jnp.float32)  # (A, 2)
+
+    tx, ty, tw, th, to = (raw[..., i] for i in range(5))
+    bx = (jax.nn.sigmoid(tx) + cx[None, :, :, None]) / w
+    by = (jax.nn.sigmoid(ty) + cy[None, :, :, None]) / h
+    bw = anchors[None, None, None, :, 0] * jnp.exp(tw) / w
+    bh = anchors[None, None, None, :, 1] * jnp.exp(th) / h
+    obj = jax.nn.sigmoid(to)
+    cls = jax.nn.softmax(raw[..., 5:], axis=-1)
+
+    n = h * w * a
+    boxes = jnp.stack([bx, by, bw, bh], axis=-1).reshape(b, n, 4)
+    return boxes, obj.reshape(b, n), cls.reshape(b, n, c)
+
+
+def center_to_corners(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(cx, cy, w, h) -> (x1, y1, x2, y2), same units."""
+    cx, cy, w, h = (boxes[..., i] for i in range(4))
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                     axis=-1)
+
+
+def corners_to_image(boxes_xyxy: jnp.ndarray, img_w, img_h,
+                     net_w: int, net_h: int,
+                     letterboxed: bool) -> jnp.ndarray:
+    """Map normalized network-input corner boxes back to original image
+    pixel coordinates.
+
+    With ``letterboxed=True`` the image was scaled by r=min(net/w, net/h) and
+    centered with padding; undo that. Otherwise a plain stretch resize was
+    used. ``img_w``/``img_h`` may be scalars or (B,) arrays.
+    """
+    img_w = jnp.asarray(img_w, jnp.float32)
+    img_h = jnp.asarray(img_h, jnp.float32)
+    while img_w.ndim < boxes_xyxy.ndim - 1:
+        img_w = img_w[..., None]
+        img_h = img_h[..., None]
+    x = boxes_xyxy[..., 0::2] * net_w
+    y = boxes_xyxy[..., 1::2] * net_h
+    if letterboxed:
+        r = jnp.minimum(net_w / img_w, net_h / img_h)
+        pad_x = (net_w - img_w * r) / 2
+        pad_y = (net_h - img_h * r) / 2
+        x = (x - pad_x[..., None]) / r[..., None]
+        y = (y - pad_y[..., None]) / r[..., None]
+    else:
+        x = x * img_w[..., None] / net_w
+        y = y * img_h[..., None] / net_h
+    x = jnp.clip(x, 0, img_w[..., None])
+    y = jnp.clip(y, 0, img_h[..., None])
+    out = jnp.empty_like(boxes_xyxy)
+    out = out.at[..., 0::2].set(x)
+    out = out.at[..., 1::2].set(y)
+    return out

@@ -1,0 +1,108 @@
+"""Fixed-shape on-device NMS (SURVEY.md §7.4.2).
+
+XLA needs static shapes, so instead of the reference's dynamic-length greedy
+NMS (host numpy O(n^2), SURVEY.md §3.1 hot loop), we run K greedy selection
+steps over the full padded candidate set with masking:
+
+  step i: pick argmax of live scores -> emit (or emit invalid if score==0)
+          -> zero every live box with IoU > thresh against the pick.
+
+This is exactly greedy NMS on the non-padded set (oracle-tested against a
+numpy implementation), vectorized so each step is one VPU-wide IoU row.
+vmap over classes and batch. For YOLOv2 at 416, N = 13*13*5 = 845 candidates
+per image — the whole per-class NMS for a batch-64 eval step is a few
+hundred KFLOPs, negligible next to the conv stack; pure-XLA is the right
+tier (Pallas only if profiling ever shows otherwise, SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def iou_corners(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one (4,) box against (N, 4) boxes; corner format."""
+    x1 = jnp.maximum(box[0], boxes[:, 0])
+    y1 = jnp.maximum(box[1], boxes[:, 1])
+    x2 = jnp.minimum(box[2], boxes[:, 2])
+    y2 = jnp.minimum(box[3], boxes[:, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    area = jnp.maximum(box[2] - box[0], 0) * jnp.maximum(box[3] - box[1], 0)
+    areas = (jnp.maximum(boxes[:, 2] - boxes[:, 0], 0)
+             * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0))
+    union = area + areas - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
+               iou_thresh: float = 0.45, score_thresh: float = 0.0,
+               max_out: int = 100
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with static output size.
+
+    Args:
+      boxes: (N, 4) corner format.
+      scores: (N,) — entries <= score_thresh are treated as absent.
+      max_out: K, number of selection steps / output slots.
+
+    Returns:
+      sel_boxes: (K, 4); sel_scores: (K,) (0 where invalid);
+      valid: (K,) bool.
+    """
+    n = boxes.shape[0]
+    live = jnp.where(scores > score_thresh, scores, 0.0)
+
+    def step(i, state):
+        live, out_idx, out_scores = state
+        j = jnp.argmax(live)
+        s = live[j]
+        keep = s > 0
+        out_idx = out_idx.at[i].set(jnp.where(keep, j, -1))
+        out_scores = out_scores.at[i].set(jnp.where(keep, s, 0.0))
+        iou = iou_corners(boxes[j], boxes)
+        suppress = (iou > iou_thresh) & keep
+        live = jnp.where(suppress, 0.0, live)
+        live = live.at[j].set(0.0)
+        return live, out_idx, out_scores
+
+    _, idx, out_scores = jax.lax.fori_loop(
+        0, max_out, step,
+        (live, jnp.full((max_out,), -1, jnp.int32),
+         jnp.zeros((max_out,), scores.dtype)))
+    sel_boxes = boxes[jnp.maximum(idx, 0)]
+    valid = idx >= 0
+    sel_boxes = jnp.where(valid[:, None], sel_boxes, 0.0)
+    return sel_boxes, out_scores, valid
+
+
+def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
+                  iou_thresh: float = 0.45, score_thresh: float = 1e-3,
+                  max_out: int = 100
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS independently per class.
+
+    Args:
+      boxes: (N, 4); class_scores: (N, C) (e.g. objectness * class prob).
+
+    Returns:
+      (C, K, 4) boxes, (C, K) scores, (C, K) valid.
+    """
+    f = jax.vmap(
+        lambda s: nms_padded(boxes, s, iou_thresh, score_thresh, max_out),
+        in_axes=1)
+    return f(class_scores)
+
+
+def batched_per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
+                          iou_thresh: float = 0.45,
+                          score_thresh: float = 1e-3,
+                          max_out: int = 100):
+    """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
+    f = jax.vmap(lambda b, s: per_class_nms(
+        b, s, iou_thresh, score_thresh, max_out))
+    return f(boxes, class_scores)

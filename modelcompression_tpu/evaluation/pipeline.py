@@ -1,0 +1,208 @@
+"""End-to-end evaluation pipeline (SURVEY.md §3.1 rebuilt TPU-first).
+
+The reference's eval loop is a per-image Python loop: host preprocess ->
+CPU forward -> host decode -> O(n^2) numpy NMS -> detection files -> VOC AP
+(SURVEY.md §3.1). Here the whole per-batch computation —
+normalize -> conv stack -> region decode -> per-class NMS — is ONE jitted
+XLA program on device (BASELINE.json:5,11); the host only feeds fixed-size
+uint8 batches and collects the (tiny) post-NMS detection lists, then runs
+the VOC AP protocol (voc_map.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.core.precision import Precision, FAST
+from modelcompression_tpu.data.preprocess import letterbox_host
+from modelcompression_tpu.data.voc import Sample
+from modelcompression_tpu.evaluation.decode import (
+    center_to_corners, decode_region,
+)
+from modelcompression_tpu.evaluation.nms import batched_per_class_nms
+from modelcompression_tpu.evaluation.voc_map import (
+    Detection, GroundTruth, mean_ap,
+)
+from modelcompression_tpu.models.cfg import NetworkSpec
+from modelcompression_tpu.models.darknet import (
+    Params, fold_batchnorm, forward, forward_folded,
+)
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    batch_size: int = 8
+    conf_thresh: float = 0.005  # low threshold for mAP (reference-class std)
+    nms_thresh: float = 0.45
+    max_detections: int = 100
+    use_07_metric: bool = True
+    letterbox: bool = True
+    precision: Precision = FAST
+    fold_bn: bool = True
+
+
+def make_eval_step(spec: NetworkSpec, config: EvalConfig):
+    """Build the jitted device program: uint8 images -> NMS'd detections.
+
+    Returns fn(params, images_uint8 (B,net,net,3)) ->
+      (boxes (B,C,K,4) corner-normalized, scores (B,C,K), valid (B,C,K)).
+    """
+    region = spec.region
+    fwd = forward_folded if config.fold_bn else forward
+
+    def step(params: Params, images: jnp.ndarray):
+        x = images.astype(jnp.float32) / 255.0
+        raw = fwd(params, x, spec, config.precision)
+        boxes, obj, cls = decode_region(raw, region)
+        class_scores = obj[..., None] * cls  # (B, N, C)
+        corners = center_to_corners(boxes)
+        return batched_per_class_nms(
+            corners, class_scores,
+            iou_thresh=config.nms_thresh,
+            score_thresh=config.conf_thresh,
+            max_out=config.max_detections)
+
+    return jax.jit(step)
+
+
+def _prep_batch(samples: Sequence[Sample], net_h: int, net_w: int,
+                letterbox: bool) -> Tuple[np.ndarray, List[Tuple]]:
+    """Host side: decode + letterbox to a fixed uint8 canvas."""
+    import cv2
+    batch = np.zeros((len(samples), net_h, net_w, 3), np.uint8)
+    geoms = []
+    for i, s in enumerate(samples):
+        img = s.load_image()
+        h, w = img.shape[:2]
+        if letterbox:
+            canvas, r, px, py = letterbox_host(img, net_h, net_w)
+        else:
+            canvas = cv2.resize(img, (net_w, net_h),
+                                interpolation=cv2.INTER_LINEAR)
+            r, px, py = 1.0, 0, 0
+        batch[i] = canvas
+        geoms.append((w, h, r, px, py))
+    return batch, geoms
+
+
+def _to_image_coords(x1, y1, x2, y2, geom, net_w, net_h, letterbox):
+    w, h, r, px, py = geom
+    if letterbox:
+        x1 = (x1 * net_w - px) / r
+        x2 = (x2 * net_w - px) / r
+        y1 = (y1 * net_h - py) / r
+        y2 = (y2 * net_h - py) / r
+    else:
+        x1, x2 = x1 * w, x2 * w
+        y1, y2 = y1 * h, y2 * h
+    return (max(0.0, x1), max(0.0, y1), min(float(w), x2), min(float(h), y2))
+
+
+def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
+             class_names: Sequence[str], config: EvalConfig | None = None,
+             ) -> "EvalResult":
+    """Full dataset eval -> mAP@50 + per-class AP + throughput."""
+    config = config or EvalConfig()
+    if config.fold_bn:
+        params = fold_batchnorm(params, spec)
+    step = make_eval_step(spec, config)
+    net_h, net_w = spec.net.height, spec.net.width
+    bs = config.batch_size
+
+    dets: Dict[str, List[Detection]] = {c: [] for c in class_names}
+    gts: Dict[str, List[GroundTruth]] = {c: [] for c in class_names}
+
+    for s in samples:
+        diff = (s.difficult if s.difficult is not None
+                else np.zeros(len(s.labels), bool))
+        for row, d in zip(s.labels, diff):
+            cls, cx, cy, w, h = row
+            # GT boxes in (possibly unknown-size) image pixels are produced
+            # lazily below once image size is known; store normalized now.
+            gts[class_names[int(cls)]].append(GroundTruth(
+                image_id=s.image_id,
+                box=(cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2),
+                difficult=bool(d)))
+
+    n_images = 0
+    infer_time = 0.0
+    for start in range(0, len(samples), bs):
+        chunk = list(samples[start:start + bs])
+        pad_to = bs - len(chunk)
+        batch, geoms = _prep_batch(chunk, net_h, net_w, config.letterbox)
+        if pad_to:
+            batch = np.concatenate(
+                [batch, np.zeros((pad_to, net_h, net_w, 3), np.uint8)])
+        t0 = time.perf_counter()
+        boxes, scores, valid = step(params, jnp.asarray(batch))
+        boxes, scores, valid = jax.device_get((boxes, scores, valid))
+        infer_time += time.perf_counter() - t0
+        n_images += len(chunk)
+
+        for bi, s in enumerate(chunk):
+            geom = geoms[bi]
+            w, h = geom[0], geom[1]
+            for ci, cname in enumerate(class_names):
+                v = valid[bi, ci]
+                if not v.any():
+                    continue
+                for k in np.nonzero(v)[0]:
+                    x1, y1, x2, y2 = boxes[bi, ci, k]
+                    px1, py1, px2, py2 = _to_image_coords(
+                        x1, y1, x2, y2, geom, net_w, net_h, config.letterbox)
+                    # store normalized-to-image to match normalized GT
+                    dets[cname].append(Detection(
+                        image_id=s.image_id,
+                        score=float(scores[bi, ci, k]),
+                        box=(px1 / w, py1 / h, px2 / w, py2 / h)))
+
+    m, per_class = mean_ap(dets, gts, use_07_metric=config.use_07_metric)
+    return EvalResult(
+        map50=m, per_class_ap=per_class, detections=dets,
+        n_images=n_images,
+        images_per_sec=n_images / infer_time if infer_time else 0.0,
+        use_07_metric=config.use_07_metric)
+
+
+@dataclasses.dataclass
+class EvalResult:
+    map50: float
+    per_class_ap: Dict[str, float]
+    detections: Dict[str, List[Detection]]
+    n_images: int
+    images_per_sec: float
+    use_07_metric: bool
+
+    def summary(self) -> str:
+        lines = [f"{'class':<16} AP@50"]
+        for c, ap in sorted(self.per_class_ap.items()):
+            lines.append(f"{c:<16} {ap * 100:6.2f}")
+        proto = "11-point" if self.use_07_metric else "all-point"
+        lines.append(f"mAP@50 ({proto}): {self.map50 * 100:.2f}  "
+                     f"[{self.n_images} images, "
+                     f"{self.images_per_sec:.1f} img/s]")
+        return "\n".join(lines)
+
+
+def dump_detections(result: EvalResult, out_dir: str,
+                    prefix: str = "comp4_det_test") -> None:
+    """Write VOC-devkit-format per-class detection files (the reference's
+    valid.py output shape, SURVEY.md §2.1 'VOC mAP eval'): one file per
+    class, rows ``image_id score x1 y1 x2 y2`` (1-based pixel-normalized
+    coords are the devkit norm; we emit normalized coords scaled by nothing
+    — callers with real VOC images get pixel coords from image size)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    for cname, dets in result.detections.items():
+        path = os.path.join(out_dir, f"{prefix}_{cname}.txt")
+        with open(path, "w") as f:
+            for d in sorted(dets, key=lambda d: -d.score):
+                x1, y1, x2, y2 = d.box
+                f.write(f"{d.image_id} {d.score:.6f} "
+                        f"{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f}\n")

@@ -1,0 +1,126 @@
+"""VOC mAP@0.5 computation (SURVEY.md Appendix A.4; headline metric,
+BASELINE.json:2,7).
+
+Host-side numpy — the detection lists after NMS are tiny; this mirrors the
+reference-class ``voc_eval.py`` role (SURVEY.md §2.1). Per class: sort
+detections by confidence, match to ground truth at IoU >= 0.5 (greedy, each
+GT matched at most once, "difficult" GT ignored — neither rewarded nor
+penalized), build the precision/recall curve, integrate AP.
+
+Both published VOC protocols are implemented (the reference's choice is
+unknown, SURVEY.md §0): ``use_07_metric=True`` = 11-point interpolation
+(VOC2007 devkit); False = all-point integration (post-2010). Every reported
+number should state which was used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Detection:
+    image_id: str
+    score: float
+    box: Tuple[float, float, float, float]  # x1, y1, x2, y2
+
+
+@dataclasses.dataclass
+class GroundTruth:
+    image_id: str
+    box: Tuple[float, float, float, float]
+    difficult: bool = False
+
+
+def _iou_np(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    area = (box[2] - box[0]) * (box[3] - box[1])
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = area + areas - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def voc_ap(recall: np.ndarray, precision: np.ndarray,
+           use_07_metric: bool = True) -> float:
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = np.max(precision[recall >= t]) if np.any(recall >= t) else 0.0
+            ap += p / 11.0
+        return float(ap)
+    # all-point: envelope the precision curve, integrate over recall steps
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def class_ap(detections: Sequence[Detection],
+             ground_truths: Sequence[GroundTruth],
+             iou_thresh: float = 0.5,
+             use_07_metric: bool = True) -> float:
+    """AP for one class over a whole dataset."""
+    npos = sum(1 for g in ground_truths if not g.difficult)
+    if npos == 0:
+        return 0.0
+    gt_by_image: Dict[str, List[GroundTruth]] = {}
+    for g in ground_truths:
+        gt_by_image.setdefault(g.image_id, []).append(g)
+    matched: Dict[str, np.ndarray] = {
+        k: np.zeros(len(v), bool) for k, v in gt_by_image.items()}
+
+    dets = sorted(detections, key=lambda d: -d.score)
+    tp = np.zeros(len(dets))
+    fp = np.zeros(len(dets))
+    for i, d in enumerate(dets):
+        gts = gt_by_image.get(d.image_id, [])
+        if not gts:
+            fp[i] = 1
+            continue
+        gt_boxes = np.array([g.box for g in gts], dtype=np.float64)
+        ious = _iou_np(np.asarray(d.box, np.float64), gt_boxes)
+        j = int(np.argmax(ious))
+        if ious[j] >= iou_thresh:
+            if gts[j].difficult:
+                continue  # ignore: neither tp nor fp
+            if not matched[d.image_id][j]:
+                matched[d.image_id][j] = True
+                tp[i] = 1
+            else:
+                fp[i] = 1  # duplicate detection of a matched GT
+        else:
+            fp[i] = 1
+
+    ctp = np.cumsum(tp)
+    cfp = np.cumsum(fp)
+    recall = ctp / npos
+    precision = ctp / np.maximum(ctp + cfp, np.finfo(np.float64).eps)
+    return voc_ap(recall, precision, use_07_metric)
+
+
+def mean_ap(detections_by_class: Dict[str, List[Detection]],
+            gts_by_class: Dict[str, List[GroundTruth]],
+            iou_thresh: float = 0.5,
+            use_07_metric: bool = True) -> Tuple[float, Dict[str, float]]:
+    """mAP over classes present in the ground truth.
+
+    Returns (mAP, per-class AP dict). Classes with no GT are skipped (VOC
+    devkit convention).
+    """
+    aps = {}
+    for cls, gts in gts_by_class.items():
+        if not any(not g.difficult for g in gts):
+            continue
+        aps[cls] = class_ap(detections_by_class.get(cls, []), gts,
+                            iou_thresh, use_07_metric)
+    m = float(np.mean(list(aps.values()))) if aps else 0.0
+    return m, aps

@@ -130,7 +130,9 @@ def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
     out_w = (w + pad_total - k) // s + 1
     pad_h_end = max(0, (out_h - 1) * s + k - h)
     pad_w_end = max(0, (out_w - 1) * s + k - w)
-    neg_inf = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+    # -inf (not finfo.min): JAX only recognizes the differentiable
+    # reduce_window_max pattern with a -inf identity element
+    neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
                else jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, neg_inf, jax.lax.max,
@@ -156,20 +158,26 @@ def reorg(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
     return x.reshape(b, h // s, w // s, s * s * c)
 
 
-def forward(params: Params, x: jnp.ndarray, spec: NetworkSpec,
-            precision: Precision = BITMATCH,
-            train_stats: bool = False) -> jnp.ndarray:
-    """Run the network; returns the raw detection feature map
-    (B, H/32, W/32, num_anchors*(5+classes)) before region decode.
-
-    ``x``: NHWC float images in [0, 1] (Darknet normalization is /255 only).
-    """
+def _forward_impl(params: Params, x: jnp.ndarray, spec: NetworkSpec,
+                  precision: Precision, train_stats: bool, folded: bool,
+                  channel_masks) -> jnp.ndarray:
     outputs: List[Optional[jnp.ndarray]] = []
     y = precision.cast_in(x)
     for i, l in enumerate(spec.layers):
         if isinstance(l, ConvLayer):
-            y = conv_bn_act(y, params[conv_key(i)], l, precision,
-                            train_stats=train_stats)
+            p = params[conv_key(i)]
+            if folded:
+                y = _conv(y, p["w"], l, precision)
+                y = y + p["bias"].astype(y.dtype)
+                y = _activate(y, l.activation)
+            else:
+                y = conv_bn_act(y, p, l, precision, train_stats=train_stats)
+            if channel_masks is not None and i in channel_masks:
+                # post-activation channel mask: the masked twin of a
+                # structurally repacked model (see compress/repack.py) —
+                # zeroing here makes dropped channels contribute exactly 0
+                # downstream, so slimmed forward == masked forward.
+                y = y * channel_masks[i].astype(y.dtype)[None, None, None, :]
         elif isinstance(l, MaxPoolLayer):
             y = maxpool(y, l)
         elif isinstance(l, RouteLayer):
@@ -180,6 +188,21 @@ def forward(params: Params, x: jnp.ndarray, spec: NetworkSpec,
             pass  # decode handled by evaluation.decode on the raw map
         outputs.append(y)
     return y.astype(jnp.float32)
+
+
+def forward(params: Params, x: jnp.ndarray, spec: NetworkSpec,
+            precision: Precision = BITMATCH,
+            train_stats: bool = False,
+            channel_masks=None) -> jnp.ndarray:
+    """Run the network; returns the raw detection feature map
+    (B, H/32, W/32, num_anchors*(5+classes)) before region decode.
+
+    ``x``: NHWC float images in [0, 1] (Darknet normalization is /255 only).
+    ``channel_masks``: optional {layer_idx: (C,) 0/1 vector} applied to conv
+    outputs post-activation (structured-pruning masked mode).
+    """
+    return _forward_impl(params, x, spec, precision, train_stats,
+                         folded=False, channel_masks=channel_masks)
 
 
 def fold_batchnorm(params: Params, spec: NetworkSpec) -> Params:
@@ -208,26 +231,10 @@ def fold_batchnorm(params: Params, spec: NetworkSpec) -> Params:
 
 
 def forward_folded(params: Params, x: jnp.ndarray, spec: NetworkSpec,
-                   precision: Precision) -> jnp.ndarray:
+                   precision: Precision, channel_masks=None) -> jnp.ndarray:
     """Forward pass for BN-folded params (every conv uses bias path)."""
-    outputs: List[Optional[jnp.ndarray]] = []
-    y = precision.cast_in(x)
-    for i, l in enumerate(spec.layers):
-        if isinstance(l, ConvLayer):
-            p = params[conv_key(i)]
-            y = _conv(y, p["w"], l, precision)
-            y = y + p["bias"].astype(y.dtype)
-            y = _activate(y, l.activation)
-        elif isinstance(l, MaxPoolLayer):
-            y = maxpool(y, l)
-        elif isinstance(l, RouteLayer):
-            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
-        elif isinstance(l, ReorgLayer):
-            y = reorg(y, l.stride)
-        elif isinstance(l, RegionLayer):
-            pass
-        outputs.append(y)
-    return y.astype(jnp.float32)
+    return _forward_impl(params, x, spec, precision, train_stats=False,
+                         folded=True, channel_masks=channel_masks)
 
 
 def num_params(params: Params) -> int:

@@ -99,19 +99,19 @@ def save_weights(path_or_file, spec: NetworkSpec, params: Params,
         out = open(path_or_file, "wb")
         own = True
     try:
-        np.array([major, minor, revision], dtype=np.int32).tofile(out)
-        np.array([seen], dtype=_seen_dtype(major, minor)).tofile(out)
+        out.write(np.array([major, minor, revision], np.int32).tobytes())
+        out.write(np.array([seen], _seen_dtype(major, minor)).tobytes())
         for i, l in enumerate(spec.layers):
             if not isinstance(l, ConvLayer):
                 continue
             p = params[conv_key(i)]
             if l.batch_normalize:
                 for key in ("beta", "gamma", "mean", "var"):
-                    np.asarray(p[key], dtype=np.float32).tofile(out)
+                    out.write(np.asarray(p[key], np.float32).tobytes())
             else:
-                np.asarray(p["bias"], dtype=np.float32).tofile(out)
+                out.write(np.asarray(p["bias"], np.float32).tobytes())
             w = np.asarray(p["w"], dtype=np.float32)  # HWIO
-            np.ascontiguousarray(w.transpose(3, 2, 0, 1)).tofile(out)  # OIHW
+            out.write(w.transpose(3, 2, 0, 1).tobytes())  # OIHW
     finally:
         if own:
             out.close()

@@ -1,0 +1,10 @@
+from modelcompression_tpu.core.mesh import MeshConfig, make_mesh
+from modelcompression_tpu.parallel.sharding import (
+    batch_spec, make_parallel_train_step, param_specs, replicate,
+    shard_batch, shard_params,
+)
+
+__all__ = [
+    "MeshConfig", "make_mesh", "batch_spec", "make_parallel_train_step",
+    "param_specs", "replicate", "shard_batch", "shard_params",
+]

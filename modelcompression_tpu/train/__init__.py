@@ -1,0 +1,18 @@
+from modelcompression_tpu.train.region_loss import (
+    RegionLossMetrics, region_loss,
+)
+from modelcompression_tpu.train.train_step import (
+    TrainConfig, TrainState, darknet_lr_schedule, make_optimizer,
+    make_train_step, merge_params, split_trainable,
+)
+from modelcompression_tpu.train.loader import BatchLoader, load_sample
+from modelcompression_tpu.train.loop import (
+    IterativeRound, iterative_prune_finetune, train,
+)
+
+__all__ = [
+    "RegionLossMetrics", "region_loss", "TrainConfig", "TrainState",
+    "darknet_lr_schedule", "make_optimizer", "make_train_step",
+    "merge_params", "split_trainable", "BatchLoader", "load_sample",
+    "IterativeRound", "iterative_prune_finetune", "train",
+]

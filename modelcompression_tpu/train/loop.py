@@ -1,0 +1,128 @@
+"""Training loop drivers (SURVEY.md §3.4 / §7.2 steps 4 & 6).
+
+``train`` runs N steps/epochs of the jitted step with prefetched host
+batches, periodic eval and checkpointing. ``iterative_prune_finetune``
+implements the reference's outer loop (BASELINE.json:10):
+  repeat { prune more -> fine-tune -> eval } until the target sparsity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.compress import (
+    channel_masks_from_keep, magnitude_masks_global,
+    magnitude_masks_perlayer, repack, uniform_filter_fraction_keep_sets,
+)
+from modelcompression_tpu.models.cfg import NetworkSpec
+from modelcompression_tpu.models.darknet import Params
+from modelcompression_tpu.train.loader import BatchLoader
+from modelcompression_tpu.train.train_step import (
+    TrainConfig, TrainState, make_optimizer, make_train_step,
+)
+from modelcompression_tpu.utils.logging import MetricsLogger
+from modelcompression_tpu.utils.profiling import StepTimer
+
+
+def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
+          loader: BatchLoader, n_steps: int,
+          logger: Optional[MetricsLogger] = None,
+          eval_fn: Optional[Callable[[Params], Dict[str, float]]] = None,
+          eval_every: int = 0,
+          checkpoint_fn: Optional[Callable[[int, TrainState], None]] = None,
+          checkpoint_every: int = 0) -> TrainState:
+    """Run ``n_steps`` train steps. Returns the final state."""
+    step_fn = make_train_step(spec, config)
+    logger = logger or MetricsLogger()
+    timer = StepTimer()
+    it = iter(loader)
+    for _ in range(n_steps):
+        images, targets = next(it)
+        state, metrics = step_fn(state, jnp.asarray(images),
+                                 jnp.asarray(targets))
+        step = int(state["step"])
+        metrics = {k: float(v) for k, v in metrics.items()}
+        timer.tick(images.shape[0])
+        metrics["img_per_sec"] = timer.images_per_sec
+        logger.log(step, metrics)
+        if eval_fn and eval_every and step % eval_every == 0:
+            logger.log(step, eval_fn(state["params"]), prefix="eval")
+        if checkpoint_fn and checkpoint_every and \
+                step % checkpoint_every == 0:
+            checkpoint_fn(step, state)
+    return state
+
+
+@dataclasses.dataclass
+class IterativeRound:
+    round_idx: int
+    fraction: float
+    spec: NetworkSpec
+    params: Params
+    eval_metrics: Dict[str, float]
+
+
+def iterative_prune_finetune(
+        spec: NetworkSpec, params: Params, config: TrainConfig,
+        loader: BatchLoader,
+        fractions: Sequence[float],
+        steps_per_round: int,
+        eval_fn: Callable[[NetworkSpec, Params], Dict[str, float]],
+        mode: str = "l1_filter",
+        rng: Optional[jax.Array] = None,
+        logger: Optional[MetricsLogger] = None,
+        repack_each_round: bool = True) -> List[IterativeRound]:
+    """The reference's iterative loop (BASELINE.json:10), TPU-first.
+
+    ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
+    For ``l1_filter`` mode each round ranks filters of the *current*
+    (already slimmed) model, prunes the incremental fraction, physically
+    repacks, then fine-tunes the smaller dense network — so every round's
+    training runs at the smaller model's real speed.
+    For ``magnitude``/``global`` modes masks accumulate instead (weights
+    stay dense, masked fine-tune).
+    """
+    rng = rng if rng is not None else jax.random.key(0)
+    logger = logger or MetricsLogger()
+    rounds: List[IterativeRound] = []
+    prev_frac = 0.0
+    weight_masks: Dict[str, jnp.ndarray] = {}
+
+    for ridx, frac in enumerate(fractions):
+        if mode == "l1_filter":
+            # incremental fraction relative to remaining filters
+            inc = 1.0 - (1.0 - frac) / (1.0 - prev_frac)
+            keep_sets = uniform_filter_fraction_keep_sets(
+                spec, params, inc)
+            if repack_each_round:
+                spec, params = repack(spec, params, keep_sets)
+                channel_masks = {}
+            else:
+                channel_masks = channel_masks_from_keep(spec, keep_sets)
+        elif mode in ("magnitude", "global"):
+            fn = (magnitude_masks_perlayer if mode == "magnitude"
+                  else magnitude_masks_global)
+            weight_masks = fn(params, spec, frac)
+            channel_masks = {}
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        rng, k = jax.random.split(rng)
+        tx = make_optimizer(config)
+        state = TrainState.create(params, tx, k,
+                                  weight_masks=weight_masks,
+                                  channel_masks=channel_masks)
+        state = train(state, spec, config, loader, steps_per_round,
+                      logger=logger)
+        params = state["params"]
+        metrics = eval_fn(spec, params)
+        logger.log(int(state["step"]),
+                   dict(metrics, fraction=frac), prefix=f"round{ridx}")
+        rounds.append(IterativeRound(ridx, frac, spec, params, metrics))
+        prev_frac = frac
+    return rounds

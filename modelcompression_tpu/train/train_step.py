@@ -1,0 +1,267 @@
+"""Training / fine-tuning step — one jitted XLA program (SURVEY.md §3.4
+rebuilt TPU-first; BASELINE.json:5 "conv forward/backward become jitted
+XLA" with preprocessing fused in).
+
+Design:
+
+* **State** is a pure pytree (params, BN running stats inside params,
+  optax opt_state, step counter, seen-images counter, PRNG key, masks).
+* **The whole step** — normalize + augment (flip/mosaic/HSV) + forward with
+  batch stats + region loss + backward + SGD update + mask re-apply + BN
+  running-stat update — is ONE ``jax.jit``-compiled program. Nothing
+  round-trips to host (the north-star's core demand).
+* **Masked fine-tune**: unstructured masks multiply weights *inside* the
+  loss (w_eff = w * mask), so gradients to pruned weights are exactly zero
+  and the post-update re-zeroing is a no-op kept only as belt-and-braces;
+  structured (channel) masks gate conv outputs post-activation
+  (see compress/repack.py).
+* **Parallelism** (SURVEY.md §2.3): batch sharded over the mesh 'data'
+  axis, params replicated (or TP-sharded on conv channel dims over
+  'model'); GSPMD inserts the gradient all-reduce over ICI. BN batch stats
+  are computed inside jit, so cross-device batch statistics are a psum —
+  synchronized BN for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from modelcompression_tpu.core.precision import Precision, FAST
+from modelcompression_tpu.models.cfg import ConvLayer, NetworkSpec
+from modelcompression_tpu.models.darknet import (
+    BN_EPS, Params, _activate, _conv, conv_key, maxpool, reorg,
+)
+from modelcompression_tpu.models.cfg import (
+    MaxPoolLayer, RegionLayer, ReorgLayer, RouteLayer,
+)
+from modelcompression_tpu.train.region_loss import region_loss
+from modelcompression_tpu.data.preprocess import (
+    distort_hsv, mosaic4, random_flip,
+)
+
+BN_MOMENTUM = 0.1  # torch BatchNorm2d default (reference repo class)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    decay: float = 5e-4
+    burn_in: int = 0
+    steps: Tuple[int, ...] = ()
+    scales: Tuple[float, ...] = ()
+    precision: Precision = FAST
+    augment_flip: bool = True
+    augment_mosaic: bool = False
+    augment_hsv: bool = False
+    max_boxes: int = 30
+
+    @classmethod
+    def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
+        n = spec.net
+        kw = dict(learning_rate=n.learning_rate, momentum=n.momentum,
+                  decay=n.decay, burn_in=n.burn_in, steps=n.steps,
+                  scales=n.scales)
+        kw.update(overrides)
+        return cls(**kw)
+
+
+class TrainState(dict):
+    """Pytree train state (a dict so optax/jit handle it natively).
+
+    Keys: params, opt_state, step, seen, rng, weight_masks (possibly empty
+    dict), channel_masks (possibly empty dict).
+    """
+
+    @staticmethod
+    def create(params: Params, tx, rng: jax.Array,
+               weight_masks: Optional[Dict[str, jnp.ndarray]] = None,
+               channel_masks: Optional[Dict[int, jnp.ndarray]] = None
+               ) -> "TrainState":
+        trainable, _ = split_trainable(params)
+        return TrainState(
+            params=params,
+            opt_state=tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+            seen=jnp.zeros((), jnp.int32),
+            rng=rng,
+            weight_masks=dict(weight_masks or {}),
+            channel_masks=dict(channel_masks or {}),
+        )
+
+
+def split_trainable(params: Params) -> Tuple[Params, Params]:
+    """BN running mean/var are state, not trainable parameters."""
+    trainable, stats = {}, {}
+    for k, p in params.items():
+        t = {n: v for n, v in p.items() if n not in ("mean", "var")}
+        s = {n: v for n, v in p.items() if n in ("mean", "var")}
+        trainable[k] = t
+        stats[k] = s
+    return trainable, stats
+
+
+def merge_params(trainable: Params, stats: Params) -> Params:
+    return {k: {**trainable[k], **stats.get(k, {})} for k in trainable}
+
+
+def darknet_lr_schedule(config: TrainConfig):
+    """Darknet 'steps' policy with burn-in: lr * (step/burn_in)^4 during
+    burn-in, then stepwise scaling at the configured steps."""
+    base = config.learning_rate
+    steps = tuple(s for s in config.steps if s > 0)
+    scales = tuple(config.scales[i] for i, s in enumerate(config.steps)
+                   if s > 0)
+
+    def schedule(step):
+        lr = jnp.asarray(base, jnp.float32)
+        if config.burn_in > 0:
+            frac = jnp.minimum(step / config.burn_in, 1.0)
+            lr = lr * frac ** 4
+        for s, sc in zip(steps, scales):
+            lr = jnp.where(step >= s, lr * sc, lr)
+        return lr
+
+    return schedule
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """SGD + momentum + (decoupled) weight decay, darknet-style lr policy."""
+    return optax.chain(
+        optax.add_decayed_weights(config.decay),
+        optax.sgd(learning_rate=darknet_lr_schedule(config),
+                  momentum=config.momentum),
+    )
+
+
+def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
+                   precision: Precision,
+                   channel_masks: Dict[int, jnp.ndarray]
+                   ) -> Tuple[jnp.ndarray, Dict[str, Dict[str, jnp.ndarray]]]:
+    """Training forward with batch statistics; also returns the per-layer
+    batch (mean, var) so the step can update running stats."""
+    outputs = []
+    batch_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
+    y = precision.cast_in(x)
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            p = params[conv_key(i)]
+            y = _conv(y, p["w"], l, precision)
+            if l.batch_normalize:
+                mu = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
+                var = jnp.var(y.astype(jnp.float32), axis=(0, 1, 2))
+                batch_stats[conv_key(i)] = {"mean": mu, "var": var}
+                inv = jax.lax.rsqrt(var + BN_EPS)
+                y = (y - mu.astype(y.dtype)) \
+                    * (p["gamma"].astype(jnp.float32)
+                       * inv).astype(y.dtype) \
+                    + p["beta"].astype(y.dtype)
+            else:
+                y = y + p["bias"].astype(y.dtype)
+            y = _activate(y, l.activation)
+            if i in channel_masks:
+                y = y * channel_masks[i].astype(y.dtype)[None, None, None, :]
+        elif isinstance(l, MaxPoolLayer):
+            y = maxpool(y, l)
+        elif isinstance(l, RouteLayer):
+            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+        elif isinstance(l, ReorgLayer):
+            y = reorg(y, l.stride)
+        elif isinstance(l, RegionLayer):
+            pass
+        outputs.append(y)
+    return y.astype(jnp.float32), batch_stats
+
+
+def make_train_step(spec: NetworkSpec, config: TrainConfig,
+                    tx: Optional[optax.GradientTransformation] = None):
+    """Build the jitted train step.
+
+    step(state, images_uint8 (B,H,W,3), targets (B,M,5)) -> (state, metrics)
+    """
+    region = spec.region
+    tx = tx or make_optimizer(config)
+
+    def loss_fn(trainable, stats, images_f32, targets, seen, channel_masks,
+                weight_masks):
+        params = merge_params(trainable, stats)
+        if weight_masks:
+            params = {
+                k: (dict(p, w=p["w"] * weight_masks[k].astype(p["w"].dtype))
+                    if k in weight_masks else p)
+                for k, p in params.items()}
+        raw, batch_stats = _forward_train(
+            params, images_f32, spec, config.precision, channel_masks)
+        metrics = region_loss(raw, targets, region, seen)
+        # aux must be a pytree: return the metrics as a plain dict
+        return metrics.loss, (metrics.as_dict(), batch_stats)
+
+    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray):
+        rng, k_aug1, k_aug2, k_aug3 = jax.random.split(state["rng"], 4)
+        x = images.astype(jnp.float32)
+        if images.dtype == jnp.uint8:
+            x = x / 255.0
+        if config.augment_mosaic:
+            x, targets = mosaic4(x, targets, k_aug3)
+        if config.augment_flip:
+            x, targets = random_flip(x, targets, k_aug1)
+        if config.augment_hsv:
+            x = distort_hsv(x, k_aug2)
+
+        trainable, stats = split_trainable(state["params"])
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, batch_stats)), grads = grad_fn(
+            trainable, stats, x, targets, state["seen"],
+            state["channel_masks"], state["weight_masks"])
+
+        updates, opt_state = tx.update(grads, state["opt_state"], trainable)
+        trainable = optax.apply_updates(trainable, updates)
+
+        # belt-and-braces: keep pruned weights exactly zero
+        if state["weight_masks"]:
+            for k, m in state["weight_masks"].items():
+                trainable[k]["w"] = trainable[k]["w"] * m.astype(
+                    trainable[k]["w"].dtype)
+
+        # BN running stats (torch convention)
+        for k, bs in batch_stats.items():
+            stats[k]["mean"] = ((1 - BN_MOMENTUM) * stats[k]["mean"]
+                                + BN_MOMENTUM * bs["mean"])
+            stats[k]["var"] = ((1 - BN_MOMENTUM) * stats[k]["var"]
+                               + BN_MOMENTUM * bs["var"])
+
+        new_state = TrainState(
+            params=merge_params(trainable, stats),
+            opt_state=opt_state,
+            step=state["step"] + 1,
+            seen=state["seen"] + images.shape[0],
+            rng=rng,
+            weight_masks=state["weight_masks"],
+            channel_masks=state["channel_masks"],
+        )
+        out = dict(metrics)
+        out["lr"] = darknet_lr_schedule(config)(state["step"])
+        return new_state, out
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _ts_flatten(s: TrainState):
+    # sorted keys: flattening must match a plain dict's ordering so that
+    # checkpoint restore (which yields plain dicts) can re-hang leaves on a
+    # TrainState treedef
+    keys = tuple(sorted(s.keys()))
+    return tuple(s[k] for k in keys), keys
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    _ts_flatten,
+    lambda keys, vals: TrainState(zip(keys, vals)),
+)

@@ -1,0 +1,122 @@
+"""Eval pipeline integration tests (SURVEY.md §4.5).
+
+The key test bypasses the conv stack: construct a raw feature map by
+*inverting* the region decode for the fixture ground truth, push it through
+the real device path (decode -> per-class NMS) and the VOC AP protocol, and
+require mAP == 1.0. This pins the whole post-network eval stack end-to-end.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from modelcompression_tpu.data.fixtures import (
+    FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
+)
+from modelcompression_tpu.data.voc import load_list_dataset, read_data_cfg
+from modelcompression_tpu.evaluation import (
+    EvalConfig, batched_per_class_nms, center_to_corners, decode_region,
+    evaluate, mean_ap,
+)
+from modelcompression_tpu.evaluation.voc_map import Detection, GroundTruth
+from modelcompression_tpu.models import init_params, parse_cfg
+from modelcompression_tpu.models.cfg import RegionLayer
+
+
+def logit(p):
+    return float(np.log(p / (1 - p)))
+
+
+def encode_boxes_to_raw(labels, region: RegionLayer, grid: int
+                        ) -> np.ndarray:
+    """Inverse of decode_region for a list of [cls, cx, cy, w, h] rows."""
+    a, c = region.num, region.classes
+    raw = np.zeros((grid, grid, a, 5 + c), np.float32)
+    raw[..., 4] = -12.0  # objectness ~ 0 everywhere else
+    anchors = np.asarray(region.anchor_pairs)
+    used = set()
+    for cls, cx, cy, w, h in labels:
+        j = min(int(cx * grid), grid - 1)
+        i = min(int(cy * grid), grid - 1)
+        # pick the best-matching anchor by shape (free slot)
+        order = np.argsort([abs(np.log(max(w * grid, 1e-6) / pw))
+                            + abs(np.log(max(h * grid, 1e-6) / ph))
+                            for pw, ph in anchors])
+        ai = next((x for x in order if (i, j, x) not in used), order[0])
+        used.add((i, j, int(ai)))
+        fx = np.clip(cx * grid - j, 0.01, 0.99)
+        fy = np.clip(cy * grid - i, 0.01, 0.99)
+        raw[i, j, ai, 0] = logit(fx)
+        raw[i, j, ai, 1] = logit(fy)
+        raw[i, j, ai, 2] = np.log(w * grid / anchors[ai, 0])
+        raw[i, j, ai, 3] = np.log(h * grid / anchors[ai, 1])
+        raw[i, j, ai, 4] = 12.0
+        raw[i, j, ai, 5 + int(cls)] = 12.0
+    return raw.reshape(1, grid, grid, a * (5 + c))
+
+
+def test_oracle_raw_map_gives_perfect_map(tmp_path):
+    spec = parse_cfg(tiny_region_cfg(num_classes=3))
+    region = spec.region
+    data_cfg = make_fake_voc(str(tmp_path), n_images=6, image_size=416,
+                             seed=3)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+
+    dets = {c: [] for c in FIXTURE_CLASSES}
+    gts = {c: [] for c in FIXTURE_CLASSES}
+    for s in samples:
+        raw = encode_boxes_to_raw(s.labels, region, grid=13)
+        boxes, obj, cls = decode_region(jnp.asarray(raw), region)
+        corners = center_to_corners(boxes)
+        scores = obj[..., None] * cls
+        sel, out_scores, valid = batched_per_class_nms(
+            corners, scores, iou_thresh=0.45, score_thresh=0.1, max_out=20)
+        sel, out_scores, valid = jax.device_get((sel, out_scores, valid))
+        for ci, cname in enumerate(FIXTURE_CLASSES):
+            for k in np.nonzero(valid[0, ci])[0]:
+                dets[cname].append(Detection(
+                    s.image_id, float(out_scores[0, ci, k]),
+                    tuple(sel[0, ci, k])))
+        for cls_id, cx, cy, w, h in s.labels:
+            gts[FIXTURE_CLASSES[int(cls_id)]].append(GroundTruth(
+                s.image_id,
+                (cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2)))
+
+    m, per_class = mean_ap(dets, gts, use_07_metric=True)
+    assert m == pytest.approx(1.0), per_class
+    m2, _ = mean_ap(dets, gts, use_07_metric=False)
+    assert m2 == pytest.approx(1.0)
+
+
+def test_evaluate_end_to_end_smoke(tmp_path):
+    """Full evaluate() on the fixture with random weights at low res:
+    exercises host batching, device program, geometry mapping, AP — the
+    structure must be sane even though the model detects nothing."""
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=128, height=128))
+    params = init_params(spec, jax.random.key(0))
+    data_cfg = make_fake_voc(str(tmp_path), n_images=5, image_size=160,
+                             seed=1)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    cfg = EvalConfig(batch_size=2, max_detections=10)
+    res = evaluate(params, spec, samples, FIXTURE_CLASSES, cfg)
+    assert res.n_images == 5
+    assert 0.0 <= res.map50 <= 1.0
+    assert set(res.per_class_ap) <= set(FIXTURE_CLASSES)
+    assert "mAP@50" in res.summary()
+
+
+def test_dump_detections_format(tmp_path):
+    from modelcompression_tpu.evaluation import EvalResult, dump_detections
+    res = EvalResult(
+        map50=0.5, per_class_ap={"redbox": 0.5},
+        detections={"redbox": [
+            Detection("img0001", 0.7, (1.0, 2.0, 3.0, 4.0)),
+            Detection("img0002", 0.9, (5.0, 6.0, 7.0, 8.0))]},
+        n_images=2, images_per_sec=1.0, use_07_metric=True)
+    dump_detections(res, str(tmp_path / "dets"))
+    path = tmp_path / "dets" / "comp4_det_test_redbox.txt"
+    lines = path.read_text().strip().splitlines()
+    # sorted by descending score
+    assert lines[0].split()[0] == "img0002"
+    assert len(lines[0].split()) == 6

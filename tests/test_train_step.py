@@ -1,0 +1,141 @@
+"""Train-step tests (SURVEY.md §4.5, §4.6): loss decreases when overfitting
+a tiny batch, masks stay enforced through updates, BN stats update, and the
+DP-sharded step matches the single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from pytest import approx
+
+from modelcompression_tpu.compress import magnitude_masks_perlayer
+from modelcompression_tpu.data.fixtures import tiny_region_cfg
+from modelcompression_tpu.models import init_params, parse_cfg
+from modelcompression_tpu.models.darknet import conv_key
+from modelcompression_tpu.train import (
+    TrainConfig, TrainState, darknet_lr_schedule, make_optimizer,
+    make_train_step,
+)
+from modelcompression_tpu.core.precision import BITMATCH
+
+from tests.conftest import cpu_devices
+
+
+def tiny_setup(seed=0, w=64, bitmatch=True):
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=w, height=w))
+    params = init_params(spec, jax.random.key(seed))
+    kw = dict(augment_flip=False)
+    if bitmatch:
+        kw["precision"] = BITMATCH
+    config = TrainConfig.from_spec(spec, **kw)
+    return spec, params, config
+
+
+def fixed_batch(b=4, w=64, m=8, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 255, (b, w, w, 3), dtype=np.uint8)
+    targets = np.zeros((b, m, 5), np.float32)
+    for i in range(b):
+        targets[i, 0] = [rng.integers(0, 3), 0.5, 0.5, 0.4, 0.4]
+        targets[i, 1] = [rng.integers(0, 3), 0.2, 0.25, 0.2, 0.3]
+    return jnp.asarray(images), jnp.asarray(targets)
+
+
+def test_loss_decreases_overfitting():
+    spec, params, config = tiny_setup()
+    tx = make_optimizer(config)
+    state = TrainState.create(params, tx, jax.random.key(1))
+    step_fn = make_train_step(spec, config, tx)
+    images, targets = fixed_batch()
+    losses = []
+    for _ in range(12):
+        state, metrics = step_fn(state, images, targets)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert int(state["step"]) == 12
+    assert int(state["seen"]) == 12 * 4
+
+
+def test_masked_finetune_keeps_zeros():
+    spec, params, config = tiny_setup(seed=2)
+    masks = magnitude_masks_perlayer(params, spec, 0.5)
+    tx = make_optimizer(config)
+    # keep host copies: the train step donates the state, which invalidates
+    # the original device buffers (masks/params are aliased into the state)
+    masks_np = {k: np.asarray(m) for k, m in masks.items()}
+    params_np = {k: np.asarray(p["w"]) for k, p in params.items()}
+    state = TrainState.create(params, tx, jax.random.key(3),
+                              weight_masks=masks)
+    step_fn = make_train_step(spec, config, tx)
+    images, targets = fixed_batch(seed=2)
+    for _ in range(3):
+        state, _ = step_fn(state, images, targets)
+    masks = masks_np
+    for k, m in masks.items():
+        w = np.asarray(state["params"][k]["w"])
+        assert (w[~m] == 0).all()
+        # kept weights did move
+        assert not np.allclose(w[m], params_np[k][m])
+
+
+def test_bn_stats_update():
+    spec, params, config = tiny_setup(seed=4)
+    tx = make_optimizer(config)
+    state = TrainState.create(params, tx, jax.random.key(5))
+    step_fn = make_train_step(spec, config, tx)
+    images, targets = fixed_batch(seed=4)
+    k0 = conv_key(spec.conv_indices()[0])
+    mean_before = np.asarray(params[k0]["mean"]).copy()
+    state, _ = step_fn(state, images, targets)
+    mean_after = np.asarray(state["params"][k0]["mean"])
+    assert not np.allclose(mean_before, mean_after)
+
+
+def test_lr_schedule_policies():
+    config = TrainConfig(learning_rate=0.1, burn_in=100,
+                         steps=(200, 300), scales=(0.5, 0.1))
+    sched = darknet_lr_schedule(config)
+    assert float(sched(0)) == 0.0
+    assert float(sched(50)) == approx((0.5 ** 4) * 0.1, rel=1e-6)
+    assert float(sched(150)) == approx(0.1, rel=1e-6)
+    assert float(sched(250)) == approx(0.05, rel=1e-6)
+    assert float(sched(350)) == approx(0.1 * 0.5 * 0.1, rel=1e-6)
+
+
+def test_dp_sharded_step_matches_single_device():
+    """SURVEY.md §4.6: DP gradient == single-device gradient. Run the same
+    step (a) on one device, (b) batch-sharded over an 8-CPU mesh; the
+    resulting params must match."""
+    spec, params, config = tiny_setup(seed=6, w=32)
+    tx = make_optimizer(config)
+    images, targets = fixed_batch(b=8, w=32, seed=6)
+
+    # fully independent param copies: the step donates its input state, and
+    # device_put shares the cpu:0 shard with the source buffer — any aliasing
+    # between the two states would be invalidated by the first step
+    def fresh_params():
+        return jax.tree.map(lambda v: jnp.asarray(np.asarray(v)), params)
+
+    state1 = TrainState.create(fresh_params(), tx, jax.random.key(7))
+    mesh = Mesh(np.array(cpu_devices()), ("data",))
+    state2 = jax.device_put(
+        TrainState.create(fresh_params(), tx, jax.random.key(7)),
+        NamedSharding(mesh, P()))
+
+    step_fn = make_train_step(spec, config, tx)
+    state1, m1 = step_fn(state1, images, targets)
+    images_s = jax.device_put(
+        images, NamedSharding(mesh, P("data", None, None, None)))
+    targets_s = jax.device_put(
+        targets, NamedSharding(mesh, P("data", None, None)))
+    step_fn2 = make_train_step(spec, config, tx)
+    state2, m2 = step_fn2(state2, images_s, targets_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for k in state1["params"]:
+        for n, v in state1["params"][k].items():
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(state2["params"][k][n]),
+                rtol=2e-4, atol=1e-5,
+                err_msg=f"{k}/{n} diverged between DP and single-device")
