@@ -1,0 +1,84 @@
+"""Shared CLI plumbing (the public API mirrors the reference's
+prune/fine-tune/eval scripts, BASELINE.json:5)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+from modelcompression_tpu.data.voc import (
+    VOC_CLASSES, load_list_dataset, load_voc_devkit, read_data_cfg,
+    read_names,
+)
+from modelcompression_tpu.models import (
+    NetworkSpec, init_params, load_cfg, load_weights,
+)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache — OPT-IN via
+    JAX_COMPILATION_CACHE_DIR=<path>. Default off: on this environment's
+    remote-compile TPU tunnel the persistent cache was observed to hang
+    compilation indefinitely (eval never finished with it on; finished in
+    ~3 min without)."""
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    if not d or d.lower() in ("off", "0", "none"):
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        print(f"[warn] compilation cache disabled: {e}", file=sys.stderr)
+
+
+def add_model_args(p: argparse.ArgumentParser, weights_required=True):
+    p.add_argument("--cfg", required=True, help="Darknet .cfg file")
+    p.add_argument("--weights", required=weights_required, default=None,
+                   help="Darknet .weights file (omit for random init)")
+
+
+def add_data_args(p: argparse.ArgumentParser):
+    p.add_argument("--data", required=True,
+                   help=".data file (train=/valid=/names=) or VOCdevkit root")
+    p.add_argument("--image-set", default="test",
+                   help="VOCdevkit image set (when --data is a devkit root)")
+
+
+def load_model(args, seed: int = 0):
+    spec = load_cfg(args.cfg)
+    if args.weights:
+        params, seen = load_weights(args.weights, spec)
+        params = jax.tree.map(np.asarray, params)
+    else:
+        params = jax.tree.map(np.asarray,
+                              init_params(spec, jax.random.key(seed)))
+        seen = 0
+    return spec, params, seen
+
+
+def load_dataset(args):
+    """Returns (samples, class_names)."""
+    data = args.data
+    if os.path.isdir(data):  # VOCdevkit root
+        return (load_voc_devkit(data, image_set=args.image_set),
+                list(VOC_CLASSES))
+    cfg = read_data_cfg(data)
+    names = read_names(cfg["names"]) if "names" in cfg else list(VOC_CLASSES)
+    key = "valid" if "valid" in cfg else "train"
+    return load_list_dataset(cfg[key]), names
+
+
+def load_train_dataset(args):
+    data = args.data
+    if os.path.isdir(data):
+        return (load_voc_devkit(data, image_set="trainval"),
+                list(VOC_CLASSES))
+    cfg = read_data_cfg(data)
+    names = read_names(cfg["names"]) if "names" in cfg else list(VOC_CLASSES)
+    key = "train" if "train" in cfg else "valid"
+    return load_list_dataset(cfg[key]), names

@@ -1,0 +1,97 @@
+"""Detect CLI — single-image inference with drawn boxes (the reference-class
+demo script, SURVEY.md §2.1 'detect / demo', §3.5).
+
+Example:
+  detect --cfg yolov2-voc.cfg --weights yolov2.weights \
+         --image dog.jpg --out prediction.png --conf 0.25
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.cli.common import (
+    add_model_args, enable_compilation_cache, load_model,
+)
+from modelcompression_tpu.core.precision import FAST
+from modelcompression_tpu.data.preprocess import letterbox_host
+from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
+from modelcompression_tpu.evaluation import (
+    batched_per_class_nms, center_to_corners, decode_region,
+)
+from modelcompression_tpu.models import fold_batchnorm, forward_folded
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="detect", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_model_args(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--out", default="prediction.png")
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--nms", type=float, default=0.45)
+    p.add_argument("--names", default=None, help=".names file")
+    return p
+
+
+def main(argv=None) -> int:
+    import cv2
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    spec, params, _ = load_model(args)
+    names = read_names(args.names) if args.names else list(VOC_CLASSES)
+    region = spec.region
+    if len(names) != region.classes:
+        names = [f"class{i}" for i in range(region.classes)]
+
+    img = cv2.imread(args.image, cv2.IMREAD_COLOR)
+    if img is None:
+        print(f"error: cannot read image {args.image}", file=sys.stderr)
+        return 2
+    img_rgb = img[:, :, ::-1]
+    h, w = img.shape[:2]
+    net_h, net_w = spec.net.height, spec.net.width
+    canvas, r, px, py = letterbox_host(img_rgb, net_h, net_w)
+
+    folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
+    x = jnp.asarray(canvas[None]).astype(jnp.float32) / 255.0
+    raw = forward_folded(folded, x, spec, FAST)
+    boxes, obj, cls = decode_region(raw, region)
+    scores = obj[..., None] * cls
+    sel, out_scores, valid = batched_per_class_nms(
+        center_to_corners(boxes), scores, iou_thresh=args.nms,
+        score_thresh=args.conf, max_out=50)
+    sel = np.asarray(sel)[0]
+    out_scores = np.asarray(out_scores)[0]
+    valid = np.asarray(valid)[0]
+
+    n_drawn = 0
+    for ci in range(region.classes):
+        for k in np.nonzero(valid[ci])[0]:
+            x1, y1, x2, y2 = sel[ci, k]
+            x1 = int(np.clip((x1 * net_w - px) / r, 0, w - 1))
+            x2 = int(np.clip((x2 * net_w - px) / r, 0, w - 1))
+            y1 = int(np.clip((y1 * net_h - py) / r, 0, h - 1))
+            y2 = int(np.clip((y2 * net_h - py) / r, 0, h - 1))
+            color = tuple(int(c) for c in np.random.default_rng(ci)
+                          .integers(60, 255, 3))
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
+            label = f"{names[ci]} {out_scores[ci, k]:.2f}"
+            cv2.putText(img, label, (x1, max(y1 - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+            print(f"{names[ci]}: {out_scores[ci, k]:.3f} "
+                  f"[{x1}, {y1}, {x2}, {y2}]")
+            n_drawn += 1
+    cv2.imwrite(args.out, img)
+    print(f"{n_drawn} detections -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,71 @@
+"""Eval CLI — VOC mAP@50 for a model on a dataset (the reference's
+valid/eval script; BASELINE.json:5,7). Prints a per-class AP table and the
+mAP, optionally dumping reference-format detection files.
+
+Example:
+  eval --cfg yolov2-voc.cfg --weights yolov2.weights --data voc.data \
+       --batch 8 --dump-dir results/
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from modelcompression_tpu.cli.common import (
+    add_data_args, add_model_args, enable_compilation_cache, load_dataset,
+    load_model,
+)
+from modelcompression_tpu.core.precision import get_precision
+from modelcompression_tpu.evaluation import (
+    EvalConfig, dump_detections, evaluate,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="eval", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_model_args(p)
+    add_data_args(p)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--conf", type=float, default=0.005,
+                   help="confidence threshold")
+    p.add_argument("--nms", type=float, default=0.45, help="NMS IoU")
+    p.add_argument("--max-det", type=int, default=100)
+    p.add_argument("--metric", choices=("07", "continuous"), default="07",
+                   help="VOC AP protocol: 11-point (07) or all-point")
+    p.add_argument("--precision", default="fast",
+                   choices=("fast", "bitmatch"),
+                   help="bitmatch = fp32/HIGHEST (bit-faithful, slower)")
+    p.add_argument("--no-letterbox", action="store_true",
+                   help="stretch-resize instead of letterbox")
+    p.add_argument("--dump-dir", default=None,
+                   help="write per-class detection files here")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    spec, params, _ = load_model(args)
+    samples, names = load_dataset(args)
+    if not samples:
+        print("error: dataset is empty", file=sys.stderr)
+        return 2
+    precision = get_precision(args.precision)
+    cfg = EvalConfig(
+        batch_size=args.batch, conf_thresh=args.conf, nms_thresh=args.nms,
+        max_detections=args.max_det, use_07_metric=(args.metric == "07"),
+        letterbox=not args.no_letterbox, precision=precision,
+        fold_bn=(precision.name != "bitmatch"))
+    res = evaluate(params, spec, samples, names, cfg)
+    print(res.summary())
+    if args.dump_dir:
+        dump_detections(res, args.dump_dir)
+        print(f"wrote detection dumps to {args.dump_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

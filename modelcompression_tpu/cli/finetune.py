@@ -1,0 +1,142 @@
+"""Fine-tune CLI — post-prune fine-tuning (the reference's fine-tune
+script; BASELINE.json:5,9). With ``--preserve-sparsity`` the zero pattern of
+the loaded (pruned) weights becomes the fine-tune mask, so pruned weights
+stay exactly zero through training — the masked fine-tune path whose mask
+application runs on device (no host round-trips).
+
+Also drives the iterative prune->fine-tune->eval loop
+(``--iterate 0.25,0.5,0.75``), the reference's Tiny-YOLOv2 config
+(BASELINE.json:10).
+
+Example:
+  finetune --cfg slim.cfg --weights slim.weights --data voc.data \
+           --steps 1000 --preserve-sparsity
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.cli.common import (
+    add_data_args, add_model_args, enable_compilation_cache, load_dataset,
+    load_model, load_train_dataset,
+)
+from modelcompression_tpu.evaluation import EvalConfig, evaluate
+from modelcompression_tpu.models import save_weights
+from modelcompression_tpu.models.darknet import conv_key
+from modelcompression_tpu.train import (
+    BatchLoader, TrainConfig, TrainState, iterative_prune_finetune,
+    make_optimizer, train,
+)
+from modelcompression_tpu.utils.logging import MetricsLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="finetune", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_model_args(p)
+    add_data_args(p)
+    p.add_argument("--steps", type=int, required=True,
+                   help="fine-tune steps (per round when iterating)")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--max-boxes", type=int, default=30)
+    p.add_argument("--preserve-sparsity", action="store_true",
+                   help="freeze the zero pattern of the loaded weights")
+    p.add_argument("--iterate", default=None,
+                   help="comma list of cumulative prune fractions for the "
+                        "iterative loop, e.g. 0.25,0.5,0.75")
+    p.add_argument("--iterate-mode", default="l1_filter",
+                   choices=("l1_filter", "magnitude", "global"))
+    p.add_argument("--out", required=True, help="output .weights path")
+    p.add_argument("--out-cfg", default=None,
+                   help="output .cfg (written when iterating with repack)")
+    p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    spec, params, seen = load_model(args)
+    samples, names = load_train_dataset(args)
+    if not samples:
+        print("error: dataset is empty", file=sys.stderr)
+        return 2
+    eval_samples, eval_names = load_dataset(args)
+
+    overrides = {}
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
+                                   **overrides)
+    batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
+    loader = BatchLoader(samples, batch_size=batch,
+                         net_h=spec.net.height, net_w=spec.net.width,
+                         max_boxes=args.max_boxes, seed=args.seed)
+    logger = MetricsLogger(jsonl_path=args.log_jsonl)
+
+    if args.iterate:
+        fractions = [float(x) for x in args.iterate.split(",") if x]
+
+        def eval_fn(s, p):
+            res = evaluate(p, s, eval_samples, eval_names,
+                           EvalConfig(batch_size=batch))
+            print(res.summary())
+            return {"map50": res.map50}
+
+        rounds = iterative_prune_finetune(
+            spec, params, config, loader, fractions=fractions,
+            steps_per_round=args.steps, eval_fn=eval_fn,
+            mode=args.iterate_mode, rng=jax.random.key(args.seed),
+            logger=logger)
+        final = rounds[-1]
+        save_weights(args.out, final.spec,
+                     jax.tree.map(np.asarray, final.params), seen=seen)
+        print(f"wrote {args.out}")
+        if args.iterate_mode == "l1_filter":
+            from modelcompression_tpu.models import dump_cfg
+            out_cfg = args.out_cfg or args.out.rsplit(".", 1)[0] + ".cfg"
+            with open(out_cfg, "w") as f:
+                f.write(dump_cfg(final.spec))
+            print(f"wrote {out_cfg}")
+        return 0
+
+    weight_masks = {}
+    if args.preserve_sparsity:
+        for i, p in params.items():
+            m = jnp.asarray(np.asarray(p["w"]) != 0)
+            if float(m.mean()) < 1.0:
+                weight_masks[i] = m
+        kept = {k: float(np.asarray(m).mean())
+                for k, m in weight_masks.items()}
+        if kept:
+            print(f"preserving sparsity in {len(kept)} layers "
+                  f"(avg keep {np.mean(list(kept.values())):.2%})")
+        else:
+            print("warning: --preserve-sparsity set but weights are dense",
+                  file=sys.stderr)
+
+    tx = make_optimizer(config)
+    state = TrainState.create(params, tx, jax.random.key(args.seed),
+                              weight_masks=weight_masks)
+    state = train(state, spec, config, loader, n_steps=args.steps,
+                  logger=logger)
+    save_weights(args.out, spec,
+                 jax.tree.map(np.asarray, state["params"]), seen=seen)
+    print(f"wrote {args.out}")
+    res = evaluate(state["params"], spec, eval_samples, eval_names,
+                   EvalConfig(batch_size=batch))
+    print(res.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

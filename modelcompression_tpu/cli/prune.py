@@ -1,0 +1,116 @@
+"""Prune CLI — mirrors the reference's prune script (BASELINE.json:5,8,9).
+
+Modes:
+  magnitude   per-layer unstructured magnitude masks at --sparsity
+  global      one global |w| threshold at --sparsity
+  l1_filter   L1-norm filter ranking at --fraction + physical channel
+              repack; writes a rewritten cfg alongside the slimmed weights
+
+Examples:
+  prune --cfg yolov2-voc.cfg --weights yolov2.weights \
+        --mode magnitude --sparsity 0.75 --out pruned.weights
+  prune --cfg yolov2-voc.cfg --weights yolov2.weights \
+        --mode l1_filter --fraction 0.75 --out slim.weights \
+        --out-cfg slim.cfg
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+from modelcompression_tpu.cli.common import (
+    add_model_args, enable_compilation_cache, load_model,
+)
+from modelcompression_tpu.compress import (
+    apply_masks, magnitude_masks_global, magnitude_masks_perlayer,
+    mask_sparsity, repack, uniform_filter_fraction_keep_sets,
+)
+from modelcompression_tpu.models import dump_cfg, num_params, save_weights
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="prune", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_model_args(p)
+    p.add_argument("--mode", default="magnitude",
+                   choices=("magnitude", "global", "l1_filter"))
+    p.add_argument("--sparsity", type=float, default=None,
+                   help="target weight sparsity (magnitude/global modes)")
+    p.add_argument("--fraction", type=float, default=None,
+                   help="filter drop fraction (l1_filter mode)")
+    p.add_argument("--out", required=True, help="output .weights path")
+    p.add_argument("--out-cfg", default=None,
+                   help="rewritten .cfg path (l1_filter mode)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="use the fused Pallas top-k/mask kernels")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    spec, params, seen = load_model(args)
+    n0 = num_params(params)
+
+    if args.mode in ("magnitude", "global"):
+        if args.sparsity is None:
+            print("error: --sparsity is required for magnitude/global mode",
+                  file=sys.stderr)
+            return 2
+        if not (0.0 <= args.sparsity < 1.0):
+            print(f"error: --sparsity must be in [0, 1), got "
+                  f"{args.sparsity}", file=sys.stderr)
+            return 2
+        if args.use_pallas:
+            from modelcompression_tpu.ops import (
+                pallas_magnitude_masks_global, pallas_magnitude_masks_perlayer,
+            )
+            fn = (pallas_magnitude_masks_perlayer if args.mode == "magnitude"
+                  else pallas_magnitude_masks_global)
+        else:
+            fn = (magnitude_masks_perlayer if args.mode == "magnitude"
+                  else magnitude_masks_global)
+        masks = fn(params, spec, args.sparsity)
+        achieved = float(mask_sparsity(masks))
+        params = jax.tree.map(np.asarray, apply_masks(params, masks))
+        save_weights(args.out, spec, params, seen=seen)
+        print(f"{args.mode} prune: target sparsity {args.sparsity:.2%}, "
+              f"achieved {achieved:.2%} over "
+              f"{sum(m.size for m in masks.values())} weights")
+        print(f"wrote {args.out}")
+        if args.out_cfg:
+            with open(args.out_cfg, "w") as f:
+                f.write(dump_cfg(spec))
+            print(f"wrote {args.out_cfg} (architecture unchanged)")
+    else:  # l1_filter
+        if args.fraction is None:
+            print("error: --fraction is required for l1_filter mode",
+                  file=sys.stderr)
+            return 2
+        if not (0.0 <= args.fraction < 1.0):
+            print(f"error: --fraction must be in [0, 1), got "
+                  f"{args.fraction}", file=sys.stderr)
+            return 2
+        keep = uniform_filter_fraction_keep_sets(spec, params, args.fraction)
+        slim_spec, slim_params = repack(spec, params, keep)
+        slim_params = jax.tree.map(np.asarray, slim_params)
+        save_weights(args.out, slim_spec, slim_params, seen=seen)
+        print(f"l1_filter prune: dropped {args.fraction:.0%} of filters "
+              f"per prunable conv; params {n0 / 1e6:.1f}M -> "
+              f"{num_params(slim_params) / 1e6:.1f}M")
+        print(f"wrote {args.out}")
+        out_cfg = args.out_cfg or args.out.rsplit(".", 1)[0] + ".cfg"
+        with open(out_cfg, "w") as f:
+            f.write(dump_cfg(slim_spec))
+        print(f"wrote {out_cfg} (slimmed architecture — use it for "
+              "eval/fine-tune)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

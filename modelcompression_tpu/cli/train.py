@@ -1,0 +1,99 @@
+"""Train CLI — full training (the reference's train script;
+BASELINE.json:5,10). Hyper-parameters default to the cfg's [net] section.
+
+Example:
+  train --cfg tiny-yolo-voc.cfg --data voc.data --steps 2000 \
+        --checkpoint-dir ckpts/ --eval-every 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+from modelcompression_tpu.cli.common import (
+    add_data_args, add_model_args, enable_compilation_cache, load_dataset,
+    load_model, load_train_dataset,
+)
+from modelcompression_tpu.evaluation import EvalConfig, evaluate
+from modelcompression_tpu.train import (
+    BatchLoader, TrainConfig, TrainState, make_optimizer, train,
+)
+from modelcompression_tpu.utils.checkpoint import save_checkpoint
+from modelcompression_tpu.utils.logging import MetricsLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="train", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_model_args(p, weights_required=False)
+    add_data_args(p)
+    p.add_argument("--steps", type=int, required=True)
+    p.add_argument("--batch", type=int, default=None,
+                   help="default: cfg batch/subdivisions")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--max-boxes", type=int, default=30)
+    p.add_argument("--mosaic", action="store_true")
+    p.add_argument("--hsv", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--eval-every", type=int, default=0)
+    p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    spec, params, _ = load_model(args, seed=args.seed)
+    samples, names = load_train_dataset(args)
+    if not samples:
+        print("error: dataset is empty", file=sys.stderr)
+        return 2
+
+    overrides = {}
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    config = TrainConfig.from_spec(
+        spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
+        max_boxes=args.max_boxes, **overrides)
+    batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
+    loader = BatchLoader(samples, batch_size=batch,
+                         net_h=spec.net.height, net_w=spec.net.width,
+                         max_boxes=args.max_boxes, seed=args.seed)
+    tx = make_optimizer(config)
+    state = TrainState.create(params, tx, jax.random.key(args.seed))
+    logger = MetricsLogger(jsonl_path=args.log_jsonl)
+
+    eval_fn = None
+    if args.eval_every:
+        eval_samples, eval_names = load_dataset(args)
+
+        def eval_fn(p):
+            res = evaluate(p, spec, eval_samples, eval_names,
+                           EvalConfig(batch_size=batch))
+            return {"map50": res.map50, "img_per_sec": res.images_per_sec}
+
+    ckpt_fn = None
+    if args.checkpoint_dir:
+        def ckpt_fn(step, st):
+            d = save_checkpoint(args.checkpoint_dir, step, spec, dict(st))
+            print(f"checkpoint -> {d}")
+
+    state = train(state, spec, config, loader, n_steps=args.steps,
+                  logger=logger, eval_fn=eval_fn,
+                  eval_every=args.eval_every, checkpoint_fn=ckpt_fn,
+                  checkpoint_every=args.checkpoint_every)
+    if args.checkpoint_dir:
+        d = save_checkpoint(args.checkpoint_dir, int(state["step"]), spec,
+                            dict(state))
+        print(f"final checkpoint -> {d}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
