@@ -87,24 +87,34 @@ def global_threshold(params: Params, spec: NetworkSpec, sparsity: float,
     return jnp.sort(cat)[k_idx]
 
 
-def l1_filter_scores(w_hwio: jnp.ndarray) -> jnp.ndarray:
+def l1_filter_scores(w_hwio) -> "np.ndarray":
     """Li et al. 2017 filter score: sum |W[:,:,:,j]| per output filter j
-    (SURVEY.md A.5). Returns (O,)."""
-    return jnp.sum(jnp.abs(w_hwio), axis=(0, 1, 2))
+    (SURVEY.md A.5). Returns (O,).
+
+    Host numpy on purpose: filter ranking is a one-shot prune-time op over
+    a few thousand scores, and a device implementation costs one XLA
+    compile per distinct conv shape (~30s each on a remote-compile TPU
+    path) for zero steady-state benefit. The fine-tune-loop mask recompute
+    — the op BASELINE.json:5 requires on-device — is ops/topk_mask +
+    ops/pallas_topk, not this.
+    """
+    import numpy as np
+    return np.sum(np.abs(np.asarray(w_hwio)), axis=(0, 1, 2))
 
 
-def l1_filter_keep(w_hwio: jnp.ndarray, fraction: float) -> jnp.ndarray:
+def l1_filter_keep(w_hwio, fraction: float) -> "np.ndarray":
     """Keep-set for one conv: drop the floor(fraction*O) lowest-L1 filters.
 
     Returns sorted int32 indices of kept filters (ties: lower index pruned
     first, matching the rank rule above).
     """
+    import numpy as np
     scores = l1_filter_scores(w_hwio)
     o = scores.shape[0]
     n_drop = int(fraction * o)
-    order = jnp.argsort(scores, stable=True)  # ascending
-    keep = jnp.sort(order[n_drop:])
-    return keep.astype(jnp.int32)
+    order = np.argsort(scores, kind="stable")  # ascending
+    keep = np.sort(order[n_drop:])
+    return keep.astype(np.int32)
 
 
 def l1_filter_keep_sets(params: Params, spec: NetworkSpec, fraction: float,

@@ -105,17 +105,22 @@ def repack(spec: NetworkSpec, params: Params,
     from modelcompression_tpu.models.cfg import _resolve_channels
     _resolve_channels(new_spec)
 
+    # host numpy slicing: repack is a one-shot architecture change, and
+    # per-layer device gathers would compile one XLA program per conv shape
+    # (minutes of compile on a remote-compile path). Callers re-device-put
+    # the slimmed pytree.
     new_params: Params = {}
     for i, l in enumerate(spec.layers):
         if not isinstance(l, ConvLayer):
             continue
         p = params[conv_key(i)]
-        ik = jnp.asarray(in_keep[i])
-        ok = jnp.asarray(out_keep[i])
-        q = {"w": p["w"][:, :, ik, :][:, :, :, ok]}
+        ik = np.asarray(in_keep[i])
+        ok = np.asarray(out_keep[i])
+        w = np.asarray(p["w"])
+        q = {"w": np.ascontiguousarray(w[:, :, ik, :][:, :, :, ok])}
         for name in ("bias", "gamma", "beta", "mean", "var"):
             if name in p:
-                q[name] = p[name][ok]
+                q[name] = np.asarray(p[name])[ok]
         new_params[conv_key(i)] = q
     return new_spec, new_params
 
@@ -130,9 +135,9 @@ def channel_masks_from_keep(spec: NetworkSpec,
     for i, keep in keep_sets.items():
         l = spec.layers[i]
         assert isinstance(l, ConvLayer)
-        m = jnp.zeros((l.filters,), jnp.float32).at[
-            jnp.asarray(np.asarray(keep, np.int64))].set(1.0)
-        masks[i] = m
+        m = np.zeros((l.filters,), np.float32)
+        m[np.asarray(keep, np.int64)] = 1.0
+        masks[i] = jnp.asarray(m)
     return masks
 
 

@@ -35,21 +35,34 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
           eval_fn: Optional[Callable[[Params], Dict[str, float]]] = None,
           eval_every: int = 0,
           checkpoint_fn: Optional[Callable[[int, TrainState], None]] = None,
-          checkpoint_every: int = 0) -> TrainState:
-    """Run ``n_steps`` train steps. Returns the final state."""
+          checkpoint_every: int = 0,
+          metrics_every: int = 10) -> TrainState:
+    """Run ``n_steps`` train steps. Returns the final state.
+
+    Metrics stay on device and are only materialized every
+    ``metrics_every`` steps: each host readback over the device link costs
+    a full round-trip (~40ms-plus on a tunneled TPU), so syncing every step
+    serializes the pipeline (SURVEY.md §5.7 double-buffering intent).
+    """
     step_fn = make_train_step(spec, config)
     logger = logger or MetricsLogger()
     timer = StepTimer()
     it = iter(loader)
-    for _ in range(n_steps):
+    metrics = None
+    for i in range(n_steps):
         images, targets = next(it)
         state, metrics = step_fn(state, jnp.asarray(images),
                                  jnp.asarray(targets))
-        step = int(state["step"])
-        metrics = {k: float(v) for k, v in metrics.items()}
-        timer.tick(images.shape[0])
-        metrics["img_per_sec"] = timer.images_per_sec
-        logger.log(step, metrics)
+        step = i + 1  # avoid reading state["step"] back every iteration
+        timer.tick(images.shape[0])  # host-side counters only, no sync
+        sync_now = (metrics_every and step % metrics_every == 0) \
+            or step == n_steps
+        if sync_now:
+            # float() blocks until this step's compute finished, so the
+            # timer's wall clock is accurate at every sync point
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            host_metrics["img_per_sec"] = timer.images_per_sec
+            logger.log(step, host_metrics)
         if eval_fn and eval_every and step % eval_every == 0:
             logger.log(step, eval_fn(state["params"]), prefix="eval")
         if checkpoint_fn and checkpoint_every and \
