@@ -52,7 +52,7 @@ def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
     return jnp.pad(
         x, ((0, 0), (pad_top, net_h - new_h - pad_top),
             (pad_left, net_w - new_w - pad_left), (0, 0)),
-        constant_values=0.5)
+        constant_values=GRAY / 255.0)  # same canvas value as letterbox_host
 
 
 def stretch_resize_device(images: jnp.ndarray, net_h: int, net_w: int

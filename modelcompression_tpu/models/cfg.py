@@ -275,7 +275,12 @@ def dump_cfg(spec: NetworkSpec) -> str:
     if n.steps:
         out.write("steps=" + ",".join(str(s) for s in n.steps) + "\n")
     if n.scales:
-        out.write("scales=" + ",".join(str(s) for s in n.scales) + "\n")
+        out.write("scales=" + ",".join(f"{s:g}" for s in n.scales) + "\n")
+    # training/augment hyperparameters: a checkpoint's arch.cfg must
+    # round-trip EVERY NetConfig field or resume trains with defaults
+    out.write(f"burn_in={n.burn_in}\n")
+    out.write(f"angle={n.angle:g}\nsaturation={n.saturation:g}\n"
+              f"exposure={n.exposure:g}\nhue={n.hue:g}\n")
     for i, l in enumerate(spec.layers):
         out.write("\n")
         if isinstance(l, ConvLayer):

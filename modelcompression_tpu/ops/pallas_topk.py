@@ -238,12 +238,18 @@ def _pallas_kth_bits(bits, seg_ids, k, n_segments):
     return lo
 
 
-@functools.partial(jax.jit, static_argnames=("n_segments",))
+@functools.partial(jax.jit, static_argnames=("n_segments", "return_mask"))
 def pallas_prune_flat(w_cat: jnp.ndarray, seg_ids: jnp.ndarray,
-                      n_zero: jnp.ndarray, n_segments: int) -> jnp.ndarray:
+                      n_zero: jnp.ndarray, n_segments: int,
+                      return_mask: bool = False) -> jnp.ndarray:
     """Fused prune of a padded concatenated weight vector: returns w with
     the per-segment n_zero smallest |w| zeroed (tie-stable). Semantics match
-    ops.topk_mask exactly."""
+    ops.topk_mask exactly.
+
+    With ``return_mask=True`` the same keep/zero decision is applied to a
+    ones-vector instead of the weights, yielding the keep mask directly
+    from the rank rule (so already-zero weights count as pruned exactly
+    like criteria.py ranks them — smallest first)."""
     flat_n = w_cat.shape[0]
     w_cat = w_cat.reshape(-1, LANES)
     seg_ids = seg_ids.reshape(-1, LANES)
@@ -265,8 +271,9 @@ def pallas_prune_flat(w_cat: jnp.ndarray, seg_ids: jnp.ndarray,
     chunk_tie_off = jnp.cumsum(chunk_tot) - chunk_tot
     seg_tot = jnp.sum(per_chunk, axis=0)
     seg_tie_start = jnp.cumsum(seg_tot) - seg_tot
+    src = jnp.ones_like(w_cat) if return_mask else w_cat
     out = pallas_apply_threshold(
-        w_cat, bits, seg_ids, tau, budget,
+        src, bits, seg_ids, tau, budget,
         seg_tie_start.astype(jnp.int32), chunk_tie_off.astype(jnp.int32))
     return out.reshape(flat_n)
 
@@ -293,12 +300,8 @@ def _seg_ids_for(sizes, padded, per_layer: bool, n_pad_segment: int):
     return jnp.asarray(ids)
 
 
-def pallas_magnitude_prune(params: Params, spec: NetworkSpec,
-                           sparsity: float, per_layer: bool = True,
-                           skip: Sequence[int] = ()) -> Params:
-    """Prune weights in place (returns new params with zeros applied) using
-    the fused Pallas path. The padding tail is its own segment with
-    n_zero=0, so it never interacts with real weights."""
+def _prune_layout(params: Params, spec: NetworkSpec, sparsity: float,
+                  per_layer: bool, skip: Sequence[int]):
     keys = _prunable_keys(spec, skip)
     cat, sizes, total, padded = _layout(params, keys)
     n_real_segments = len(keys) if per_layer else 1
@@ -309,6 +312,17 @@ def pallas_magnitude_prune(params: Params, spec: NetworkSpec,
                              jnp.int32)
     else:
         n_zero = jnp.asarray([int(sparsity * total), 0], jnp.int32)
+    return keys, cat, sizes, seg_ids, n_zero, n_segments
+
+
+def pallas_magnitude_prune(params: Params, spec: NetworkSpec,
+                           sparsity: float, per_layer: bool = True,
+                           skip: Sequence[int] = ()) -> Params:
+    """Prune weights in place (returns new params with zeros applied) using
+    the fused Pallas path. The padding tail is its own segment with
+    n_zero=0, so it never interacts with real weights."""
+    keys, cat, sizes, seg_ids, n_zero, n_segments = _prune_layout(
+        params, spec, sparsity, per_layer, skip)
     pruned_flat = pallas_prune_flat(cat, seg_ids, n_zero, n_segments)
     out = dict(params)
     off = 0
@@ -325,20 +339,21 @@ def pallas_magnitude_masks(params: Params, spec: NetworkSpec,
                            skip: Sequence[int] = ()
                            ) -> Dict[str, jnp.ndarray]:
     """Mask-producing wrapper (drop-in for compress.criteria signatures):
-    runs the fused prune and derives masks as (pruned != 0) | (w == 0).
-
-    (w==0 inputs stay "kept" in mask semantics only if they were kept by
-    rank; a zero weight has the smallest |w| so it is pruned first — the
-    mask is exactly pruned != 0 except where w was already 0 AND kept,
-    which the rank rule resolves identically to criteria.py.)
-    """
-    pruned = pallas_magnitude_prune(params, spec, sparsity,
-                                    per_layer=per_layer, skip=skip)
+    the fused kernel's keep/zero rank decision applied to a ones-vector, so
+    the mask comes straight from the rank rule — already-zero weights rank
+    smallest and are pruned first, exactly like criteria.magnitude_masks_*
+    (re-running prune at a higher sparsity therefore reports true achieved
+    sparsity)."""
+    keys, cat, sizes, seg_ids, n_zero, n_segments = _prune_layout(
+        params, spec, sparsity, per_layer, skip)
+    mask_flat = pallas_prune_flat(cat, seg_ids, n_zero, n_segments,
+                                  return_mask=True)
     masks = {}
-    for k in _prunable_keys(spec, skip):
-        w = params[k]["w"]
-        p = pruned[k]["w"]
-        masks[k] = jnp.where(w != 0, p != 0, p == w)
+    off = 0
+    for k, s in zip(keys, sizes):
+        masks[k] = mask_flat[off:off + s].reshape(
+            params[k]["w"].shape) != 0
+        off += s
     return masks
 
 

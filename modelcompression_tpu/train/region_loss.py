@@ -136,7 +136,17 @@ def region_loss(raw: jnp.ndarray, targets: jnp.ndarray,
     # an out-of-bounds row index and dropped by the scatter
     batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
     vw = gt_valid.astype(jnp.float32)
-    gj_s = jnp.where(gt_valid, gj, h)  # h is out of bounds -> mode="drop"
+    # XLA leaves .at[].set with duplicate indices unspecified, so resolve
+    # duplicates explicitly: when two valid GTs map to the same
+    # (cell, anchor), only the LAST row scatters (reference-class
+    # sequential overwrite). M is small, the (M, M) compare is free.
+    key = (gj * w + gi) * a + ga  # (B, M) flat cell/anchor id
+    later = jnp.arange(m)[None, :, None] < jnp.arange(m)[None, None, :]
+    dup_later = jnp.any(
+        later & gt_valid[:, None, :] & (key[:, :, None] == key[:, None, :]),
+        axis=-1)  # (B, M): a later valid row claims the same slot
+    wins = gt_valid & ~dup_later
+    gj_s = jnp.where(wins, gj, h)  # h is out of bounds -> mode="drop"
 
     def scat(values, init=0.0):
         grid = jnp.full((b, h, w, a), init, jnp.float32)

@@ -113,18 +113,21 @@ def merge_params(trainable: Params, stats: Params) -> Params:
 
 def darknet_lr_schedule(config: TrainConfig):
     """Darknet 'steps' policy with burn-in: lr * (step/burn_in)^4 during
-    burn-in, then stepwise scaling at the configured steps."""
+    burn-in, then stepwise scaling at the configured steps.
+
+    Darknet applies scales[i] whenever steps[i] <= batch, so a leading
+    ``-1`` step (the convention in the shipped tiny-yolo cfg) scales the
+    base LR from step 0 — every (step, scale) pair must be kept, including
+    non-positive steps (``step >= s`` is simply always true for them)."""
     base = config.learning_rate
-    steps = tuple(s for s in config.steps if s > 0)
-    scales = tuple(config.scales[i] for i, s in enumerate(config.steps)
-                   if s > 0)
+    pairs = tuple(zip(config.steps, config.scales))
 
     def schedule(step):
         lr = jnp.asarray(base, jnp.float32)
         if config.burn_in > 0:
             frac = jnp.minimum(step / config.burn_in, 1.0)
             lr = lr * frac ** 4
-        for s, sc in zip(steps, scales):
+        for s, sc in pairs:
             lr = jnp.where(step >= s, lr * sc, lr)
         return lr
 

@@ -77,3 +77,28 @@ def test_dump_parse_roundtrip():
                 assert a.layers == b.layers
         assert spec2.region.anchors == spec.region.anchors
         assert out_channels(spec2) == out_channels(spec)
+
+
+def test_dump_parse_roundtrip_all_net_fields():
+    """EVERY NetConfig field must survive dump->parse (checkpoint arch.cfg
+    carries the training hyperparameters; losing burn_in/augment knobs means
+    resume trains with defaults)."""
+    import dataclasses
+    spec = yolov2_voc()
+    # make every field distinctive so a silent drop is caught
+    spec.net.burn_in = 777
+    spec.net.steps = (-1, 100, 20000)
+    spec.net.scales = (0.1, 10.0, 0.1)
+    spec.net.angle = 7.0
+    spec.net.saturation = 1.25
+    spec.net.exposure = 1.75
+    spec.net.hue = 0.05
+    spec.net.subdivisions = 4
+    spec.net.max_batches = 1234
+    spec2 = parse_cfg(dump_cfg(spec))
+    for f in dataclasses.fields(spec.net):
+        assert getattr(spec2.net, f.name) == getattr(spec.net, f.name), \
+            f"NetConfig.{f.name} did not round-trip"
+    # region fields too — fine-tune semantics live here
+    for f in dataclasses.fields(spec.region):
+        assert getattr(spec2.region, f.name) == getattr(spec.region, f.name)

@@ -56,13 +56,21 @@ def test_train_loop_runs_and_logs(tmp_path):
     state = TrainState.create(params, tx, jax.random.key(1))
     jsonl = str(tmp_path / "log" / "metrics.jsonl")
     logger = MetricsLogger(jsonl_path=jsonl, print_every=0)
-    state = train(state, spec, config, loader, n_steps=4, logger=logger)
+    # metrics_every=1 -> one JSONL record per step (the default of 10 only
+    # syncs metrics to host every 10th step to avoid per-step readbacks)
+    state = train(state, spec, config, loader, n_steps=4, logger=logger,
+                  metrics_every=1)
     assert int(state["step"]) == 4
     lines = open(jsonl).read().strip().splitlines()
     assert len(lines) == 4
     import json
     rec = json.loads(lines[-1])
     assert "loss" in rec and "img_per_sec" in rec and rec["step"] == 4
+    # default cadence: only the final step forces a sync within 4 steps
+    jsonl2 = str(tmp_path / "log" / "metrics2.jsonl")
+    state = train(state, spec, config, loader, n_steps=4,
+                  logger=MetricsLogger(jsonl_path=jsonl2, print_every=0))
+    assert len(open(jsonl2).read().strip().splitlines()) == 1
 
 
 def test_checkpoint_roundtrip(tmp_path):
