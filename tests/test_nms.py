@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.evaluation.nms import (
-    batched_per_class_nms, nms_padded, per_class_nms,
+    batched_per_class_nms, nms_padded, nms_topk, per_class_nms,
 )
 
 
@@ -81,6 +81,59 @@ def test_identical_boxes_suppressed():
         jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.0, max_out=5)
     assert np.asarray(valid).sum() == 1
     assert np.asarray(out_scores)[0] == np.float32(0.9)
+
+
+def test_topk_matches_oracle_random():
+    """nms_topk == classic greedy when K >= #above-threshold candidates."""
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n = 50
+        boxes = random_boxes(rng, n)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        want = np_greedy_nms(boxes, scores, 0.45, 0.1)
+        sel, out_scores, valid = nms_topk(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.1, max_out=n)
+        v = np.asarray(valid)
+        got_scores = np.asarray(out_scores)[v]
+        # output is score-descending; oracle emits in the same order
+        np.testing.assert_allclose(got_scores, scores[want], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sel)[v], boxes[want],
+                                   rtol=1e-6)
+
+
+def test_topk_equals_padded_with_ties():
+    """Equal scores: top_k ties break by lower index, same as argmax."""
+    boxes = np.array([[0.0, 0.0, 0.2, 0.2], [0.5, 0.5, 0.7, 0.7],
+                      [0.01, 0.0, 0.21, 0.2], [0.5, 0.5, 0.7, 0.7]],
+                     np.float32)
+    scores = np.array([0.8, 0.8, 0.8, 0.8], np.float32)
+    a = nms_topk(jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.0, 4)
+    b = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.0, 4)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_topk_prefilter_semantics():
+    """K < #candidates: greedy over the top-K scoring candidates."""
+    rng = np.random.default_rng(8)
+    n, k = 60, 16
+    boxes = random_boxes(rng, n)
+    scores = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    top = np.argsort(-scores, kind="stable")[:k]
+    want = np_greedy_nms(boxes[top], scores[top], 0.45, 0.1)
+    _, out_scores, valid = nms_topk(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.1, max_out=k)
+    got = np.asarray(out_scores)[np.asarray(valid)]
+    np.testing.assert_allclose(got, scores[top][want], rtol=1e-6)
+
+
+def test_topk_pads_when_fewer_candidates_than_slots():
+    boxes = random_boxes(np.random.default_rng(9), 5)
+    scores = np.array([0.9, 0.0, 0.0, 0.0, 0.0], np.float32)
+    sel, out_scores, valid = nms_topk(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.1, max_out=12)
+    assert sel.shape == (12, 4) and valid.shape == (12,)
+    assert np.asarray(valid).sum() == 1 and np.asarray(valid)[0]
 
 
 def test_per_class_independent():
