@@ -55,9 +55,11 @@ def main() -> int:
     )
     from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
     from modelcompression_tpu.models import (
-        fold_batchnorm, init_params, num_params, yolov2_voc,
+        fold_batchnorm, init_params, num_conv_flops, num_params, yolov2_voc,
     )
     from modelcompression_tpu.utils.timing import measure_rtt, time_fn
+
+    PEAK_BF16_TFLOPS = 197.0  # TPU v5 lite (v5e) chip peak, bf16
 
     BATCH = 64
     SRC_H, SRC_W = 384, 512      # VOC-ish source frames, letterboxed on device
@@ -96,12 +98,24 @@ def main() -> int:
         sec = time_fn(lambda: step(folded, images, img_w, img_h),
                       iters=50, windows=3, rtt=rtt)
         ips = BATCH / sec
-        log(f"{name}: {ips:.1f} img/s ({sec * 1e3:.2f} ms/batch)")
+        tflops = num_conv_flops(spec_) * ips / 1e12
+        log(f"{name}: {ips:.1f} img/s ({sec * 1e3:.2f} ms/batch, "
+            f"{tflops:.1f} TFLOPS = {tflops / PEAK_BF16_TFLOPS:.0%} MFU)")
         return ips, folded, step
 
     unpruned_ips, _, _ = bench_chip(spec, params, "unpruned")
     pruned_ips, folded, step = bench_chip(slim_spec, slim_params,
                                           "75%-filter-pruned")
+
+    # optional: BENCH_TRACE_DIR=<path> captures a jax.profiler trace of the
+    # pruned fused step (perfetto/tensorboard format) for MFU forensics
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(10):
+                out = step(folded, images, img_w, img_h)
+            jax.block_until_ready(out)
+        log(f"profiler trace written to {trace_dir}")
     speedup = pruned_ips / unpruned_ips
     log(f"chip speedup: {speedup:.2f}x (target >= 3.0, BASELINE.json:5)")
 
@@ -131,6 +145,23 @@ def main() -> int:
         f"({dt / STREAM_ITERS * 1e3:.1f} ms/batch, "
         f"{nbytes / 1e6:.0f} MB/batch over the tunnel)")
 
+    # --- Pallas-vs-XLA equality on the real chip, re-proven every round ---
+    from modelcompression_tpu.compress import magnitude_masks_perlayer
+    from modelcompression_tpu.ops.pallas_topk import (
+        pallas_magnitude_masks_perlayer,
+    )
+    t0 = time.perf_counter()
+    masks_pl = pallas_magnitude_masks_perlayer(params, spec, 0.75)
+    masks_pl = {k: np.asarray(v) for k, v in masks_pl.items()}
+    pallas_secs = time.perf_counter() - t0
+    masks_xla = magnitude_masks_perlayer(params, spec, 0.75)
+    pallas_equal = all(
+        bool((masks_pl[k] == np.asarray(masks_xla[k])).all())
+        for k in masks_xla)
+    log(f"pallas top-k/mask == XLA on hardware: {pallas_equal} "
+        f"({pallas_secs:.2f}s incl. compile, "
+        f"{sum(m.size for m in masks_pl.values()) / 1e6:.1f}M weights)")
+
     print(json.dumps({
         "metric": "yolov2_416 75%-filter-pruned fused "
                   "letterbox+infer+decode+NMS, batch 64",
@@ -141,6 +172,7 @@ def main() -> int:
         "streaming_img_per_sec": round(stream_ips, 1),
         "feed_gbps": round(feed_gbps, 2),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
+        "pallas_equal_xla": pallas_equal,
     }))
     return 0
 

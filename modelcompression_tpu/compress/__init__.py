@@ -1,7 +1,7 @@
 from modelcompression_tpu.compress.criteria import (
     apply_masks, global_threshold, l1_filter_keep, l1_filter_keep_sets,
-    l1_filter_scores, magnitude_mask_layer, magnitude_masks_global,
-    magnitude_masks_perlayer, mask_sparsity,
+    l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
+    magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
 from modelcompression_tpu.compress.repack import (
     channel_masks_from_keep, propagate_keep_sets, repack,
@@ -10,7 +10,8 @@ from modelcompression_tpu.compress.repack import (
 
 __all__ = [
     "apply_masks", "global_threshold", "l1_filter_keep",
-    "l1_filter_keep_sets", "l1_filter_scores", "magnitude_mask_layer",
+    "l1_filter_keep_sets", "l1_filter_scores", "l1_filter_scores_device",
+    "magnitude_mask_layer",
     "magnitude_masks_global", "magnitude_masks_perlayer", "mask_sparsity",
     "channel_masks_from_keep", "propagate_keep_sets", "repack",
     "uniform_filter_fraction_keep_sets",

@@ -87,49 +87,60 @@ def global_threshold(params: Params, spec: NetworkSpec, sparsity: float,
     return jnp.sort(cat)[k_idx]
 
 
-def l1_filter_scores(w_hwio) -> "np.ndarray":
-    """Li et al. 2017 filter score: sum |W[:,:,:,j]| per output filter j
-    (SURVEY.md A.5). Returns (O,).
+@jax.jit
+def _l1_scores_jit(ws: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """One XLA program: per-filter L1 of every conv in the tree (one fused
+    reduce per layer, single compile for the whole network signature)."""
+    return {k: jnp.sum(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+            for k, w in ws.items()}
 
-    Host numpy on purpose: filter ranking is a one-shot prune-time op over
-    a few thousand scores, and a device implementation costs one XLA
-    compile per distinct conv shape (~30s each on a remote-compile TPU
-    path) for zero steady-state benefit. The fine-tune-loop mask recompute
-    — the op BASELINE.json:5 requires on-device — is ops/topk_mask +
-    ops/pallas_topk, not this.
-    """
+
+def l1_filter_scores(w_hwio) -> jnp.ndarray:
+    """Li et al. 2017 filter score: sum |W[:,:,:,j]| per output filter j
+    (SURVEY.md A.5). Returns (O,)."""
+    return jnp.sum(jnp.abs(jnp.asarray(w_hwio, jnp.float32)), axis=(0, 1, 2))
+
+
+def l1_filter_scores_device(params: Params, spec: NetworkSpec,
+                            skip: Sequence[int] = ()
+                            ) -> Dict[int, "np.ndarray"]:
+    """All prunable convs' filter scores as ONE device program + ONE host
+    readback (the iterative loop calls this every round; per-layer eager
+    reduces would pay one tunnel round-trip per conv). The detection conv
+    (last conv) is always protected — its channel count is the decode
+    contract."""
     import numpy as np
-    return np.sum(np.abs(np.asarray(w_hwio)), axis=(0, 1, 2))
+    conv_idx = spec.conv_indices()
+    protected = set(skip) | {conv_idx[-1]}
+    ws = {conv_key(i): params[conv_key(i)]["w"]
+          for i in conv_idx if i not in protected}
+    scores = jax.device_get(_l1_scores_jit(ws))
+    return {i: np.asarray(scores[conv_key(i)])
+            for i in conv_idx if i not in protected}
+
+
+def _keep_from_scores(scores: "np.ndarray", fraction: float) -> "np.ndarray":
+    """Drop the floor(fraction*O) lowest-score filters; ties: lower index
+    pruned first (the rank rule above). Returns sorted kept indices."""
+    import numpy as np
+    n_drop = int(fraction * scores.shape[0])
+    order = np.argsort(scores, kind="stable")  # ascending
+    return np.sort(order[n_drop:]).astype(np.int32)
 
 
 def l1_filter_keep(w_hwio, fraction: float) -> "np.ndarray":
-    """Keep-set for one conv: drop the floor(fraction*O) lowest-L1 filters.
-
-    Returns sorted int32 indices of kept filters (ties: lower index pruned
-    first, matching the rank rule above).
-    """
+    """Keep-set for one conv: drop the floor(fraction*O) lowest-L1 filters."""
     import numpy as np
-    scores = l1_filter_scores(w_hwio)
-    o = scores.shape[0]
-    n_drop = int(fraction * o)
-    order = np.argsort(scores, kind="stable")  # ascending
-    keep = np.sort(order[n_drop:])
-    return keep.astype(np.int32)
+    return _keep_from_scores(np.asarray(l1_filter_scores(w_hwio)), fraction)
 
 
 def l1_filter_keep_sets(params: Params, spec: NetworkSpec, fraction: float,
-                        skip: Sequence[int] = ()) -> Dict[int, jnp.ndarray]:
-    """Keep-sets for all prunable convs. The detection conv (the last conv,
-    producing A*(5+classes) channels) is always protected — its channel
-    count is the decode contract."""
-    conv_idx = spec.conv_indices()
-    protected = set(skip) | {conv_idx[-1]}
-    out = {}
-    for i in conv_idx:
-        if i in protected:
-            continue
-        out[i] = l1_filter_keep(params[conv_key(i)]["w"], fraction)
-    return out
+                        skip: Sequence[int] = ()) -> Dict[int, "np.ndarray"]:
+    """Keep-sets for all prunable convs: device scores (one program), then
+    the tiny (O,) rank selections on host — keep indices must materialize
+    as Python ints anyway to define the repacked static shapes."""
+    scores = l1_filter_scores_device(params, spec, skip=skip)
+    return {i: _keep_from_scores(s, fraction) for i, s in scores.items()}
 
 
 def mask_sparsity(masks: Dict[str, jnp.ndarray]) -> jnp.ndarray:

@@ -139,6 +139,12 @@ def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
     half resolution (center fixed at the midpoint — the fixed-size-gather
     composition that keeps this jittable).
 
+    Fidelity note vs Darknet/YOLOv4-style mosaic: the grid center is FIXED
+    at the midpoint instead of jittered, and each tile is a full half-res
+    image instead of a random crop. Same augmentation family (multi-image
+    context mixing, small-object scale shift), strictly less spatial
+    variety; box geometry is exact (tested in test_preprocess.py).
+
     Args:
       images: (B, H, W, 3) float; H, W even.
       boxes: (B, M, 5) [cls, cx, cy, w, h] normalized; invalid rows have
@@ -178,7 +184,16 @@ def distort_hsv(images: jnp.ndarray, rng: jax.Array,
                 ) -> jnp.ndarray:
     """Darknet-style random hue/saturation/exposure jitter (cfg [net] knobs),
     approximated in RGB space jittably: exposure/saturation as scale factors,
-    hue as channel rotation mix. images float [0,1], (B,H,W,3)."""
+    hue as channel rotation mix. images float [0,1], (B,H,W,3).
+
+    Fidelity note vs Darknet: Darknet converts to HSV, scales S and V and
+    shifts H, then converts back. This RGB approximation matches exposure
+    exactly, approximates saturation (luminance-relative instead of
+    V-relative; error <= the S/V gap per pixel), and replaces the hue
+    rotation with a bounded channel mix (same |delta| <= hue budget). At
+    the default knobs (sat/expo 1.5, hue 0.1) per-pixel error vs true HSV
+    is bounded by ~2*hue + |s - s_hsv| and identity at the no-op knobs
+    (tested in test_preprocess.py)."""
     b = images.shape[0]
     k1, k2, k3 = jax.random.split(rng, 3)
     d_sat = jax.random.uniform(k1, (b, 1, 1, 1), minval=1.0 / sat, maxval=sat)

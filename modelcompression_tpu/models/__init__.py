@@ -4,18 +4,21 @@ from modelcompression_tpu.models.cfg import (
 )
 from modelcompression_tpu.models.darknet import (
     Params, conv_key, fold_batchnorm, forward, forward_folded, init_params,
-    maxpool, num_params, reorg,
+    maxpool, num_conv_flops, num_params, reorg,
 )
 from modelcompression_tpu.models.weights_io import load_weights, save_weights
 from modelcompression_tpu.models.zoo import (
-    CONFIG_DIR, tiny_yolov2_voc, yolov2_voc,
+    CONFIG_DIR, coco_names_path, tiny_yolov2_coco, tiny_yolov2_voc,
+    yolov2_voc,
 )
 
 __all__ = [
     "ConvLayer", "MaxPoolLayer", "NetConfig", "NetworkSpec", "RegionLayer",
     "ReorgLayer", "RouteLayer", "dump_cfg", "load_cfg", "out_channels",
     "parse_cfg", "Params", "conv_key", "fold_batchnorm", "forward",
-    "forward_folded", "init_params", "maxpool", "num_params", "reorg",
-    "load_weights", "save_weights", "CONFIG_DIR", "tiny_yolov2_voc",
+    "forward_folded", "init_params", "maxpool", "num_conv_flops",
+    "num_params", "reorg",
+    "load_weights", "save_weights", "CONFIG_DIR", "coco_names_path",
+    "tiny_yolov2_coco", "tiny_yolov2_voc",
     "yolov2_voc",
 ]

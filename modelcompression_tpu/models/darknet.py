@@ -240,3 +240,26 @@ def forward_folded(params: Params, x: jnp.ndarray, spec: NetworkSpec,
 def num_params(params: Params) -> int:
     return sum(int(np.prod(v.shape))
                for p in params.values() for v in p.values())
+
+
+def num_conv_flops(spec: NetworkSpec) -> int:
+    """Conv MAC*2 FLOPs for one image at the spec's input size (the MFU
+    numerator; pools/activations/decode are negligible next to the convs).
+    Tracks per-layer spatial dims through route/reorg like the forward."""
+    flops = 0
+    hw: List[tuple] = []
+    h, w = spec.net.height, spec.net.width
+    for l in spec.layers:
+        if isinstance(l, ConvLayer):
+            h = (h + 2 * l.padding - l.size) // l.stride + 1
+            w = (w + 2 * l.padding - l.size) // l.stride + 1
+            flops += 2 * h * w * l.size * l.size * l.in_channels * l.filters
+        elif isinstance(l, MaxPoolLayer):
+            if l.stride > 1:
+                h, w = h // l.stride, w // l.stride
+        elif isinstance(l, ReorgLayer):
+            h, w = h // l.stride, w // l.stride
+        elif isinstance(l, RouteLayer):
+            h, w = hw[l.layers[0]]
+        hw.append((h, w))
+    return flops

@@ -1,5 +1,6 @@
-"""Bundled model architectures (the reference's two model families,
-BASELINE.json:5,10: YOLOv2-VOC and Tiny-YOLOv2)."""
+"""Bundled model architectures (the reference's model families,
+BASELINE.json:5,10: YOLOv2-VOC, Tiny-YOLOv2-VOC, and the COCO-subset
+Tiny-YOLOv2 used by the iterative loop, config 4)."""
 
 from __future__ import annotations
 
@@ -17,3 +18,11 @@ def yolov2_voc() -> NetworkSpec:
 
 def tiny_yolov2_voc() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "tiny-yolo-voc.cfg"))
+
+
+def tiny_yolov2_coco() -> NetworkSpec:
+    return load_cfg(os.path.join(CONFIG_DIR, "tiny-yolo-coco.cfg"))
+
+
+def coco_names_path() -> str:
+    return os.path.join(CONFIG_DIR, "coco.names")

@@ -139,3 +139,49 @@ def test_dp_sharded_step_matches_single_device():
                 np.asarray(v), np.asarray(state2["params"][k][n]),
                 rtol=2e-4, atol=1e-5,
                 err_msg=f"{k}/{n} diverged between DP and single-device")
+
+
+def test_tp_sharded_step_matches_single_device():
+    """TP numeric equality (VERDICT r1 #7): the same step with conv filters
+    (HWIO dim 3) + BN/bias vectors sharded 2-way over 'model' on a
+    (data=4, model=2) mesh must produce the same loss and params as the
+    single-device step."""
+    from modelcompression_tpu.parallel import param_specs
+
+    spec, params, config = tiny_setup(seed=8, w=32)
+    tx = make_optimizer(config)
+    images, targets = fixed_batch(b=8, w=32, seed=8)
+
+    def fresh_params():
+        return jax.tree.map(lambda v: jnp.asarray(np.asarray(v)), params)
+
+    state1 = TrainState.create(fresh_params(), tx, jax.random.key(9))
+    step_fn = make_train_step(spec, config, tx)
+    state1, m1 = step_fn(state1, images, targets)
+
+    mesh = Mesh(np.array(cpu_devices()).reshape(4, 2), ("data", "model"))
+    state2 = TrainState.create(fresh_params(), tx, jax.random.key(9))
+    pspecs = param_specs(spec, state2["params"], tp=True, tp_size=2)
+    state2["params"] = {
+        k: {n: jax.device_put(v, NamedSharding(mesh, pspecs[k][n]))
+            for n, v in p.items()}
+        for k, p in state2["params"].items()}
+    for key in ("opt_state", "step", "seen", "rng"):
+        state2[key] = jax.tree.map(
+            lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+            state2[key])
+    images_s = jax.device_put(
+        images, NamedSharding(mesh, P("data", None, None, None)))
+    targets_s = jax.device_put(
+        targets, NamedSharding(mesh, P("data", None, None)))
+    step_fn2 = make_train_step(spec, config, tx)
+    state2, m2 = step_fn2(state2, images_s, targets_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for k in state1["params"]:
+        for n, v in state1["params"][k].items():
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(state2["params"][k][n]),
+                rtol=2e-4, atol=1e-5,
+                err_msg=f"{k}/{n} diverged between TP and single-device")
