@@ -6,6 +6,7 @@ from modelcompression_tpu.data.voc import (
     Sample, VOC_CLASSES, load_list_dataset, load_voc_devkit, pad_labels,
     parse_voc_xml, read_data_cfg, read_names,
 )
+from modelcompression_tpu.data.streaming import prefetch_to_device
 from modelcompression_tpu.data.fixtures import (
     FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "letterbox_device", "letterbox_host", "mosaic4", "normalize",
     "random_flip", "stretch_resize_device", "Sample", "VOC_CLASSES",
     "load_list_dataset", "load_voc_devkit", "pad_labels", "parse_voc_xml",
-    "read_data_cfg", "read_names", "FIXTURE_CLASSES", "make_fake_voc",
+    "read_data_cfg", "read_names", "prefetch_to_device",
+    "FIXTURE_CLASSES", "make_fake_voc",
     "tiny_region_cfg",
 ]

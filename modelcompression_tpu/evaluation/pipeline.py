@@ -38,6 +38,7 @@ from modelcompression_tpu.core.precision import Precision, FAST
 from modelcompression_tpu.data.preprocess import (
     letterbox_device, letterbox_host, stretch_resize_device,
 )
+from modelcompression_tpu.data.streaming import prefetch_to_device
 from modelcompression_tpu.data.voc import Sample
 from modelcompression_tpu.evaluation.decode import (
     center_to_corners, corners_to_image, decode_region,
@@ -144,23 +145,34 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     dets: Dict[str, List[Detection]] = {c: [] for c in class_names}
     gts: Dict[str, List[GroundTruth]] = {c: [] for c in class_names}
 
+    def host_batches():
+        """Producer: decode + letterbox + collate on host (runs in the
+        prefetch thread, overlapped with device compute)."""
+        for start in range(0, len(samples), bs):
+            chunk = list(samples[start:start + bs])
+            pad_to = bs - len(chunk)
+            batch, img_w, img_h = _prep_batch(chunk, net_h, net_w,
+                                              config.letterbox)
+            if pad_to:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad_to, net_h, net_w, 3), np.uint8)])
+                img_w = np.concatenate([img_w, np.ones(pad_to, np.float32)])
+                img_h = np.concatenate([img_h, np.ones(pad_to, np.float32)])
+            yield chunk, (batch, img_w, img_h)
+
+    def put(item):
+        chunk, arrs = item
+        return chunk, jax.tree.map(jax.device_put, arrs)
+
     n_images = 0
     infer_time = 0.0
-    for start in range(0, len(samples), bs):
-        chunk = list(samples[start:start + bs])
-        pad_to = bs - len(chunk)
-        batch, img_w, img_h = _prep_batch(chunk, net_h, net_w,
-                                          config.letterbox)
-        if pad_to:
-            batch = np.concatenate(
-                [batch, np.zeros((pad_to, net_h, net_w, 3), np.uint8)])
-            img_w = np.concatenate([img_w, np.ones(pad_to, np.float32)])
-            img_h = np.concatenate([img_h, np.ones(pad_to, np.float32)])
+    for chunk, (batch, img_w, img_h) in prefetch_to_device(
+            host_batches(), depth=2, put=put):
         t0 = time.perf_counter()
-        boxes, scores, valid = step(params, jnp.asarray(batch),
-                                    jnp.asarray(img_w), jnp.asarray(img_h))
+        boxes, scores, valid = step(params, batch, img_w, img_h)
         boxes, scores, valid = jax.device_get((boxes, scores, valid))
         infer_time += time.perf_counter() - t0
+        img_w, img_h = np.asarray(img_w), np.asarray(img_h)
         n_images += len(chunk)
 
         for bi, s in enumerate(chunk):
