@@ -145,6 +145,38 @@ def main() -> int:
         f"({dt / STREAM_ITERS * 1e3:.1f} ms/batch, "
         f"{nbytes / 1e6:.0f} MB/batch over the tunnel)")
 
+    # --- fine-tune throughput at the slimmed model's real speed ----------
+    # (the iterative loop's training cost, BASELINE.json:9,10). Best-effort:
+    # never fails the bench gate.
+    train_ips = None
+    try:
+        from modelcompression_tpu.train import (
+            TrainConfig, TrainState, make_optimizer, make_train_step,
+        )
+        tcfg = TrainConfig.from_spec(slim_spec, augment_flip=True,
+                                     max_boxes=30)
+        tx = make_optimizer(tcfg)
+        tstate = TrainState.create(slim_params, tx, jax.random.key(1))
+        tstep = make_train_step(slim_spec, tcfg, tx)
+        timgs = jnp.asarray(rng.integers(
+            0, 255, (BATCH, 416, 416, 3), np.uint8))
+        tg = np.zeros((BATCH, 30, 5), np.float32)
+        tg[:, 0] = [0, 0.5, 0.5, 0.3, 0.3]
+        tg = jnp.asarray(tg)
+        holder = {"s": tstate}
+
+        def one_train_step():
+            s, m = tstep(holder["s"], timgs, tg)  # donates prior state
+            holder["s"] = s
+            return m["loss"]
+
+        sec = time_fn(one_train_step, iters=30, windows=3, rtt=rtt)
+        train_ips = BATCH / sec
+        log(f"75%-pruned fine-tune step: {train_ips:.1f} img/s "
+            f"({sec * 1e3:.2f} ms/step, fwd+bwd+SGD+BN, batch {BATCH})")
+    except Exception as e:
+        log(f"[warn] train throughput measurement skipped: {e}")
+
     # --- Pallas-vs-XLA equality on the real chip, re-proven every round ---
     from modelcompression_tpu.compress import magnitude_masks_perlayer
     from modelcompression_tpu.ops.pallas_topk import (
@@ -173,6 +205,8 @@ def main() -> int:
         "feed_gbps": round(feed_gbps, 2),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "pallas_equal_xla": pallas_equal,
+        "pruned_finetune_img_per_sec":
+            round(train_ips, 1) if train_ips else None,
     }))
     return 0
 

@@ -18,13 +18,10 @@ import numpy as np
 from modelcompression_tpu.cli.common import (
     add_model_args, enable_compilation_cache, load_model,
 )
-from modelcompression_tpu.core.precision import FAST
 from modelcompression_tpu.data.preprocess import letterbox_host
 from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
-from modelcompression_tpu.evaluation import (
-    batched_per_class_nms, center_to_corners, decode_region,
-)
-from modelcompression_tpu.models import fold_batchnorm, forward_folded
+from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
+from modelcompression_tpu.models import fold_batchnorm
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -57,28 +54,27 @@ def main(argv=None) -> int:
     img_rgb = img[:, :, ::-1]
     h, w = img.shape[:2]
     net_h, net_w = spec.net.height, spec.net.width
-    canvas, r, px, py = letterbox_host(img_rgb, net_h, net_w)
+    canvas, _, _, _ = letterbox_host(img_rgb, net_h, net_w)
 
+    # ONE jitted program — the same fused eval step the pipeline uses
+    # (normalize -> forward -> decode -> NMS -> source-pixel mapping);
+    # eager per-op dispatch over the device link is never on a hot path.
     folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
-    x = jnp.asarray(canvas[None]).astype(jnp.float32) / 255.0
-    raw = forward_folded(folded, x, spec, FAST)
-    boxes, obj, cls = decode_region(raw, region)
-    scores = obj[..., None] * cls
-    sel, out_scores, valid = batched_per_class_nms(
-        center_to_corners(boxes), scores, iou_thresh=args.nms,
-        score_thresh=args.conf, max_out=50)
-    sel = np.asarray(sel)[0]
+    cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
+                     max_detections=50)
+    step = make_eval_step(spec, cfg)
+    sel, out_scores, valid = step(
+        folded, jnp.asarray(canvas[None]),
+        jnp.asarray([float(w)]), jnp.asarray([float(h)]))
+    sel = np.asarray(sel)[0]          # already in source-image pixels
     out_scores = np.asarray(out_scores)[0]
     valid = np.asarray(valid)[0]
 
     n_drawn = 0
     for ci in range(region.classes):
         for k in np.nonzero(valid[ci])[0]:
-            x1, y1, x2, y2 = sel[ci, k]
-            x1 = int(np.clip((x1 * net_w - px) / r, 0, w - 1))
-            x2 = int(np.clip((x2 * net_w - px) / r, 0, w - 1))
-            y1 = int(np.clip((y1 * net_h - py) / r, 0, h - 1))
-            y2 = int(np.clip((y2 * net_h - py) / r, 0, h - 1))
+            x1, y1, x2, y2 = (int(np.clip(v, 0, lim - 1)) for v, lim in
+                              zip(sel[ci, k], (w, h, w, h)))
             color = tuple(int(c) for c in np.random.default_rng(ci)
                           .integers(60, 255, 3))
             cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)

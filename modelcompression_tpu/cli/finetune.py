@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "iterative loop, e.g. 0.25,0.5,0.75")
     p.add_argument("--iterate-mode", default="l1_filter",
                    choices=("l1_filter", "magnitude", "global"))
+    p.add_argument("--ckpt-dir", default=None,
+                   help="save a checkpoint after every iterative round")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the iterative loop from the latest round "
+                        "checkpoint in --ckpt-dir")
     p.add_argument("--out", required=True, help="output .weights path")
     p.add_argument("--out-cfg", default=None,
                    help="output .cfg (written when iterating with repack)")
@@ -96,7 +101,10 @@ def main(argv=None) -> int:
             spec, params, config, loader, fractions=fractions,
             steps_per_round=args.steps, eval_fn=eval_fn,
             mode=args.iterate_mode, rng=jax.random.key(args.seed),
-            logger=logger)
+            logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume)
+        if not rounds:
+            print("nothing to do: all rounds already checkpointed")
+            return 0
         final = rounds[-1]
         save_weights(args.out, final.spec,
                      jax.tree.map(np.asarray, final.params), seen=seen)

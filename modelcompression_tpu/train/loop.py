@@ -89,7 +89,9 @@ def iterative_prune_finetune(
         mode: str = "l1_filter",
         rng: Optional[jax.Array] = None,
         logger: Optional[MetricsLogger] = None,
-        repack_each_round: bool = True) -> List[IterativeRound]:
+        repack_each_round: bool = True,
+        ckpt_dir: Optional[str] = None,
+        resume: bool = False) -> List[IterativeRound]:
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
@@ -99,14 +101,39 @@ def iterative_prune_finetune(
     training runs at the smaller model's real speed.
     For ``magnitude``/``global`` modes masks accumulate instead (weights
     stay dense, masked fine-tune).
+
+    With ``ckpt_dir`` each completed round saves {params, masks} plus the
+    round's (possibly slimmed) arch cfg; ``resume=True`` restores the
+    latest round checkpoint and continues with the remaining fractions —
+    the failure-recovery contract for multi-hour schedules (SURVEY.md
+    §5.3/§5.4: "the iterative loop depends on saving after each round").
     """
     rng = rng if rng is not None else jax.random.key(0)
     logger = logger or MetricsLogger()
     rounds: List[IterativeRound] = []
     prev_frac = 0.0
     weight_masks: Dict[str, jnp.ndarray] = {}
+    start_round = 0
+
+    if ckpt_dir and resume:
+        from modelcompression_tpu.utils.checkpoint import (
+            latest_checkpoint, load_checkpoint,
+        )
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            spec, saved, meta = load_checkpoint(latest)
+            params = {k: {n: jnp.asarray(v) for n, v in p.items()}
+                      for k, p in saved["params"].items()}
+            weight_masks = {k: jnp.asarray(v)
+                            for k, v in saved.get("weight_masks", {}).items()}
+            prev_frac = float(meta["fraction"])
+            start_round = int(meta["round"]) + 1
+            logger.log(start_round,
+                       {"resumed_fraction": prev_frac}, prefix="resume")
 
     for ridx, frac in enumerate(fractions):
+        if ridx < start_round:
+            continue
         if mode == "l1_filter":
             # incremental fraction relative to remaining filters
             inc = 1.0 - (1.0 - frac) / (1.0 - prev_frac)
@@ -138,4 +165,11 @@ def iterative_prune_finetune(
                    dict(metrics, fraction=frac), prefix=f"round{ridx}")
         rounds.append(IterativeRound(ridx, frac, spec, params, metrics))
         prev_frac = frac
+        if ckpt_dir:
+            from modelcompression_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(
+                ckpt_dir, ridx, spec,
+                {"params": params, "weight_masks": weight_masks},
+                extra={"round": ridx, "fraction": frac, "mode": mode,
+                       "metrics": {k: float(v) for k, v in metrics.items()}})
     return rounds

@@ -74,3 +74,31 @@ def test_finetune_iterate_coco_80_classes(tmp_path):
     from modelcompression_tpu.models import load_weights
     slim_params, seen = load_weights(out, slim)
     assert len(slim_params) == len(slim_convs)
+
+
+def test_detect_cli_smoke(tmp_path):
+    """detect: single fixture image through the fused eval step, boxes drawn
+    in source-pixel coordinates."""
+    from modelcompression_tpu.cli import detect
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+
+    root = str(tmp_path / "data")
+    make_fake_voc(root, n_images=1, image_size=160, seed=3)
+    img_path = root + "/images/img0000.png"
+
+    spec_txt = tiny_region_cfg(num_classes=3, width=128, height=128)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(spec_txt)
+    spec = parse_cfg(spec_txt)
+    params = init_params(spec, jax.random.key(0))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    names = str(tmp_path / "f.names")
+    open(names, "w").write("redbox\ngreenbox\nbluebox\n")
+
+    out = str(tmp_path / "pred.png")
+    rc = detect.main(["--cfg", cfg_path, "--weights", wpath,
+                      "--image", img_path, "--out", out,
+                      "--conf", "0.001", "--names", names])
+    assert rc == 0
+    assert os.path.exists(out)

@@ -126,6 +126,41 @@ def test_iterative_prune_finetune_l1(tmp_path):
     assert convs2[0] == convs0[0] // 2
 
 
+def test_iterative_checkpoint_resume(tmp_path):
+    """Round checkpoints: a run that completed round 0 resumes straight
+    into round 1 with the slimmed spec/params restored (SURVEY.md §5.3)."""
+    spec, params, config, samples = setup(tmp_path)
+    loader = BatchLoader(samples, batch_size=2, net_h=64, net_w=64,
+                         max_boxes=10)
+    ckdir = str(tmp_path / "rounds")
+
+    def eval_fn(s, p):
+        return {"map50": 0.0, "n_params": float(num_params(p))}
+
+    # "interrupted" run: only round 0 executes
+    first = iterative_prune_finetune(
+        spec, params, config, loader, fractions=[0.25],
+        steps_per_round=2, eval_fn=eval_fn, mode="l1_filter",
+        logger=MetricsLogger(print_every=0), ckpt_dir=ckdir)
+    assert len(first) == 1
+
+    # resume with the full schedule: round 0 must be skipped
+    resumed = iterative_prune_finetune(
+        spec, params, config, loader, fractions=[0.25, 0.5],
+        steps_per_round=2, eval_fn=eval_fn, mode="l1_filter",
+        logger=MetricsLogger(print_every=0), ckpt_dir=ckdir, resume=True)
+    assert len(resumed) == 1 and resumed[0].round_idx == 1
+    # resumed round pruned the RESTORED slimmed model further
+    n0 = num_params(first[0].params)
+    n1 = num_params(resumed[0].params)
+    assert n1 < n0
+    from modelcompression_tpu.models.cfg import ConvLayer
+    convs0 = [l.filters for l in spec.layers if isinstance(l, ConvLayer)]
+    convs1 = [l.filters for l in resumed[0].spec.layers
+              if isinstance(l, ConvLayer)]
+    assert convs1[0] == convs0[0] // 2  # cumulative 50% of original
+
+
 def test_iterative_magnitude_masks(tmp_path):
     spec, params, config, samples = setup(tmp_path)
     loader = BatchLoader(samples, batch_size=2, net_h=64, net_w=64,
