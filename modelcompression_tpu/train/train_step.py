@@ -61,6 +61,11 @@ class TrainConfig:
     augment_mosaic: bool = False
     augment_hsv: bool = False
     max_boxes: int = 30
+    # rematerialize each conv block in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(layers) less activation HBM.
+    # Off by default — full YOLOv2 at batch 64/416 fits a v5 lite without
+    # it (measured); enable for larger batch/resolution configs.
+    remat: bool = False
 
     @classmethod
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
@@ -143,31 +148,47 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def _conv_block_train(y: jnp.ndarray, p: Dict[str, jnp.ndarray],
+                      l: ConvLayer, precision: Precision):
+    """One conv + (batch-stat BN | bias) + activation; returns
+    (y, batch_stats_or_None)."""
+    y = _conv(y, p["w"], l, precision)
+    stats = None
+    if l.batch_normalize:
+        mu = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
+        var = jnp.var(y.astype(jnp.float32), axis=(0, 1, 2))
+        stats = {"mean": mu, "var": var}
+        inv = jax.lax.rsqrt(var + BN_EPS)
+        y = (y - mu.astype(y.dtype)) \
+            * (p["gamma"].astype(jnp.float32) * inv).astype(y.dtype) \
+            + p["beta"].astype(y.dtype)
+    else:
+        y = y + p["bias"].astype(y.dtype)
+    return _activate(y, l.activation), stats
+
+
 def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
                    precision: Precision,
-                   channel_masks: Dict[int, jnp.ndarray]
+                   channel_masks: Dict[int, jnp.ndarray],
+                   remat: bool = False
                    ) -> Tuple[jnp.ndarray, Dict[str, Dict[str, jnp.ndarray]]]:
     """Training forward with batch statistics; also returns the per-layer
-    batch (mean, var) so the step can update running stats."""
+    batch (mean, var) so the step can update running stats. With ``remat``
+    every conv block is rematerialized in the backward pass
+    (jax.checkpoint): one extra forward of FLOPs for O(layers) less
+    activation HBM."""
     outputs = []
     batch_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
     y = precision.cast_in(x)
     for i, l in enumerate(spec.layers):
         if isinstance(l, ConvLayer):
-            p = params[conv_key(i)]
-            y = _conv(y, p["w"], l, precision)
-            if l.batch_normalize:
-                mu = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
-                var = jnp.var(y.astype(jnp.float32), axis=(0, 1, 2))
-                batch_stats[conv_key(i)] = {"mean": mu, "var": var}
-                inv = jax.lax.rsqrt(var + BN_EPS)
-                y = (y - mu.astype(y.dtype)) \
-                    * (p["gamma"].astype(jnp.float32)
-                       * inv).astype(y.dtype) \
-                    + p["beta"].astype(y.dtype)
-            else:
-                y = y + p["bias"].astype(y.dtype)
-            y = _activate(y, l.activation)
+            def blk(y_, p_, l_=l):
+                return _conv_block_train(y_, p_, l_, precision)
+            if remat:
+                blk = jax.checkpoint(blk)
+            y, stats = blk(y, params[conv_key(i)])
+            if stats is not None:
+                batch_stats[conv_key(i)] = stats
             if i in channel_masks:
                 y = y * channel_masks[i].astype(y.dtype)[None, None, None, :]
         elif isinstance(l, MaxPoolLayer):
@@ -200,7 +221,8 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
                     if k in weight_masks else p)
                 for k, p in params.items()}
         raw, batch_stats = _forward_train(
-            params, images_f32, spec, config.precision, channel_masks)
+            params, images_f32, spec, config.precision, channel_masks,
+            remat=config.remat)
         metrics = region_loss(raw, targets, region, seen)
         # aux must be a pytree: return the metrics as a plain dict
         return metrics.loss, (metrics.as_dict(), batch_stats)

@@ -1,0 +1,26 @@
+"""utils/timing.py unit tests (the bench's measurement methodology)."""
+
+import jax
+import jax.numpy as jnp
+
+from modelcompression_tpu.utils.timing import measure_rtt, time_fn
+
+
+def test_measure_rtt_positive():
+    rtt = measure_rtt()
+    assert 0 < rtt < 5.0
+
+
+def test_time_fn_measures_a_jitted_op():
+    x = jnp.ones((256, 256))
+    f = jax.jit(lambda a: a @ a)
+    sec = time_fn(lambda: f(x), iters=10, windows=2)
+    assert 0 <= sec < 1.0
+
+
+def test_time_fn_rtt_floor():
+    # subtracting an oversized rtt must floor at zero, not go negative
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.ones((8,))
+    sec = time_fn(lambda: f(x), iters=5, windows=2, rtt=100.0)
+    assert sec == 0.0
