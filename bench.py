@@ -120,14 +120,18 @@ def main() -> int:
     log(f"chip speedup: {speedup:.2f}x (target >= 3.0, BASELINE.json:5)")
 
     # --- honest streaming: fresh host batches, transfer in the timed loop ---
+    # probe batches and timed batches are DISJOINT so the tunnel's
+    # content-dedupe can't serve any timed transfer from cache
+    probe = [rng.integers(0, 255, (BATCH, SRC_H, SRC_W, 3), np.uint8)
+             for _ in range(12)]
     batches = [rng.integers(0, 255, (BATCH, SRC_H, SRC_W, 3), np.uint8)
                for _ in range(STREAM_ITERS)]
     nbytes = batches[0].nbytes
     # feed-only bandwidth (pipelined puts of unique data)
-    xs = [jax.device_put(b) for b in batches[:4]]
+    xs = [jax.device_put(b) for b in probe[:4]]
     jax.block_until_ready(xs)
     t0 = time.perf_counter()
-    xs = [jax.device_put(b) for b in batches[4:12]]
+    xs = [jax.device_put(b) for b in probe[4:12]]
     jax.block_until_ready(xs)
     feed_gbps = 8 * nbytes / 1e9 / (time.perf_counter() - t0)
     del xs

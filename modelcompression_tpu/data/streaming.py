@@ -40,23 +40,40 @@ def prefetch_to_device(host_batches: Iterable[T], depth: int = 2,
             return jax.tree.map(lambda x: jax.device_put(x, device), item)
 
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
     err = []
+
+    def q_put(item) -> bool:
+        """put that gives up when the consumer abandoned the iterator —
+        otherwise an early consumer exit would leave this thread blocked
+        forever holding device buffers."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def feeder():
         try:
             for item in host_batches:
-                q.put(put(item))
+                if stop.is_set() or not q_put(put(item)):
+                    return
         except BaseException as e:  # surface in consumer
             err.append(e)
         finally:
-            q.put(_STOP)
+            q_put(_STOP)
 
     t = threading.Thread(target=feeder, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _STOP:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _STOP:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()  # unblock + terminate the feeder on early exit

@@ -89,8 +89,14 @@ def corners_to_image(boxes_xyxy: jnp.ndarray, img_w, img_h,
     y = boxes_xyxy[..., 1::2] * net_h
     if letterboxed:
         r = jnp.minimum(net_w / img_w, net_h / img_h)
-        pad_x = (net_w - img_w * r) / 2
-        pad_y = (net_h - img_h * r) / 2
+        # EXACT inverse of letterbox_host/letterbox_device geometry: content
+        # size is round(img*r) and pads are integer floor-halves — using the
+        # continuous (net - img*r)/2 here would bias every box by up to
+        # ~1px/r systematically.
+        new_w = jnp.round(img_w * r)   # jnp.round == python round (half-even)
+        new_h = jnp.round(img_h * r)
+        pad_x = jnp.floor((net_w - new_w) / 2)
+        pad_y = jnp.floor((net_h - new_h) / 2)
         x = (x - pad_x[..., None]) / r[..., None]
         y = (y - pad_y[..., None]) / r[..., None]
     else:

@@ -11,13 +11,12 @@ so the accelerator never waits on image decode.
 
 from __future__ import annotations
 
-import queue
-import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 
 from modelcompression_tpu.data.preprocess import letterbox_host
+from modelcompression_tpu.data.streaming import prefetch_to_device
 from modelcompression_tpu.data.voc import Sample, pad_labels
 
 
@@ -83,7 +82,8 @@ class BatchLoader:
         return images, targets
 
     def epoch(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """One pass over the data with background prefetch."""
+        """One pass over the data with background prefetch (the shared
+        streaming machinery; producer exceptions re-raise here)."""
         order = self._epoch_order()
         chunks = [order[i:i + self.batch_size]
                   for i in range(0, len(order), self.batch_size)]
@@ -94,27 +94,9 @@ class BatchLoader:
             for c in chunks:
                 while len(c) < self.batch_size:
                     c.append(order[0])
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def producer():
-            for c in chunks:
-                if stop.is_set():
-                    return
-                q.put(self._make_batch(c))
-            q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                yield item
-        finally:
-            stop.set()
+        yield from prefetch_to_device(
+            (self._make_batch(c) for c in chunks),
+            depth=self.prefetch, put=lambda x: x)
 
     def __iter__(self):
         while True:

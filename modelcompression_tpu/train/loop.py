@@ -132,6 +132,10 @@ def iterative_prune_finetune(
                        {"resumed_fraction": prev_frac}, prefix="resume")
 
     for ridx, frac in enumerate(fractions):
+        # split BEFORE the resume skip so a resumed run consumes the same
+        # key sequence an uninterrupted run would (round i always trains
+        # with split #i+1 of the seed key)
+        rng, round_key = jax.random.split(rng)
         if ridx < start_round:
             continue
         if mode == "l1_filter":
@@ -152,9 +156,8 @@ def iterative_prune_finetune(
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
-        rng, k = jax.random.split(rng)
         tx = make_optimizer(config)
-        state = TrainState.create(params, tx, k,
+        state = TrainState.create(params, tx, round_key,
                                   weight_masks=weight_masks,
                                   channel_masks=channel_masks)
         state = train(state, spec, config, loader, steps_per_round,

@@ -117,23 +117,24 @@ def merge_params(trainable: Params, stats: Params) -> Params:
 
 
 def darknet_lr_schedule(config: TrainConfig):
-    """Darknet 'steps' policy with burn-in: lr * (step/burn_in)^4 during
-    burn-in, then stepwise scaling at the configured steps.
-
-    Darknet applies scales[i] whenever steps[i] <= batch, so a leading
-    ``-1`` step (the convention in the shipped tiny-yolo cfg) scales the
-    base LR from step 0 — every (step, scale) pair must be kept, including
+    """Darknet 'steps' policy with burn-in, matching get_current_rate:
+    during burn-in the LR is lr * (step/burn_in)^4 and the steps policy is
+    NOT applied; after burn-in, scales[i] applies whenever steps[i] <= step
+    — so a leading ``-1`` step (the convention in the shipped tiny-yolo
+    cfg) scales the base LR immediately after burn-in ends (or from step 0
+    with no burn-in). Every (step, scale) pair is kept, including
     non-positive steps (``step >= s`` is simply always true for them)."""
     base = config.learning_rate
     pairs = tuple(zip(config.steps, config.scales))
 
     def schedule(step):
         lr = jnp.asarray(base, jnp.float32)
-        if config.burn_in > 0:
-            frac = jnp.minimum(step / config.burn_in, 1.0)
-            lr = lr * frac ** 4
         for s, sc in pairs:
             lr = jnp.where(step >= s, lr * sc, lr)
+        if config.burn_in > 0:
+            frac = jnp.minimum(step / config.burn_in, 1.0)
+            lr = jnp.where(step < config.burn_in,
+                           base * frac ** 4, lr)
         return lr
 
     return schedule

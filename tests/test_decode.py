@@ -88,6 +88,22 @@ def test_corners_to_image_letterbox_roundtrip():
     np.testing.assert_allclose(back, [[x1, y1, x2, y2]], atol=1e-3)
 
 
+def test_corners_to_image_matches_letterbox_host_rounding():
+    """The inverse mapping must use the SAME integer geometry the letterbox
+    used (content size round(img*r), pad (net-new)//2) — a 500x333 image is
+    the classic case where the continuous pad is off by ~0.5px."""
+    from modelcompression_tpu.data.preprocess import letterbox_host
+    img_w, img_h, net = 500, 333, 416
+    img = np.zeros((img_h, img_w, 3), np.uint8)
+    _, r, px, py = letterbox_host(img, net, net)
+    # a box placed on the letterboxed canvas using the REAL (r, px, py)
+    x1, y1, x2, y2 = 50.0, 40.0, 450.0, 300.0
+    nb = jnp.asarray([[(x1 * r + px) / net, (y1 * r + py) / net,
+                       (x2 * r + px) / net, (y2 * r + py) / net]])
+    back = np.asarray(corners_to_image(nb, img_w, img_h, net, net, True))
+    np.testing.assert_allclose(back, [[x1, y1, x2, y2]], atol=1e-3)
+
+
 def test_corners_to_image_stretch():
     nb = jnp.asarray([[0.1, 0.2, 0.5, 0.8]])
     back = np.asarray(corners_to_image(nb, 200, 100, 416, 416, False))

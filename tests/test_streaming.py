@@ -57,3 +57,19 @@ def test_exception_propagates():
     next(it)
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_abandoned_iterator_releases_feeder():
+    """Consumer bails early: the feeder thread must terminate instead of
+    blocking forever on a full queue holding buffers."""
+    import threading
+
+    n_before = threading.active_count()
+    items = (np.full((4,), i) for i in range(100))
+    it = prefetch_to_device(items, depth=1, put=lambda x: x)
+    next(it)
+    it.close()  # GeneratorExit -> finally -> stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
