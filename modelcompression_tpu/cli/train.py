@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-boxes", type=int, default=30)
     p.add_argument("--mosaic", action="store_true")
     p.add_argument("--hsv", action="store_true")
+    p.add_argument("--jitter", type=float, default=None,
+                   help="Darknet crop-jitter fraction (default: the cfg's "
+                        "[region] jitter when --augment-jitter is set)")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="Darknet random-resize training (cfg random=1): "
+                        "redraw the net size from 320..608 every 10 batches")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--eval-every", type=int, default=0)
@@ -60,11 +66,14 @@ def main(argv=None) -> int:
         overrides["learning_rate"] = args.lr
     config = TrainConfig.from_spec(
         spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
+        augment_jitter=(args.jitter if args.jitter is not None else 0.0),
         max_boxes=args.max_boxes, **overrides)
     batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
+    multi_scale = (320, 608) if args.multi_scale else None
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,
-                         max_boxes=args.max_boxes, seed=args.seed)
+                         max_boxes=args.max_boxes, seed=args.seed,
+                         multi_scale=multi_scale)
     tx = make_optimizer(config)
     state = TrainState.create(params, tx, jax.random.key(args.seed))
     logger = MetricsLogger(jsonl_path=args.log_jsonl)

@@ -131,6 +131,71 @@ def random_flip(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
     return images, boxes
 
 
+def random_jitter(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
+                  jitter: float = 0.2, min_box: float = 0.01
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Darknet-style random crop/stretch jitter (the ``jitter=`` knob of the
+    [region] section, data.c load_data_detection), jittable.
+
+    Per sample, each edge moves inward/outward by U(-jitter, jitter) of the
+    image size; the resulting window is resampled back to the full frame
+    (``jax.image.scale_and_translate`` accepts traced per-sample scale and
+    translation, so this stays ONE program). Boxes are remapped; boxes
+    whose center leaves the frame or whose clipped size drops below
+    ``min_box`` are invalidated (w=0 rows).
+
+    Fidelity note vs Darknet: Darknet fills out-of-image crop regions with
+    a border-replicate-ish constant; here they fill with GRAY (the
+    letterbox pad value). Geometry and box bookkeeping are exact (tested).
+
+    Args:
+      images: (B, H, W, 3) float [0,1]; boxes (B, M, 5) [cls,cx,cy,w,h]
+        normalized, invalid rows w == 0.
+    """
+    b, h, w, _ = images.shape
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    pl = jax.random.uniform(k1, (b,), minval=-jitter, maxval=jitter)
+    pr = jax.random.uniform(k2, (b,), minval=-jitter, maxval=jitter)
+    pt = jax.random.uniform(k3, (b,), minval=-jitter, maxval=jitter)
+    pb = jax.random.uniform(k4, (b,), minval=-jitter, maxval=jitter)
+    sw = 1.0 - pl - pr   # crop window size, fraction of full width
+    sh = 1.0 - pt - pb
+
+    def one(img, pl_, pt_, sw_, sh_):
+        # output coord o maps to input coord o*s + p (normalized): for
+        # scale_and_translate, in = (o - t)/scale -> scale = 1/s, t = -p/s
+        scale = jnp.stack([1.0 / sh_, 1.0 / sw_])
+        trans = jnp.stack([-pt_ * h / sh_, -pl_ * w / sw_])
+        out = jax.image.scale_and_translate(
+            img, img.shape, (0, 1), scale, trans, method="linear")
+        # fill out-of-window with GRAY: scale_and_translate zero-fills
+        yy = (jnp.arange(h) - trans[0]) / scale[0]
+        xx = (jnp.arange(w) - trans[1]) / scale[1]
+        inside = ((yy >= -0.5) & (yy <= h - 0.5))[:, None] \
+            & ((xx >= -0.5) & (xx <= w - 0.5))[None, :]
+        return jnp.where(inside[..., None], out, GRAY / 255.0)
+
+    images = jax.vmap(one)(images, pl, pt, sw, sh)
+
+    valid = boxes[..., 3] > 0
+    cx = (boxes[..., 1] - pl[:, None]) / sw[:, None]
+    cy = (boxes[..., 2] - pt[:, None]) / sh[:, None]
+    bw = boxes[..., 3] / sw[:, None]
+    bh = boxes[..., 4] / sh[:, None]
+    # clip extents to the frame, recompute center/size
+    x1 = jnp.clip(cx - bw / 2, 0.0, 1.0)
+    x2 = jnp.clip(cx + bw / 2, 0.0, 1.0)
+    y1 = jnp.clip(cy - bh / 2, 0.0, 1.0)
+    y2 = jnp.clip(cy + bh / 2, 0.0, 1.0)
+    bw, bh = x2 - x1, y2 - y1
+    keep = valid & (bw > min_box) & (bh > min_box) \
+        & (cx > 0) & (cx < 1) & (cy > 0) & (cy < 1)
+    out = jnp.stack([boxes[..., 0], (x1 + x2) / 2, (y1 + y2) / 2, bw, bh],
+                    axis=-1)
+    out = jnp.where(keep[..., None], out, jnp.zeros_like(out))
+    return images, out
+
+
 def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """4-image mosaic augmentation, fixed shapes (SURVEY.md §7.4.5).

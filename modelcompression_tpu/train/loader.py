@@ -40,12 +40,21 @@ def load_sample(sample: Sample, net_h: int, net_w: int, letterbox: bool,
 
 
 class BatchLoader:
-    """Shuffled, prefetching batch iterator over Samples."""
+    """Shuffled, prefetching batch iterator over Samples.
+
+    ``multi_scale=(lo, hi)`` enables Darknet's random-resize training
+    (cfg ``[region] random=1``): every ``resize_every`` batches the network
+    size is redrawn from the multiples of 32 in [lo, hi] (Darknet resizes
+    every 10 batches in 320..608). Each distinct size compiles its own XLA
+    train-step program once, then hits the jit cache — the TPU-native cost
+    model for dynamic input sizes is a small set of static shapes."""
 
     def __init__(self, samples: Sequence[Sample], batch_size: int,
                  net_h: int, net_w: int, max_boxes: int = 30,
                  letterbox: bool = True, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2, drop_last: bool = True):
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = True,
+                 multi_scale: Tuple[int, int] | None = None,
+                 resize_every: int = 10):
         self.samples = list(samples)
         self.batch_size = batch_size
         self.net_h, self.net_w = net_h, net_w
@@ -55,6 +64,16 @@ class BatchLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        if multi_scale is not None:
+            lo, hi = multi_scale
+            self.scales = [s for s in range(lo, hi + 1) if s % 32 == 0]
+            if not self.scales:
+                raise ValueError(f"no multiples of 32 in {multi_scale}")
+        else:
+            self.scales = None
+        self.resize_every = resize_every
+        self._batch_counter = 0
+        self._cur_size = (net_h, net_w)
         if not self.samples:
             raise ValueError("empty dataset")
 
@@ -69,13 +88,22 @@ class BatchLoader:
             self.rng.shuffle(idx)
         return idx.tolist()
 
+    def _next_size(self) -> Tuple[int, int]:
+        if self.scales is not None \
+                and self._batch_counter % self.resize_every == 0:
+            s = int(self.rng.choice(self.scales))
+            self._cur_size = (s, s)
+        self._batch_counter += 1
+        return self._cur_size
+
     def _make_batch(self, indices: List[int]
                     ) -> Tuple[np.ndarray, np.ndarray]:
         bs = self.batch_size
-        images = np.zeros((bs, self.net_h, self.net_w, 3), np.uint8)
+        net_h, net_w = self._next_size()
+        images = np.zeros((bs, net_h, net_w, 3), np.uint8)
         targets = np.zeros((bs, self.max_boxes, 5), np.float32)
         for slot, si in enumerate(indices):
-            img, t = load_sample(self.samples[si], self.net_h, self.net_w,
+            img, t = load_sample(self.samples[si], net_h, net_w,
                                  self.letterbox, self.max_boxes)
             images[slot] = img
             targets[slot] = t

@@ -42,7 +42,7 @@ from modelcompression_tpu.models.cfg import (
 )
 from modelcompression_tpu.train.region_loss import region_loss
 from modelcompression_tpu.data.preprocess import (
-    distort_hsv, mosaic4, random_flip,
+    distort_hsv, mosaic4, random_flip, random_jitter,
 )
 
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default (reference repo class)
@@ -60,6 +60,8 @@ class TrainConfig:
     augment_flip: bool = True
     augment_mosaic: bool = False
     augment_hsv: bool = False
+    # Darknet crop jitter fraction ([region] jitter=); 0 disables
+    augment_jitter: float = 0.0
     max_boxes: int = 30
     # rematerialize each conv block in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for O(layers) less activation HBM.
@@ -229,12 +231,16 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
         return metrics.loss, (metrics.as_dict(), batch_stats)
 
     def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray):
-        rng, k_aug1, k_aug2, k_aug3 = jax.random.split(state["rng"], 4)
+        rng, k_aug1, k_aug2, k_aug3, k_aug4 = jax.random.split(
+            state["rng"], 5)
         x = images.astype(jnp.float32)
         if images.dtype == jnp.uint8:
             x = x / 255.0
         if config.augment_mosaic:
             x, targets = mosaic4(x, targets, k_aug3)
+        if config.augment_jitter > 0:
+            x, targets = random_jitter(x, targets, k_aug4,
+                                       jitter=config.augment_jitter)
         if config.augment_flip:
             x, targets = random_flip(x, targets, k_aug1)
         if config.augment_hsv:

@@ -82,6 +82,52 @@ def test_hsv_identity_at_noop_knobs_and_range():
     assert (out >= 0).all() and (out <= 1).all()
 
 
+def test_jitter_identity_at_zero_and_box_geometry():
+    from modelcompression_tpu.data.preprocess import random_jitter
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    boxes = np.zeros((4, 2, 5), np.float32)
+    boxes[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+    # jitter=0: exact identity (scale 1, translation 0)
+    out, ob = random_jitter(images, jnp.asarray(boxes), jax.random.key(0),
+                            jitter=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(images),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ob), boxes, atol=1e-6)
+    # jitter>0: boxes stay normalized and valid rows stay plausible
+    out, ob = random_jitter(images, jnp.asarray(boxes), jax.random.key(1),
+                            jitter=0.2)
+    ob = np.asarray(ob)
+    kept = ob[..., 3] > 0
+    assert kept.any()
+    assert (ob[kept][:, 1:] >= 0).all() and (ob[kept][:, 1:] <= 1).all()
+    # invalid input rows stay invalid
+    assert (ob[:, 1, 3] == 0).all()
+
+
+def test_jitter_box_matches_image_content():
+    """Place a bright square, jitter, and check the remapped box still
+    covers the bright pixels (geometry exactness end-to-end)."""
+    from modelcompression_tpu.data.preprocess import random_jitter
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    img[0, 24:40, 16:32] = 1.0  # y 24-40, x 16-32
+    boxes = np.zeros((1, 1, 5), np.float32)
+    boxes[0, 0] = [0, (16 + 32) / 2 / 64, (24 + 40) / 2 / 64,
+                   16 / 64, 16 / 64]
+    out, ob = random_jitter(jnp.asarray(img), jnp.asarray(boxes),
+                            jax.random.key(2), jitter=0.15)
+    out, ob = np.asarray(out)[0], np.asarray(ob)[0, 0]
+    assert ob[3] > 0  # box survived
+    x1 = int(round((ob[1] - ob[3] / 2) * 64))
+    x2 = int(round((ob[1] + ob[3] / 2) * 64))
+    y1 = int(round((ob[2] - ob[4] / 2) * 64))
+    y2 = int(round((ob[2] + ob[4] / 2) * 64))
+    inner = out[y1 + 2:y2 - 2, x1 + 2:x2 - 2]
+    assert inner.mean() > 0.9, inner.mean()
+    # pixels far outside the box are dark or gray
+    assert out[:max(y1 - 4, 0)].mean() < 0.6
+
+
 def test_letterbox_device_pad_value_and_geometry():
     img = jnp.full((1, 50, 100, 3), 200, jnp.uint8)
     out = np.asarray(letterbox_device(img, 64, 64))

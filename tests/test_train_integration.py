@@ -16,7 +16,7 @@ from modelcompression_tpu.data.voc import load_list_dataset, read_data_cfg
 from modelcompression_tpu.models import init_params, parse_cfg, num_params
 from modelcompression_tpu.train import (
     BatchLoader, TrainConfig, TrainState, iterative_prune_finetune,
-    make_optimizer, train,
+    make_optimizer, make_train_step, train,
 )
 from modelcompression_tpu.utils.checkpoint import (
     latest_checkpoint, load_checkpoint, save_checkpoint,
@@ -124,6 +124,35 @@ def test_iterative_prune_finetune_l1(tmp_path):
               if isinstance(l, ConvLayer)]
     assert convs2[-1] == convs0[-1]  # detection conv protected
     assert convs2[0] == convs0[0] // 2
+
+
+def test_multi_scale_loader_and_train(tmp_path):
+    """Darknet random-resize training (cfg random=1): the loader redraws
+    the net size every resize_every batches; the jitted step recompiles per
+    size and trains across them."""
+    spec, params, config, samples = setup(tmp_path)
+    loader = BatchLoader(samples, batch_size=2, net_h=64, net_w=64,
+                         max_boxes=10, seed=3, multi_scale=(32, 96),
+                         resize_every=1)
+    it = iter(loader)
+    sizes = set()
+    batches = []
+    for _ in range(6):
+        images, targets = next(it)
+        sizes.add(images.shape[1])
+        batches.append((images, targets))
+    assert len(sizes) >= 2, sizes
+    assert all(s % 32 == 0 for s in sizes)
+
+    import dataclasses
+    cfg = dataclasses.replace(config, augment_jitter=0.2)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx, jax.random.key(4))
+    step = make_train_step(spec, cfg, tx)
+    for images, targets in batches[:3]:
+        state, m = step(state, jnp.asarray(images), jnp.asarray(targets))
+        assert np.isfinite(float(m["loss"]))
+    assert int(state["step"]) == 3
 
 
 def test_iterative_checkpoint_resume(tmp_path):
