@@ -70,9 +70,17 @@ def main() -> int:
     spec = yolov2_voc()
     rng = np.random.default_rng(0)
 
-    log("initializing YOLOv2-VOC params...")
-    params = init_params(spec, jax.random.key(0))
-    log(f"params: {num_params(params) / 1e6:.1f}M")
+    log("initializing YOLOv2-VOC params (on host CPU)...")
+    t0 = time.time()
+    # init on the CPU backend: 23 per-layer RNG programs over the tunnel
+    # take minutes; one 200MB bulk transfer takes seconds
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        params_host = init_params(spec, jax.random.key(0))
+    tpu0 = jax.devices()[0]
+    params = jax.device_put(jax.tree.map(np.asarray, params_host), tpu0)
+    jax.block_until_ready(params)
+    log(f"params: {num_params(params) / 1e6:.1f}M ({time.time() - t0:.1f}s)")
 
     keep = uniform_filter_fraction_keep_sets(spec, params, PRUNE_FRACTION)
     slim_spec, slim_params = repack(spec, params, keep)

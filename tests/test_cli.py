@@ -76,6 +76,82 @@ def test_finetune_iterate_coco_80_classes(tmp_path):
     assert len(slim_params) == len(slim_convs)
 
 
+def _write_model(tmp_path, num_classes=3, net=64):
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+    spec_txt = tiny_region_cfg(num_classes=num_classes, width=net,
+                               height=net)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(spec_txt)
+    spec = parse_cfg(spec_txt)
+    params = init_params(spec, jax.random.key(0))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    return cfg_path, wpath, spec
+
+
+def test_prune_cli_all_modes(tmp_path):
+    """prune CLI: magnitude (with and without --use-pallas), global, and
+    l1_filter with cfg rewrite — the reference's prune script surface."""
+    from modelcompression_tpu.cli import prune
+    from modelcompression_tpu.models import load_weights
+    cfg_path, wpath, spec = _write_model(tmp_path)
+
+    for mode, extra in (("magnitude", []), ("magnitude", ["--use-pallas"]),
+                        ("global", [])):
+        out = str(tmp_path / f"p_{mode}{len(extra)}.weights")
+        rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                         "--mode", mode, "--sparsity", "0.5",
+                         "--out", out] + extra)
+        assert rc == 0
+        pruned, _ = load_weights(out, spec)
+        zeros = sum(float((np.asarray(p["w"]) == 0).sum())
+                    for p in pruned.values())
+        total = sum(np.asarray(p["w"]).size for p in pruned.values())
+        assert zeros / total >= 0.45
+
+    out = str(tmp_path / "slim.weights")
+    out_cfg = str(tmp_path / "slim.cfg")
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--fraction", "0.5",
+                     "--out", out, "--out-cfg", out_cfg])
+    assert rc == 0
+    slim = load_cfg(out_cfg)
+    slim_params, _ = load_weights(out, slim)  # loads against slimmed cfg
+    convs = [l for l in slim.layers if isinstance(l, ConvLayer)]
+    assert convs[0].filters == 8  # 16 * 0.5
+
+
+def test_train_cli_smoke(tmp_path):
+    """train CLI: 2 steps on the fixture + final checkpoint written."""
+    from modelcompression_tpu.cli import train as train_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=1)
+    ckdir = str(tmp_path / "ck")
+    rc = train_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                         "--data", data_cfg, "--steps", "2", "--batch", "2",
+                         "--max-boxes", "8", "--checkpoint-dir", ckdir])
+    assert rc == 0
+    from modelcompression_tpu.utils.checkpoint import latest_checkpoint
+    assert latest_checkpoint(ckdir) is not None
+
+
+def test_eval_cli_smoke(tmp_path):
+    """eval CLI: fixture dataset -> per-class AP table + detection dump,
+    bitmatch precision path included."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=2)
+    dump = str(tmp_path / "dets")
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2",
+                        "--precision", "bitmatch", "--dump-dir", dump])
+    assert rc == 0
+    import glob
+    assert len(glob.glob(dump + "/*.txt")) == 3  # one file per class
+
+
 def test_detect_cli_smoke(tmp_path):
     """detect: single fixture image through the fused eval step, boxes drawn
     in source-pixel coordinates."""
