@@ -89,8 +89,21 @@ class TrainState(dict):
     @staticmethod
     def create(params: Params, tx, rng: jax.Array,
                weight_masks: Optional[Dict[str, jnp.ndarray]] = None,
-               channel_masks: Optional[Dict[int, jnp.ndarray]] = None
-               ) -> "TrainState":
+               channel_masks: Optional[Dict[int, jnp.ndarray]] = None,
+               copy: bool = True) -> "TrainState":
+        """Build a fresh train state.
+
+        ``copy=True`` (default) copies params/masks into new device
+        buffers: the jitted step DONATES its input state, so aliasing the
+        caller's arrays into it would invalidate them after the first step
+        — a footgun every caller hit in practice. Pass copy=False only
+        when the caller hands over ownership deliberately."""
+        if copy:
+            def dup(v):
+                return jnp.array(v, copy=True)
+            params = jax.tree.map(dup, params)
+            weight_masks = jax.tree.map(dup, dict(weight_masks or {}))
+            channel_masks = jax.tree.map(dup, dict(channel_masks or {}))
         trainable, _ = split_trainable(params)
         return TrainState(
             params=params,
