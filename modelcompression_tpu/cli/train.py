@@ -39,11 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mosaic", action="store_true")
     p.add_argument("--hsv", action="store_true")
     p.add_argument("--jitter", type=float, default=None,
-                   help="Darknet crop-jitter fraction (default: the cfg's "
-                        "[region] jitter when --augment-jitter is set)")
+                   help="Darknet crop-jitter fraction in [0, 0.5); "
+                        "default: the cfg's [region] jitter value; "
+                        "pass 0 to disable")
     p.add_argument("--multi-scale", action="store_true",
                    help="Darknet random-resize training (cfg random=1): "
-                        "redraw the net size from 320..608 every 10 batches")
+                        "redraw the net size from 320..608 every 10 "
+                        "batches. Each of the 10 sizes compiles its own "
+                        "XLA program ONCE when first drawn (20-50s each "
+                        "on a remote-compile TPU), then hits the jit "
+                        "cache — the cost amortizes over a training run")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--eval-every", type=int, default=0)
@@ -64,9 +69,14 @@ def main(argv=None) -> int:
     overrides = {}
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
+    jitter = args.jitter if args.jitter is not None else spec.region.jitter
+    if not 0.0 <= jitter < 0.5:
+        print(f"error: --jitter must be in [0, 0.5), got {jitter}",
+              file=sys.stderr)
+        return 2
     config = TrainConfig.from_spec(
         spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
-        augment_jitter=(args.jitter if args.jitter is not None else 0.0),
+        augment_jitter=jitter,
         max_boxes=args.max_boxes, **overrides)
     batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
     multi_scale = (320, 608) if args.multi_scale else None

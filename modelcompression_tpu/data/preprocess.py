@@ -152,6 +152,10 @@ def random_jitter(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
       images: (B, H, W, 3) float [0,1]; boxes (B, M, 5) [cls,cx,cy,w,h]
         normalized, invalid rows w == 0.
     """
+    if not 0.0 <= jitter < 0.5:
+        # two opposing edges each move by up to `jitter`, so >= 0.5 lets
+        # the crop window collapse to zero/negative size (1/sw blows up)
+        raise ValueError(f"jitter must be in [0, 0.5), got {jitter}")
     b, h, w, _ = images.shape
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     pl = jax.random.uniform(k1, (b,), minval=-jitter, maxval=jitter)
@@ -166,8 +170,11 @@ def random_jitter(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
         # scale_and_translate, in = (o - t)/scale -> scale = 1/s, t = -p/s
         scale = jnp.stack([1.0 / sh_, 1.0 / sw_])
         trans = jnp.stack([-pt_ * h / sh_, -pl_ * w / sw_])
+        # antialias=False: plain bilinear on zoom-out too, matching the
+        # repo's cv2.INTER_LINEAR/Darknet convention (_linear_resize_matrix)
         out = jax.image.scale_and_translate(
-            img, img.shape, (0, 1), scale, trans, method="linear")
+            img, img.shape, (0, 1), scale, trans, method="linear",
+            antialias=False)
         # fill out-of-window with GRAY: scale_and_translate zero-fills
         yy = (jnp.arange(h) - trans[0]) / scale[0]
         xx = (jnp.arange(w) - trans[1]) / scale[1]

@@ -56,8 +56,7 @@ with tempfile.TemporaryDirectory() as td:
     print(f"baseline mAP@50: {base*100:.1f}")
     for s in (0.5, 0.75, 0.9):
         masks = magnitude_masks_perlayer(params, spec, s)
-        ach = float(mask_sparsity(masks))  # BEFORE fine-tune: the train
-        # step donates its state, which invalidates the mask buffers
+        ach = float(mask_sparsity(masks))
         pruned = apply_masks(params, masks)
         m0 = evaluate(pruned, spec, samples, FIXTURE_CLASSES, EVAL).map50
         tuned = train_steps(spec, pruned, samples, 200, seed=int(s * 100),
