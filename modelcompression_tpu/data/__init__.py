@@ -1,5 +1,6 @@
 from modelcompression_tpu.data.preprocess import (
-    letterbox_device, letterbox_host, mosaic4, normalize, random_flip,
+    distort_hsv, hsv_to_rgb, letterbox_device, letterbox_host, mosaic4,
+    normalize, random_flip, random_jitter, rgb_to_hsv,
     stretch_resize_device,
 )
 from modelcompression_tpu.data.voc import (
@@ -12,8 +13,9 @@ from modelcompression_tpu.data.fixtures import (
 )
 
 __all__ = [
-    "letterbox_device", "letterbox_host", "mosaic4", "normalize",
-    "random_flip", "stretch_resize_device", "Sample", "VOC_CLASSES",
+    "distort_hsv", "hsv_to_rgb", "letterbox_device", "letterbox_host",
+    "mosaic4", "normalize", "random_flip", "random_jitter", "rgb_to_hsv",
+    "stretch_resize_device", "Sample", "VOC_CLASSES",
     "load_list_dataset", "load_voc_devkit", "pad_labels", "parse_voc_xml",
     "read_data_cfg", "read_names", "prefetch_to_device",
     "FIXTURE_CLASSES", "make_fake_voc",

@@ -251,29 +251,57 @@ def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
     return out, out_boxes
 
 
+def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise RGB [0,1] -> HSV with H in [0,1) (jittable)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    v = jnp.max(rgb, axis=-1)
+    lo = jnp.min(rgb, axis=-1)
+    c = v - lo
+    safe_c = jnp.where(c > 0, c, 1.0)
+    h = jnp.where(
+        v == r, (g - b) / safe_c,
+        jnp.where(v == g, 2.0 + (b - r) / safe_c,
+                  4.0 + (r - g) / safe_c))
+    h = jnp.where(c > 0, (h / 6.0) % 1.0, 0.0)
+    s = jnp.where(v > 0, c / jnp.where(v > 0, v, 1.0), 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise HSV (H in [0,1)) -> RGB [0,1] (jittable)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h6 = (h % 1.0) * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def distort_hsv(images: jnp.ndarray, rng: jax.Array,
                 hue: float = 0.1, sat: float = 1.5, expo: float = 1.5
                 ) -> jnp.ndarray:
-    """Darknet-style random hue/saturation/exposure jitter (cfg [net] knobs),
-    approximated in RGB space jittably: exposure/saturation as scale factors,
-    hue as channel rotation mix. images float [0,1], (B,H,W,3).
-
-    Fidelity note vs Darknet: Darknet converts to HSV, scales S and V and
-    shifts H, then converts back. This RGB approximation matches exposure
-    exactly, approximates saturation (luminance-relative instead of
-    V-relative; error <= the S/V gap per pixel), and replaces the hue
-    rotation with a bounded channel mix (same |delta| <= hue budget). At
-    the default knobs (sat/expo 1.5, hue 0.1) per-pixel error vs true HSV
-    is bounded by ~2*hue + |s - s_hsv| and identity at the no-op knobs
-    (tested in test_preprocess.py)."""
+    """Darknet random hue/saturation/exposure jitter (cfg [net] knobs),
+    EXACT semantics (image.c random_distort_image): convert to HSV, scale S
+    by U(1/sat, sat), scale V by U(1/expo, expo), shift H additively by
+    U(-hue, hue) with wraparound, convert back. All elementwise jnp — one
+    fused VPU pass inside the train step. images float [0,1], (B,H,W,3)."""
     b = images.shape[0]
     k1, k2, k3 = jax.random.split(rng, 3)
-    d_sat = jax.random.uniform(k1, (b, 1, 1, 1), minval=1.0 / sat, maxval=sat)
-    d_exp = jax.random.uniform(k2, (b, 1, 1, 1), minval=1.0 / expo,
+    d_sat = jax.random.uniform(k1, (b, 1, 1), minval=1.0 / sat, maxval=sat)
+    d_exp = jax.random.uniform(k2, (b, 1, 1), minval=1.0 / expo,
                                maxval=expo)
-    d_hue = jax.random.uniform(k3, (b, 1, 1, 1), minval=-hue, maxval=hue)
-    gray = jnp.mean(images, axis=-1, keepdims=True)
-    x = gray + (images - gray) * d_sat          # saturation about luminance
-    x = x * d_exp                               # exposure
-    x = x + d_hue * (jnp.roll(x, 1, axis=-1) - x)  # cheap hue-ish mix
-    return jnp.clip(x, 0.0, 1.0)
+    d_hue = jax.random.uniform(k3, (b, 1, 1), minval=-hue, maxval=hue)
+    hsv = rgb_to_hsv(jnp.clip(images, 0.0, 1.0))
+    h = (hsv[..., 0] + d_hue) % 1.0
+    s = jnp.clip(hsv[..., 1] * d_sat, 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] * d_exp, 0.0, 1.0)
+    return hsv_to_rgb(jnp.stack([h, s, v], axis=-1))

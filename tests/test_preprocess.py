@@ -77,9 +77,32 @@ def test_hsv_identity_at_noop_knobs_and_range():
     same = distort_hsv(images, jax.random.key(0), hue=0.0, sat=1.0,
                        expo=1.0)
     np.testing.assert_allclose(np.asarray(same), np.asarray(images),
-                               atol=1e-6)
+                               atol=1e-5)
     out = np.asarray(distort_hsv(images, jax.random.key(1)))
     assert (out >= 0).all() and (out <= 1).all()
+
+
+def test_rgb_hsv_roundtrip_and_known_colors():
+    from modelcompression_tpu.data.preprocess import hsv_to_rgb, rgb_to_hsv
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+    # known anchors: pure red/green/blue/gray
+    rgb = jnp.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0.5, 0.5, 0.5]],
+                      jnp.float32)
+    hsv = np.asarray(rgb_to_hsv(rgb))
+    np.testing.assert_allclose(hsv[0], [0.0, 1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(hsv[1], [1 / 3, 1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(hsv[2], [2 / 3, 1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(hsv[3], [0.0, 0.0, 0.5], atol=1e-6)
+    # exposure scales V exactly: gray image, sat/hue fixed at no-op
+    g = jnp.full((1, 4, 4, 3), 0.4, jnp.float32)
+    out = np.asarray(distort_hsv(g, jax.random.key(7), hue=0.0, sat=1.0,
+                                 expo=2.0))
+    ratios = out / 0.4
+    assert (np.abs(ratios - ratios[..., :1]) < 1e-5).all()  # stays gray
+    assert 0.5 - 1e-3 <= ratios.mean() <= 2.0 + 1e-3
 
 
 def test_jitter_identity_at_zero_and_box_geometry():
