@@ -60,6 +60,9 @@ class EvalConfig:
     nms_thresh: float = 0.45
     max_detections: int = 100
     use_07_metric: bool = True
+    # VOC devkit +1 inclusive-pixel IoU for AP matching (boxes here are in
+    # source pixels, so the devkit convention is the parity-correct one)
+    devkit_iou: bool = True
     letterbox: bool = True
     precision: Precision = FAST
     fold_bn: bool = True
@@ -197,7 +200,8 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
                         score=float(scores[bi, ci, k]),
                         box=tuple(float(x) for x in boxes[bi, ci, k])))
 
-    m, per_class = mean_ap(dets, gts, use_07_metric=config.use_07_metric)
+    m, per_class = mean_ap(dets, gts, use_07_metric=config.use_07_metric,
+                           devkit_iou=config.devkit_iou)
     return EvalResult(
         map50=m, per_class_ap=per_class, detections=dets,
         n_images=n_images,

@@ -35,14 +35,20 @@ class GroundTruth:
     difficult: bool = False
 
 
-def _iou_np(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+def _iou_np(box: np.ndarray, boxes: np.ndarray,
+            inclusive: float = 0.0) -> np.ndarray:
+    """IoU of one box against many. ``inclusive=1.0`` applies the VOC
+    devkit's +1 inclusive-pixel convention (widths/heights computed as
+    x2-x1+1 on integer pixel coordinates, as the canonical voc_eval.py
+    does); 0.0 is the continuous-coordinate convention."""
+    k = inclusive
     x1 = np.maximum(box[0], boxes[:, 0])
     y1 = np.maximum(box[1], boxes[:, 1])
     x2 = np.minimum(box[2], boxes[:, 2])
     y2 = np.minimum(box[3], boxes[:, 3])
-    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
-    area = (box[2] - box[0]) * (box[3] - box[1])
-    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    inter = np.maximum(x2 - x1 + k, 0) * np.maximum(y2 - y1 + k, 0)
+    area = (box[2] - box[0] + k) * (box[3] - box[1] + k)
+    areas = (boxes[:, 2] - boxes[:, 0] + k) * (boxes[:, 3] - boxes[:, 1] + k)
     union = area + areas - inter
     return np.where(union > 0, inter / union, 0.0)
 
@@ -67,8 +73,13 @@ def voc_ap(recall: np.ndarray, precision: np.ndarray,
 def class_ap(detections: Sequence[Detection],
              ground_truths: Sequence[GroundTruth],
              iou_thresh: float = 0.5,
-             use_07_metric: bool = True) -> float:
-    """AP for one class over a whole dataset."""
+             use_07_metric: bool = True,
+             devkit_iou: bool = False) -> float:
+    """AP for one class over a whole dataset.
+
+    ``devkit_iou=True`` uses the VOC devkit's +1 inclusive-pixel IoU
+    (boxes in pixel coordinates — what evaluate() produces); False keeps
+    the continuous convention (unit-agnostic, e.g. normalized boxes)."""
     npos = sum(1 for g in ground_truths if not g.difficult)
     if npos == 0:
         return 0.0
@@ -87,7 +98,8 @@ def class_ap(detections: Sequence[Detection],
             fp[i] = 1
             continue
         gt_boxes = np.array([g.box for g in gts], dtype=np.float64)
-        ious = _iou_np(np.asarray(d.box, np.float64), gt_boxes)
+        ious = _iou_np(np.asarray(d.box, np.float64), gt_boxes,
+                       inclusive=1.0 if devkit_iou else 0.0)
         j = int(np.argmax(ious))
         if ious[j] >= iou_thresh:
             if gts[j].difficult:
@@ -110,7 +122,8 @@ def class_ap(detections: Sequence[Detection],
 def mean_ap(detections_by_class: Dict[str, List[Detection]],
             gts_by_class: Dict[str, List[GroundTruth]],
             iou_thresh: float = 0.5,
-            use_07_metric: bool = True) -> Tuple[float, Dict[str, float]]:
+            use_07_metric: bool = True,
+            devkit_iou: bool = False) -> Tuple[float, Dict[str, float]]:
     """mAP over classes present in the ground truth.
 
     Returns (mAP, per-class AP dict). Classes with no GT are skipped (VOC
@@ -121,6 +134,7 @@ def mean_ap(detections_by_class: Dict[str, List[Detection]],
         if not any(not g.difficult for g in gts):
             continue
         aps[cls] = class_ap(detections_by_class.get(cls, []), gts,
-                            iou_thresh, use_07_metric)
+                            iou_thresh, use_07_metric,
+                            devkit_iou=devkit_iou)
     m = float(np.mean(list(aps.values()))) if aps else 0.0
     return m, aps

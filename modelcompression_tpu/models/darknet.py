@@ -118,18 +118,21 @@ def conv_bn_act(x: jnp.ndarray, p: Dict[str, jnp.ndarray], layer: ConvLayer,
 
 
 def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
-    """Darknet maxpool: out = (in + (size-1) - size)//stride + 1, window
-    origin at 0, out-of-bounds reads as -inf (i.e. effective bottom/right
-    padding). For even inputs with size=stride=2 this is plain VALID pooling;
-    for the Tiny-YOLOv2 size-2/stride-1 pool it pads bottom/right by one
-    (SURVEY.md §7.4.6)."""
+    """Darknet maxpool: out = (in + (size-1) - size)//stride + 1, with the
+    window origin offset by -(size-1)//2 (maxpool_layer.c: w_offset =
+    -pad/2 in integer math, pad = size-1). Out-of-bounds reads are -inf.
+
+    size=2 gives offset 0 — plain VALID pooling on even inputs, one
+    bottom/right pad for Tiny-YOLOv2's size-2/stride-1 pool (SURVEY.md
+    §7.4.6). Odd sizes (e.g. 3) center the padding, matching Darknet."""
     k, s = layer.size, layer.stride
     h, w = x.shape[1], x.shape[2]
     pad_total = k - 1
+    pad_begin = pad_total // 2
     out_h = (h + pad_total - k) // s + 1
     out_w = (w + pad_total - k) // s + 1
-    pad_h_end = max(0, (out_h - 1) * s + k - h)
-    pad_w_end = max(0, (out_w - 1) * s + k - w)
+    pad_h_end = max(0, (out_h - 1) * s + k - h - pad_begin)
+    pad_w_end = max(0, (out_w - 1) * s + k - w - pad_begin)
     # -inf (not finfo.min): JAX only recognizes the differentiable
     # reduce_window_max pattern with a -inf identity element
     neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
@@ -138,7 +141,8 @@ def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
         x, neg_inf, jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, s, s, 1),
-        padding=((0, 0), (0, pad_h_end), (0, pad_w_end), (0, 0)),
+        padding=((0, 0), (pad_begin, pad_h_end), (pad_begin, pad_w_end),
+                 (0, 0)),
     )
 
 
@@ -255,8 +259,10 @@ def num_conv_flops(spec: NetworkSpec) -> int:
             w = (w + 2 * l.padding - l.size) // l.stride + 1
             flops += 2 * h * w * l.size * l.size * l.in_channels * l.filters
         elif isinstance(l, MaxPoolLayer):
-            if l.stride > 1:
-                h, w = h // l.stride, w // l.stride
+            # darknet pool output: (h + (size-1) - size)//stride + 1 — NOT
+            # h//stride, which undercounts for odd spatial dims
+            h = (h - 1) // l.stride + 1
+            w = (w - 1) // l.stride + 1
         elif isinstance(l, ReorgLayer):
             h, w = h // l.stride, w // l.stride
         elif isinstance(l, RouteLayer):

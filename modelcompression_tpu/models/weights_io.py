@@ -28,7 +28,12 @@ from modelcompression_tpu.models.darknet import Params, conv_key
 
 
 def _seen_dtype(major: int, minor: int):
-    return np.int64 if (major * 10 + minor) >= 2 else np.int32
+    """Darknet parser.c: seen is int64 iff (major*10+minor) >= 2 AND both
+    major/minor < 1000 (>=1000 marks the ancient transposed format, which
+    keeps a 4-byte seen)."""
+    if major < 1000 and minor < 1000 and (major * 10 + minor) >= 2:
+        return np.int64
+    return np.int32
 
 
 def load_weights(path_or_file, spec: NetworkSpec) -> Tuple[Params, int]:

@@ -9,12 +9,16 @@ cfg section, config-driven as Appendix A.3 requires):
 * Early training (seen < 12800 images): all anchors get a weak prior loss
   pulling boxes to their anchor shapes (scale 0.01).
 * Each GT is assigned to the cell containing its center and the anchor with
-  the best shape-only IoU (``bias_match``). Assigned anchors get:
+  the best shape-only IoU — against the anchor priors when ``bias_match=1``
+  (the cfg default), against the predicted w/h at that cell when
+  ``bias_match=0`` (Darknet region_layer.c). Assigned anchors get:
     - coord loss: scale ``coord_scale * (2 - gw*gh)`` on
       (sigmoid(tx), sigmoid(ty), tw, th) vs encoded targets,
     - objectness: ``object_scale * (iou - sigmoid(to))^2`` (``rescore``;
-      target 1 otherwise),
-    - class: softmax cross-entropy * ``class_scale``.
+      the IoU is a stop-gradient target, as in Darknet; target 1
+      otherwise),
+    - class: softmax cross-entropy * ``class_scale`` (``softmax=1``) or
+      squared error on raw class outputs vs one-hot (``softmax=0``).
 
 TPU-first shape discipline: targets arrive as a fixed (B, M, 5) padded
 array (rows with w == 0 are invalid); assignment is built with scatter
@@ -90,6 +94,9 @@ def region_loss(raw: jnp.ndarray, targets: jnp.ndarray,
     """
     b, h, w, _ = raw.shape
     a, c = region.num, region.classes
+    if targets.shape[1] == 0:  # no GT slots at all: pad one invalid row so
+        # every reduction below keeps a non-zero axis (static branch)
+        targets = jnp.zeros((b, 1, 5), targets.dtype)
     m = targets.shape[1]
     raw = raw.reshape(b, h, w, a, 5 + c).astype(jnp.float32)
     anchors = jnp.asarray(region.anchor_pairs, jnp.float32)  # (A, 2)
@@ -124,17 +131,28 @@ def region_loss(raw: jnp.ndarray, targets: jnp.ndarray,
     # ---- GT assignment (scatter) ------------------------------------------
     gi = jnp.clip((gt_boxes[..., 0] * w).astype(jnp.int32), 0, w - 1)
     gj = jnp.clip((gt_boxes[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    # best anchor by shape-only IoU (boxes at origin)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
+    # best anchor by shape-only IoU (boxes at origin). bias_match=1 (the
+    # cfg default) compares against the anchor priors; bias_match=0 against
+    # the PREDICTED w/h of each anchor at the GT's cell (Darknet
+    # region_layer.c: pred.w = bias_match ? bias : out.w).
     gt_wh = jnp.stack([jnp.zeros_like(gt_boxes[..., 2]),
                        jnp.zeros_like(gt_boxes[..., 3]),
                        gt_boxes[..., 2] * w, gt_boxes[..., 3] * h], -1)
-    anc_wh = jnp.concatenate([jnp.zeros_like(anchors), anchors], -1)
-    shape_iou = _pair_iou(gt_wh[:, :, None, :], anc_wh[None, None, :, :])
+    if region.bias_match:
+        anc_wh = jnp.concatenate([jnp.zeros_like(anchors), anchors], -1)
+        shape_iou = _pair_iou(gt_wh[:, :, None, :],
+                              anc_wh[None, None, :, :])
+    else:
+        pred_wh = jax.lax.stop_gradient(
+            pred_boxes[batch_idx, gj, gi][..., 2:4])  # (B, M, A, 2) norm.
+        pred_wh = pred_wh * jnp.asarray([w, h], jnp.float32)  # cell units
+        pred_sh = jnp.concatenate([jnp.zeros_like(pred_wh), pred_wh], -1)
+        shape_iou = _pair_iou(gt_wh[:, :, None, :], pred_sh)
     ga = jnp.argmax(shape_iou, axis=-1)  # (B, M)
 
     # scatter targets into (B, H, W, A) grids; invalid GT rows are routed to
     # an out-of-bounds row index and dropped by the scatter
-    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
     vw = gt_valid.astype(jnp.float32)
     # XLA leaves .at[].set with duplicate indices unspecified, so resolve
     # duplicates explicitly: when two valid GTs map to the same
@@ -166,9 +184,14 @@ def region_loss(raw: jnp.ndarray, targets: jnp.ndarray,
                    * (2.0 - gt_boxes[..., 2] * gt_boxes[..., 3]))
     t_cls = scat(gt_cls.astype(jnp.float32)).astype(jnp.int32)
 
-    # IoU of the assigned predictor vs its GT (for rescore + metrics)
+    # IoU of the assigned predictor vs its GT (for rescore + metrics).
+    # stop_gradient: the IoU is a TARGET — Darknet writes delta =
+    # iou - sigmoid(to) with iou treated as a constant; letting gradients
+    # flow through it would push assigned boxes to REDUCE their IoU
+    # whenever iou > sigmoid(to).
     pred_at_gt = pred_boxes[batch_idx, gj, gi, ga]  # (B, M, 4)
-    iou_at_gt = _pair_iou(pred_at_gt, gt_boxes)     # (B, M)
+    iou_at_gt = jax.lax.stop_gradient(
+        _pair_iou(pred_at_gt, gt_boxes))            # (B, M)
     t_iou = scat(iou_at_gt)
 
     # ---- losses ------------------------------------------------------------
@@ -182,9 +205,17 @@ def region_loss(raw: jnp.ndarray, targets: jnp.ndarray,
     loss_noobj = region.noobject_scale * jnp.sum(
         jnp.where(noobj_mask & ~assigned, to ** 2, 0.0))
 
-    log_probs = jax.nn.log_softmax(cls_logits, axis=-1)
-    ce = -jnp.take_along_axis(log_probs, t_cls[..., None], axis=-1)[..., 0]
-    loss_cls = region.class_scale * jnp.sum(amask * ce)
+    if region.softmax:
+        log_probs = jax.nn.log_softmax(cls_logits, axis=-1)
+        ce = -jnp.take_along_axis(log_probs, t_cls[..., None],
+                                  axis=-1)[..., 0]
+        loss_cls = region.class_scale * jnp.sum(amask * ce)
+    else:
+        # softmax=0: Darknet's delta_region_class without softmax is a
+        # squared error on the raw class outputs vs one-hot
+        onehot = jax.nn.one_hot(t_cls, c, dtype=jnp.float32)
+        loss_cls = region.class_scale * jnp.sum(
+            amask[..., None] * (onehot - cls_logits) ** 2)
 
     # prior loss: push every unassigned box toward its anchor early on
     prior_on = (seen < PRIOR_SEEN_CUTOFF).astype(jnp.float32)

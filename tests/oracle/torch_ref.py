@@ -33,15 +33,19 @@ def torch_reorg(x: torch.Tensor, stride: int = 2) -> torch.Tensor:
 
 
 def torch_maxpool(x: torch.Tensor, size: int, stride: int) -> torch.Tensor:
-    """Darknet maxpool: window origin 0, OOB reads -inf (bottom/right pad)."""
+    """Darknet maxpool (maxpool_layer.c): window origin offset by
+    -(size-1)//2 (centered padding for odd sizes; bottom/right-only for
+    size 2, the pytorch-yolo2 case), OOB reads -inf."""
     h, w = x.shape[2], x.shape[3]
     pad_total = size - 1
+    pad_begin = pad_total // 2
     out_h = (h + pad_total - size) // stride + 1
     out_w = (w + pad_total - size) // stride + 1
-    pad_h = max(0, (out_h - 1) * stride + size - h)
-    pad_w = max(0, (out_w - 1) * stride + size - w)
-    if pad_h or pad_w:
-        x = F.pad(x, (0, pad_w, 0, pad_h), value=float("-inf"))
+    pad_h = max(0, (out_h - 1) * stride + size - h - pad_begin)
+    pad_w = max(0, (out_w - 1) * stride + size - w - pad_begin)
+    if pad_h or pad_w or pad_begin:
+        x = F.pad(x, (pad_begin, pad_w, pad_begin, pad_h),
+                  value=float("-inf"))
     return F.max_pool2d(x, kernel_size=size, stride=stride)
 
 
