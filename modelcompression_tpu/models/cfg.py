@@ -62,6 +62,11 @@ class ConvLayer:
 class MaxPoolLayer:
     size: int = 2
     stride: int = 2
+    padding: int = -1  # -1 -> Darknet default (size - 1)
+
+    @property
+    def pad_total(self) -> int:
+        return self.size - 1 if self.padding < 0 else self.padding
 
 
 @dataclasses.dataclass
@@ -184,6 +189,7 @@ def parse_cfg(text: str) -> NetworkSpec:
             layers.append(MaxPoolLayer(
                 size=int(o.get("size", 2)),
                 stride=int(o.get("stride", 2)),
+                padding=int(o.get("padding", -1)),
             ))
         elif name == "route":
             rel = _ints(o["layers"])
@@ -292,6 +298,8 @@ def dump_cfg(spec: NetworkSpec) -> str:
                       f"activation={l.activation}\n")
         elif isinstance(l, MaxPoolLayer):
             out.write(f"[maxpool]\nsize={l.size}\nstride={l.stride}\n")
+            if l.padding >= 0:
+                out.write(f"padding={l.padding}\n")
         elif isinstance(l, RouteLayer):
             rel = ",".join(str(a - i) for a in l.layers)
             out.write(f"[route]\nlayers={rel}\n")

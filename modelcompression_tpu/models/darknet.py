@@ -127,7 +127,7 @@ def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
     §7.4.6). Odd sizes (e.g. 3) center the padding, matching Darknet."""
     k, s = layer.size, layer.stride
     h, w = x.shape[1], x.shape[2]
-    pad_total = k - 1
+    pad_total = layer.pad_total  # cfg padding= knob; default size - 1
     pad_begin = pad_total // 2
     out_h = (h + pad_total - k) // s + 1
     out_w = (w + pad_total - k) // s + 1
