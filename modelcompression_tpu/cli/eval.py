@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bitmatch = fp32/HIGHEST (bit-faithful, slower)")
     p.add_argument("--no-letterbox", action="store_true",
                    help="stretch-resize instead of letterbox")
+    p.add_argument("--continuous-iou", action="store_true",
+                   help="use continuous-coordinate IoU for AP matching "
+                        "instead of the VOC devkit's +1 inclusive-pixel "
+                        "convention (the default)")
     p.add_argument("--dump-dir", default=None,
                    help="write per-class detection files here")
     return p
@@ -58,6 +62,7 @@ def main(argv=None) -> int:
         batch_size=args.batch, conf_thresh=args.conf, nms_thresh=args.nms,
         max_detections=args.max_det, use_07_metric=(args.metric == "07"),
         letterbox=not args.no_letterbox, precision=precision,
+        devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"))
     res = evaluate(params, spec, samples, names, cfg)
     print(res.summary())
