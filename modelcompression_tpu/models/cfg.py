@@ -35,6 +35,10 @@ class NetConfig:
     steps: Tuple[int, ...] = ()
     scales: Tuple[float, ...] = ()
     burn_in: int = 0
+    # lr-policy knobs for poly/exp/sig/step policies (Darknet [net])
+    power: float = 4.0
+    gamma: float = 1.0
+    step: int = 1
     # augmentation knobs (Darknet [net] section)
     angle: float = 0.0
     saturation: float = 1.5
@@ -167,6 +171,9 @@ def parse_cfg(text: str) -> NetworkSpec:
         steps=_ints(o["steps"]) if "steps" in o else (),
         scales=_floats(o["scales"]) if "scales" in o else (),
         burn_in=int(o.get("burn_in", 0)),
+        power=float(o.get("power", 4)),
+        gamma=float(o.get("gamma", 1)),
+        step=int(o.get("step", 1)),
         angle=float(o.get("angle", 0)),
         saturation=float(o.get("saturation", 1.5)),
         exposure=float(o.get("exposure", 1.5)),
@@ -285,6 +292,7 @@ def dump_cfg(spec: NetworkSpec) -> str:
     # training/augment hyperparameters: a checkpoint's arch.cfg must
     # round-trip EVERY NetConfig field or resume trains with defaults
     out.write(f"burn_in={n.burn_in}\n")
+    out.write(f"power={n.power:g}\ngamma={n.gamma:g}\nstep={n.step}\n")
     out.write(f"angle={n.angle:g}\nsaturation={n.saturation:g}\n"
               f"exposure={n.exposure:g}\nhue={n.hue:g}\n")
     for i, l in enumerate(spec.layers):

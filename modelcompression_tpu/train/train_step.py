@@ -54,6 +54,11 @@ class TrainConfig:
     momentum: float = 0.9
     decay: float = 5e-4
     burn_in: int = 0
+    policy: str = "steps"   # constant | steps | poly | exp | sig
+    max_batches: int = 80200
+    power: float = 4.0      # poly exponent / exp-gamma-ish (Darknet default)
+    gamma: float = 1.0      # exp/sig decay rate
+    step: int = 1           # [net] step= for the 'step' policy
     steps: Tuple[int, ...] = ()
     scales: Tuple[float, ...] = ()
     precision: Precision = FAST
@@ -73,8 +78,9 @@ class TrainConfig:
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
         n = spec.net
         kw = dict(learning_rate=n.learning_rate, momentum=n.momentum,
-                  decay=n.decay, burn_in=n.burn_in, steps=n.steps,
-                  scales=n.scales)
+                  decay=n.decay, burn_in=n.burn_in, policy=n.policy,
+                  max_batches=n.max_batches, power=n.power, gamma=n.gamma,
+                  step=n.step, steps=n.steps, scales=n.scales)
         kw.update(overrides)
         return cls(**kw)
 
@@ -132,20 +138,45 @@ def merge_params(trainable: Params, stats: Params) -> Params:
 
 
 def darknet_lr_schedule(config: TrainConfig):
-    """Darknet 'steps' policy with burn-in, matching get_current_rate:
-    during burn-in the LR is lr * (step/burn_in)^4 and the steps policy is
-    NOT applied; after burn-in, scales[i] applies whenever steps[i] <= step
-    — so a leading ``-1`` step (the convention in the shipped tiny-yolo
-    cfg) scales the base LR immediately after burn-in ends (or from step 0
-    with no burn-in). Every (step, scale) pair is kept, including
-    non-positive steps (``step >= s`` is simply always true for them)."""
+    """Darknet LR policies, matching network.c get_current_rate: during
+    burn-in the LR is lr * (step/burn_in)^4 and the policy is NOT applied;
+    after burn-in the cfg ``policy`` takes over:
+
+    * ``constant`` — base lr.
+    * ``steps`` — scales[i] applies whenever steps[i] <= step, so a
+      leading ``-1`` step (the shipped tiny-yolo convention) scales the
+      base LR immediately; every (step, scale) pair is kept, including
+      non-positive steps (``step >= s`` is always true for them).
+    * ``step``  — lr * scale^(step//step_size) (scales[0] or 1).
+    * ``poly``  — lr * (1 - step/max_batches)^power.
+    * ``exp``   — lr * gamma^step.
+    * ``sig``   — lr / (1 + exp(gamma*(step - step_size))).
+    """
     base = config.learning_rate
     pairs = tuple(zip(config.steps, config.scales))
+    policy = config.policy
 
     def schedule(step):
+        step_f = jnp.asarray(step, jnp.float32)
         lr = jnp.asarray(base, jnp.float32)
-        for s, sc in pairs:
-            lr = jnp.where(step >= s, lr * sc, lr)
+        if policy == "steps":
+            for s, sc in pairs:
+                lr = jnp.where(step >= s, lr * sc, lr)
+        elif policy == "step":
+            scale = config.scales[0] if config.scales else 1.0
+            lr = base * scale ** jnp.floor(step_f / max(config.step, 1))
+        elif policy == "poly":
+            frac = jnp.clip(step_f / config.max_batches, 0.0, 1.0)
+            lr = base * (1.0 - frac) ** config.power
+        elif policy == "exp":
+            lr = base * config.gamma ** step_f
+        elif policy == "sig":
+            lr = base / (1.0 + jnp.exp(config.gamma
+                                       * (step_f - config.step)))
+        elif policy == "constant":
+            pass
+        else:
+            raise ValueError(f"unsupported lr policy {policy!r}")
         if config.burn_in > 0:
             frac = jnp.minimum(step / config.burn_in, 1.0)
             lr = jnp.where(step < config.burn_in,

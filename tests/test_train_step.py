@@ -102,6 +102,44 @@ def test_lr_schedule_policies():
     assert float(sched(350)) == approx(0.1 * 0.5 * 0.1, rel=1e-6)
 
 
+def test_lr_schedule_leading_negative_step_and_burn_in_gate():
+    """Darknet get_current_rate: the steps policy is NOT applied during
+    burn-in; a leading -1 step scales the base LR right after burn-in."""
+    config = TrainConfig(learning_rate=1e-3, burn_in=100,
+                         steps=(-1, 500), scales=(0.1, 10.0))
+    sched = darknet_lr_schedule(config)
+    assert float(sched(50)) == approx(1e-3 * 0.5 ** 4, rel=1e-6)  # no x0.1
+    assert float(sched(100)) == approx(1e-4, rel=1e-6)
+    assert float(sched(600)) == approx(1e-3, rel=1e-6)
+
+
+def test_lr_schedule_poly_exp_sig_constant():
+    base = TrainConfig(learning_rate=0.1, policy="poly", max_batches=1000,
+                       power=4.0)
+    sched = darknet_lr_schedule(base)
+    assert float(sched(0)) == approx(0.1, rel=1e-6)
+    assert float(sched(500)) == approx(0.1 * 0.5 ** 4, rel=1e-5)
+    assert float(sched(1000)) == approx(0.0, abs=1e-9)
+
+    import dataclasses
+    exp = dataclasses.replace(base, policy="exp", gamma=0.99)
+    sched = darknet_lr_schedule(exp)
+    assert float(sched(100)) == approx(0.1 * 0.99 ** 100, rel=1e-4)
+
+    sig = dataclasses.replace(base, policy="sig", gamma=0.1, step=100)
+    sched = darknet_lr_schedule(sig)
+    assert float(sched(100)) == approx(0.05, rel=1e-5)
+
+    const = dataclasses.replace(base, policy="constant")
+    sched = darknet_lr_schedule(const)
+    assert float(sched(12345)) == approx(0.1, rel=1e-6)
+
+    stepp = dataclasses.replace(base, policy="step", step=100,
+                                scales=(0.5,))
+    sched = darknet_lr_schedule(stepp)
+    assert float(sched(250)) == approx(0.1 * 0.25, rel=1e-5)
+
+
 def test_dp_sharded_step_matches_single_device():
     """SURVEY.md §4.6: DP gradient == single-device gradient. Run the same
     step (a) on one device, (b) batch-sharded over an 8-CPU mesh; the
