@@ -48,7 +48,66 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rewritten .cfg path (l1_filter mode)")
     p.add_argument("--use-pallas", action="store_true",
                    help="use the fused Pallas top-k/mask kernels")
+    p.add_argument("--sweep", default=None,
+                   help="comma list of sparsities/fractions: prune at each "
+                        "point, write <out stem>_<pct>.weights, and (with "
+                        "--data) evaluate mAP@50 at each — the reference's "
+                        "sparsity sweep driver (BASELINE.json:8)")
+    p.add_argument("--data", default=None,
+                   help="dataset (.data file or VOCdevkit root) for sweep "
+                        "evaluation")
+    p.add_argument("--image-set", default="test")
+    p.add_argument("--batch", type=int, default=8)
     return p
+
+
+def _sweep(args, spec, params, seen) -> int:
+    from modelcompression_tpu.cli.common import load_dataset
+    from modelcompression_tpu.evaluation import EvalConfig, evaluate
+
+    points = [float(x) for x in args.sweep.split(",") if x]
+    for v in points:
+        if not (0.0 <= v < 1.0):
+            print(f"error: sweep point {v} out of [0, 1)", file=sys.stderr)
+            return 2
+    samples = names = None
+    if args.data:
+        samples, names = load_dataset(args)
+    stem = args.out.rsplit(".", 1)[0]
+    rows = []
+    for v in points:
+        if args.mode == "l1_filter":
+            keep = uniform_filter_fraction_keep_sets(spec, params, v)
+            out_spec, out_params = repack(spec, params, keep)
+            achieved = 1.0 - num_params(out_params) / num_params(params)
+        else:
+            fn = (magnitude_masks_perlayer if args.mode == "magnitude"
+                  else magnitude_masks_global)
+            masks = fn(params, spec, v)
+            achieved = float(mask_sparsity(masks))
+            out_spec, out_params = spec, apply_masks(params, masks)
+        out_params = jax.tree.map(np.asarray, out_params)
+        out = f"{stem}_{int(round(v * 100))}.weights"
+        save_weights(out, out_spec, out_params, seen=seen)
+        row = {"point": v, "achieved": achieved, "weights": out}
+        if args.mode == "l1_filter":
+            out_cfg = f"{stem}_{int(round(v * 100))}.cfg"
+            with open(out_cfg, "w") as f:
+                f.write(dump_cfg(out_spec))
+            row["cfg"] = out_cfg
+        if samples is not None:
+            res = evaluate(out_params, out_spec, samples, names,
+                           EvalConfig(batch_size=args.batch))
+            row["map50"] = res.map50
+        rows.append(row)
+        print(f"sweep {v:.0%}: achieved {achieved:.2%} -> {out}"
+              + (f"  mAP@50 {row['map50'] * 100:.2f}"
+                 if "map50" in row else ""))
+    print(f"{'point':>6} {'achieved':>9} {'mAP@50':>8}")
+    for r in rows:
+        print(f"{r['point']:6.0%} {r['achieved']:9.2%} "
+              + (f"{r['map50'] * 100:8.2f}" if "map50" in r else "      --"))
+    return 0
 
 
 def main(argv=None) -> int:
@@ -56,6 +115,9 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     spec, params, seen = load_model(args)
     n0 = num_params(params)
+
+    if args.sweep:
+        return _sweep(args, spec, params, seen)
 
     if args.mode in ("magnitude", "global"):
         if args.sparsity is None:

@@ -42,13 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Darknet crop-jitter fraction in [0, 0.5); "
                         "default: the cfg's [region] jitter value; "
                         "pass 0 to disable")
-    p.add_argument("--multi-scale", action="store_true",
+    p.add_argument("--multi-scale", action="store_true", default=None,
                    help="Darknet random-resize training (cfg random=1): "
                         "redraw the net size from 320..608 every 10 "
                         "batches. Each of the 10 sizes compiles its own "
                         "XLA program ONCE when first drawn (20-50s each "
                         "on a remote-compile TPU), then hits the jit "
-                        "cache — the cost amortizes over a training run")
+                        "cache — the cost amortizes over a training run. "
+                        "Default: the cfg's random= flag")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--eval-every", type=int, default=0)
@@ -79,7 +80,11 @@ def main(argv=None) -> int:
         augment_jitter=jitter,
         max_boxes=args.max_boxes, **overrides)
     batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
-    multi_scale = (320, 608) if args.multi_scale else None
+    # default: the cfg's [region] random flag (Darknet trains multi-scale
+    # whenever random=1)
+    use_ms = (args.multi_scale if args.multi_scale is not None
+              else spec.region.random)
+    multi_scale = (320, 608) if use_ms else None
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,
                          max_boxes=args.max_boxes, seed=args.seed,

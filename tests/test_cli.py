@@ -121,6 +121,36 @@ def test_prune_cli_all_modes(tmp_path):
     assert convs[0].filters == 8  # 16 * 0.5
 
 
+def test_prune_cli_sweep_driver(tmp_path):
+    """The reference's sparsity sweep driver (BASELINE.json:8): one command
+    prunes at each point, writes per-point weights, and reports mAP."""
+    from modelcompression_tpu.cli import prune
+    from modelcompression_tpu.models import load_weights
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=4)
+    out = str(tmp_path / "sw.weights")
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "magnitude", "--sweep", "0.5,0.9",
+                     "--data", data_cfg, "--batch", "2", "--out", out])
+    assert rc == 0
+    for pct, s in ((50, 0.5), (90, 0.9)):
+        p, _ = load_weights(str(tmp_path / f"sw_{pct}.weights"), spec)
+        zeros = sum(float((np.asarray(q["w"]) == 0).sum())
+                    for q in p.values())
+        total = sum(np.asarray(q["w"]).size for q in p.values())
+        assert zeros / total >= s - 0.02
+
+    # l1_filter sweep writes per-point cfgs too
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--sweep", "0.5",
+                     "--out", str(tmp_path / "fl.weights")])
+    assert rc == 0
+    slim = load_cfg(str(tmp_path / "fl_50.cfg"))
+    slim_p, _ = load_weights(str(tmp_path / "fl_50.weights"), slim)
+    assert [l for l in slim.layers if isinstance(l, ConvLayer)][0].filters == 8
+
+
 def test_train_cli_smoke(tmp_path):
     """train CLI: 2 steps on the fixture + final checkpoint written."""
     from modelcompression_tpu.cli import train as train_cli
