@@ -81,8 +81,17 @@ def _sweep(args, spec, params, seen) -> int:
             out_spec, out_params = repack(spec, params, keep)
             achieved = 1.0 - num_params(out_params) / num_params(params)
         else:
-            fn = (magnitude_masks_perlayer if args.mode == "magnitude"
-                  else magnitude_masks_global)
+            if args.use_pallas:
+                from modelcompression_tpu.ops import (
+                    pallas_magnitude_masks_global,
+                    pallas_magnitude_masks_perlayer,
+                )
+                fn = (pallas_magnitude_masks_perlayer
+                      if args.mode == "magnitude"
+                      else pallas_magnitude_masks_global)
+            else:
+                fn = (magnitude_masks_perlayer if args.mode == "magnitude"
+                      else magnitude_masks_global)
             masks = fn(params, spec, v)
             achieved = float(mask_sparsity(masks))
             out_spec, out_params = spec, apply_masks(params, masks)
