@@ -76,7 +76,12 @@ def load_dataset(args):
 def load_train_dataset(args):
     data = args.data
     if os.path.isdir(data):
-        return (load_voc_devkit(data, image_set="trainval"),
+        # honor an explicit --image-set; 'test' is the eval-side default so
+        # treat it as unset here and use the darknet training convention
+        image_set = getattr(args, "image_set", None)
+        if not image_set or image_set == "test":
+            image_set = "trainval"
+        return (load_voc_devkit(data, image_set=image_set),
                 list(VOC_CLASSES))
     cfg = read_data_cfg(data)
     names = read_names(cfg["names"]) if "names" in cfg else list(VOC_CLASSES)

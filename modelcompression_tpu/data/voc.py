@@ -66,13 +66,24 @@ def read_data_cfg(path: str) -> dict:
 
 def _label_path(image_path: str) -> str:
     """Darknet convention: .../images/foo.jpg -> .../labels/foo.txt (also
-    JPEGImages->labels); falls back to sibling .txt."""
-    base, _ = os.path.splitext(image_path)
-    for src, dst in (("JPEGImages", "labels"), ("images", "labels")):
-        if src in base:
-            cand = base.replace(src, dst) + ".txt"
-            return cand
-    return base + ".txt"
+    JPEGImages -> labels); falls back to a sibling .txt.
+
+    Only a whole path COMPONENT named images/JPEGImages is rewritten (the
+    nearest one to the file), and only if the rewritten label file exists —
+    a substring replace would corrupt paths like .../my_images_v2/... and
+    the unconditional return would defeat the documented sibling fallback.
+    """
+    d, fname = os.path.split(image_path)
+    stem = os.path.splitext(fname)[0]
+    parts = d.split(os.sep)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] in ("images", "JPEGImages"):
+            cand = os.sep.join(parts[:i] + ["labels"] + parts[i + 1:]
+                               + [stem + ".txt"])
+            if os.path.exists(cand):
+                return cand
+            break
+    return os.path.join(d, stem + ".txt")
 
 
 def load_list_dataset(list_file: str) -> List[Sample]:
@@ -136,18 +147,35 @@ def load_voc_devkit(voc_root: str, image_set: str = "test",
     vdir = os.path.join(voc_root, f"VOC{year}")
     ids_file = os.path.join(vdir, "ImageSets", "Main", f"{image_set}.txt")
     with open(ids_file) as f:
-        ids = [l.strip() for l in f if l.strip()]
+        # main split files are one id per line; per-class files (e.g.
+        # 'aeroplane_test') are 'id flag' pairs — take the id token so a
+        # per-class set doesn't silently produce nonexistent XML lookups
+        ids = [l.split()[0] for l in f if l.strip()]
     samples = []
+    missing = 0
     for img_id in ids:
         xml = os.path.join(vdir, "Annotations", f"{img_id}.xml")
         if os.path.exists(xml):
             labels, difficult, _ = parse_voc_xml(xml, class_names)
         else:
+            missing += 1
             labels = np.zeros((0, 5), np.float32)
             difficult = np.zeros((0,), bool)
         samples.append(Sample(
             image_path=os.path.join(vdir, "JPEGImages", f"{img_id}.jpg"),
             image_id=img_id, labels=labels, difficult=difficult))
+    if missing == len(samples) and samples:
+        # the annotations tarball ships separately from the images; an
+        # entirely-missing Annotations dir silently evaluating against zero
+        # ground truth is the classic corrupted-mAP failure
+        raise FileNotFoundError(
+            f"no annotation XML found for ANY of the {len(samples)} ids in "
+            f"{ids_file} (looked in {os.path.join(vdir, 'Annotations')}) — "
+            "is the VOC annotations archive extracted?")
+    if missing:
+        import sys
+        print(f"[warn] {missing}/{len(samples)} ids have no annotation XML "
+              f"(treated as zero-object images)", file=sys.stderr)
     return samples
 
 

@@ -41,7 +41,8 @@ CHUNK = 128 * 1024  # uint32 chunk -> 512KB VMEM per input buffer (the
 # apply kernel's temporaries at 256K chunks hit Mosaic's 16MB scoped limit)
 LANES = 128
 ROWS = CHUNK // LANES  # chunks are 2-D (ROWS, 128): Mosaic-native tiling
-PAD_BITS = jnp.uint32(0xFFFFFFFF)  # > any |w| bit pattern: never counted
+# NOTE: padding elements are zeros isolated in their OWN segment (n_zero=0),
+# which is what keeps them out of every count — not a sentinel bit pattern.
 
 
 def _interpret() -> bool:
@@ -260,10 +261,15 @@ def pallas_prune_flat(w_cat: jnp.ndarray, seg_ids: jnp.ndarray,
     # disable zeroing entirely for segments with n_zero == 0 by an
     # impossible threshold (0) and zero budget
     tau = jnp.where(nz > 0, kth, jnp.uint32(0))
+    # n_below must be count(bits < tau). The kernel counts <=, so we count
+    # <= tau-1 — EXCEPT when tau == 0 (k-th smallest |w| is exactly 0.0,
+    # e.g. re-pruning already-pruned weights): nothing is < 0, so n_below
+    # is literally 0 there. Counting <= 0 instead would eat the whole tie
+    # budget with the zeros themselves and prune nothing.
     n_below = pallas_count_le(
         bits, seg_ids, jnp.where(tau > 0, tau - jnp.uint32(1),
                                  jnp.uint32(0)), n_segments)
-    n_below = jnp.where(nz > 0, n_below, 0)
+    n_below = jnp.where((nz > 0) & (tau > jnp.uint32(0)), n_below, 0)
     budget = jnp.where(nz > 0, nz - n_below, 0)
     per_chunk = pallas_tie_counts(bits, seg_ids, tau, n_segments)  # (G, S)
     # ties-before-this-chunk (all segments) and ties-before-this-segment
@@ -279,6 +285,8 @@ def pallas_prune_flat(w_cat: jnp.ndarray, seg_ids: jnp.ndarray,
 
 
 def _layout(params: Params, keys: List[str]):
+    if not keys:
+        raise ValueError("nothing to prune: every conv layer is skipped")
     flats = [params[k]["w"].reshape(-1) for k in keys]
     sizes = [int(f.size) for f in flats]
     total = sum(sizes)

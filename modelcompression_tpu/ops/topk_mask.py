@@ -75,6 +75,11 @@ def segmented_rank_mask(bits: jnp.ndarray, seg_ids: jnp.ndarray,
                         ) -> jnp.ndarray:
     """Keep-mask: per segment, False for exactly n_zero[s] smallest elements
     (ties: lowest concat-index pruned first).
+
+    PRECONDITION: seg_ids must be contiguous ascending blocks (segment 0's
+    elements first, then segment 1's, ...) — the tie ranking is a global
+    cumsum minus per-segment start offsets, which is only a per-segment
+    rank under that layout. All internal callers build ids that way.
     """
     nz = jnp.maximum(n_zero, 0)
     any_zero = nz > 0
@@ -101,6 +106,8 @@ def segmented_rank_mask(bits: jnp.ndarray, seg_ids: jnp.ndarray,
 
 
 def _concat_layout(params: Params, keys: List[str]):
+    if not keys:
+        raise ValueError("nothing to prune: every conv layer is skipped")
     flats = [params[k]["w"].reshape(-1) for k in keys]
     sizes = [f.size for f in flats]
     cat = jnp.concatenate(flats)

@@ -24,6 +24,20 @@ def _is_prng_key(v) -> bool:
             and jax.dtypes.issubdtype(v.dtype, jax.dtypes.prng_key))
 
 
+def _to_host_tree(state: Any):
+    """Copy a state pytree to host numpy, unwrapping PRNG keys to raw key
+    data; returns (host_tree, keystr list of the PRNG leaves)."""
+    prng_paths = []
+
+    def to_host(path_, v):
+        if _is_prng_key(v):
+            prng_paths.append(jax.tree_util.keystr(path_))
+            return np.asarray(jax.random.key_data(v))
+        return np.asarray(v)
+
+    return jax.tree_util.tree_map_with_path(to_host, state), prng_paths
+
+
 def save_checkpoint(path: str, step: int, spec: NetworkSpec,
                     state: Dict[str, Any],
                     extra: Optional[Dict[str, Any]] = None) -> str:
@@ -34,15 +48,7 @@ def save_checkpoint(path: str, step: int, spec: NetworkSpec,
     d = _ckpt_dir(path, step)
     os.makedirs(os.path.dirname(d), exist_ok=True)
 
-    prng_paths = []
-
-    def to_host(path_, v):
-        if _is_prng_key(v):
-            prng_paths.append(jax.tree_util.keystr(path_))
-            return np.asarray(jax.random.key_data(v))
-        return np.asarray(v)
-
-    host_state = jax.tree_util.tree_map_with_path(to_host, state)
+    host_state, prng_paths = _to_host_tree(state)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(d, "state"), host_state, force=True)
     with open(os.path.join(d, "arch.cfg"), "w") as f:
@@ -67,9 +73,12 @@ def load_checkpoint(ckpt_dir: str, target: Any = None
     re-device-put / re-shard as needed (resume-safe across topologies).
 
     ``target``: optional pytree with the desired structure (e.g. a freshly
-    built TrainState) — orbax loses container types (optax NamedTuples come
-    back as dicts), so the restored leaves are re-hung on the target's
-    treedef when given.
+    built TrainState) — orbax serializes container types (optax
+    NamedTuples) as dicts on disk, so restoring WITHOUT a target returns
+    plain dicts. With a target, orbax restores INTO the target's structure
+    matching nodes BY NAME — never by flatten order, which differs between
+    NamedTuples (field order) and dicts (sorted keys) and would silently
+    permute leaves for non-alphabetical optimizer states.
     """
     import orbax.checkpoint as ocp
     with ocp.PyTreeCheckpointer() as ckptr:
@@ -79,20 +88,50 @@ def load_checkpoint(ckpt_dir: str, target: Any = None
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         meta = json.load(f)
 
+    if target is not None:
+        state = _rehang(state, target)
+
     prng_paths = set(meta.get("prng_paths", []))
     if prng_paths:
+        # after _rehang the structure (hence keystrs) matches the one
+        # recorded at save time; the no-target path restores plain dicts,
+        # whose keystrs match only for dict-contained keys (the TrainState
+        # layout) — keep PRNG keys under dicts when saving without a
+        # matching target.
         def wrap(path_, v):
             if jax.tree_util.keystr(path_) in prng_paths:
                 return jax.random.wrap_key_data(jax.numpy.asarray(v))
             return v
         state = jax.tree_util.tree_map_with_path(wrap, state)
 
-    if target is not None:
-        leaves = jax.tree.leaves(state)
-        treedef = jax.tree.structure(target)
-        if treedef.num_leaves != len(leaves):
-            raise ValueError(
-                f"checkpoint has {len(leaves)} leaves but target expects "
-                f"{treedef.num_leaves} — architecture/optimizer mismatch")
-        state = jax.tree.unflatten(treedef, leaves)
     return spec, state, meta
+
+
+def _rehang(restored: Any, target: Any) -> Any:
+    """Re-hang orbax-restored leaves on the target's container types BY
+    NAME, never by flatten order — NamedTuples flatten in field order while
+    their restored dicts flatten in sorted-key order, so order-based
+    ``tree_unflatten`` silently permutes non-alphabetical optimizer states.
+    Orbax stores NamedTuples as dicts keyed by field name and plain
+    tuples/lists as dicts keyed by the index string."""
+    if isinstance(target, dict):
+        if not isinstance(restored, dict):
+            raise ValueError(f"checkpoint node is {type(restored).__name__},"
+                             f" target expects a dict")
+        return type(target)(
+            (k, _rehang(restored[k], v)) for k, v in target.items())
+    if hasattr(target, "_fields"):  # NamedTuple
+        vals = []
+        for i, f in enumerate(target._fields):
+            node = (restored.get(f, restored.get(str(i)))
+                    if isinstance(restored, dict) else restored[i])
+            vals.append(_rehang(node, getattr(target, f)))
+        return type(target)(*vals)
+    if isinstance(target, (list, tuple)):
+        items = []
+        for i, v in enumerate(target):
+            node = (restored[str(i)] if isinstance(restored, dict)
+                    else restored[i])
+            items.append(_rehang(node, v))
+        return type(target)(items)
+    return restored  # leaf

@@ -119,6 +119,69 @@ def test_region_loss_bias_match_and_softmax_variants():
     assert float(m_sm.loss_cls) != float(m_ls.loss_cls)
 
 
+def test_pallas_mask_prunes_preexisting_zeros_at_tau_zero():
+    """When the k-th smallest |w| is exactly 0.0 (re-pruning already-pruned
+    weights), the Pallas mask path must still prune n_zero elements — the
+    tau-1 underflow guard previously zeroed the tie budget and pruned
+    NOTHING (confirmed by execution in review)."""
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+    from modelcompression_tpu.models import init_params, parse_cfg
+    from modelcompression_tpu.models.darknet import conv_key
+    from modelcompression_tpu.ops.pallas_topk import (
+        pallas_magnitude_masks_perlayer,
+    )
+    from modelcompression_tpu.compress.criteria import (
+        magnitude_masks_perlayer,
+    )
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=32, height=32))
+    params = init_params(spec, jax.random.key(0))
+    # pre-zero 60% of the first conv; then ask for 50% sparsity — the
+    # threshold value is exactly 0.0 in that segment
+    k0 = conv_key(spec.conv_indices()[0])
+    w = np.asarray(params[k0]["w"]).copy()
+    flat = w.reshape(-1)
+    flat[: int(0.6 * flat.size)] = 0.0
+    params = dict(params, **{k0: dict(params[k0], w=jnp.asarray(w))})
+
+    mp = pallas_magnitude_masks_perlayer(params, spec, 0.5)
+    mx = magnitude_masks_perlayer(params, spec, 0.5)
+    for k in mx:
+        np.testing.assert_array_equal(
+            np.asarray(mp[k]), np.asarray(mx[k]),
+            err_msg=f"pallas mask != xla mask for {k} (tau==0 case)")
+    n_pruned = int((~np.asarray(mp[k0])).sum())
+    assert n_pruned == int(0.5 * flat.size)
+
+
+def test_checkpoint_namedtuple_field_order(tmp_path):
+    """orbax restore with a target must re-hang leaves BY NAME: a
+    NamedTuple whose fields are not alphabetical flattens in field order
+    while its restored dict flattens in sorted-key order — order-based
+    unflattening silently permutes the optimizer state."""
+    import collections
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+    from modelcompression_tpu.models import parse_cfg
+    from modelcompression_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    P = collections.namedtuple("P", ["zulu", "alpha"])  # non-alphabetical
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=32, height=32))
+    state = {"opt": P(zulu=np.full((3,), 1.0, np.float32),
+                      alpha=np.full((3,), 2.0, np.float32)),
+             "step": np.asarray(7)}
+    d = save_checkpoint(str(tmp_path / "ck"), 1, spec, state)
+    target = {"opt": P(zulu=np.zeros((3,), np.float32),
+                       alpha=np.zeros((3,), np.float32)),
+              "step": np.asarray(0)}
+    _, restored, _ = load_checkpoint(d, target=target)
+    np.testing.assert_array_equal(np.asarray(restored["opt"].zulu),
+                                  np.full((3,), 1.0))
+    np.testing.assert_array_equal(np.asarray(restored["opt"].alpha),
+                                  np.full((3,), 2.0))
+
+
 def test_region_loss_zero_gt_slots():
     region = tiny_region(class_scale=1.0, coord_scale=1.0)
     raw = jnp.zeros((1, 2, 2, 2 * 8), jnp.float32)
