@@ -16,6 +16,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax
@@ -76,6 +77,16 @@ def main(argv=None) -> int:
         print("error: dataset is empty", file=sys.stderr)
         return 2
     eval_samples, eval_names = load_dataset(args)
+    if not eval_samples:
+        print("error: eval dataset is empty (check the .data valid= list "
+              "or the devkit image set) — refusing to train for nothing",
+              file=sys.stderr)
+        return 2
+    if args.preserve_sparsity and args.iterate:
+        print("error: --preserve-sparsity cannot be combined with "
+              "--iterate (the iterative loop re-derives its own masks/"
+              "keep-sets each round)", file=sys.stderr)
+        return 2
 
     overrides = {}
     if args.lr is not None:
@@ -101,17 +112,19 @@ def main(argv=None) -> int:
             spec, params, config, loader, fractions=fractions,
             steps_per_round=args.steps, eval_fn=eval_fn,
             mode=args.iterate_mode, rng=jax.random.key(args.seed),
-            logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume)
+            logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume,
+            initial_seen=seen)
         if not rounds:
             print("nothing to do: all rounds already checkpointed")
             return 0
         final = rounds[-1]
         save_weights(args.out, final.spec,
-                     jax.tree.map(np.asarray, final.params), seen=seen)
+                     jax.tree.map(np.asarray, final.params),
+                     seen=final.seen)
         print(f"wrote {args.out}")
         if args.iterate_mode == "l1_filter":
             from modelcompression_tpu.models import dump_cfg
-            out_cfg = args.out_cfg or args.out.rsplit(".", 1)[0] + ".cfg"
+            out_cfg = args.out_cfg or os.path.splitext(args.out)[0] + ".cfg"
             with open(out_cfg, "w") as f:
                 f.write(dump_cfg(final.spec))
             print(f"wrote {out_cfg}")
@@ -133,12 +146,16 @@ def main(argv=None) -> int:
                   file=sys.stderr)
 
     tx = make_optimizer(config)
+    # carry the header's images-seen counter: it gates the region loss's
+    # early-training prior term, which must not re-trigger on a converged
+    # model; the UPDATED count is written back to the output header
     state = TrainState.create(params, tx, jax.random.key(args.seed),
-                              weight_masks=weight_masks)
+                              weight_masks=weight_masks, seen=seen)
     state = train(state, spec, config, loader, n_steps=args.steps,
                   logger=logger)
     save_weights(args.out, spec,
-                 jax.tree.map(np.asarray, state["params"]), seen=seen)
+                 jax.tree.map(np.asarray, state["params"]),
+                 seen=int(state["seen"]))
     print(f"wrote {args.out}")
     res = evaluate(state["params"], spec, eval_samples, eval_names,
                    EvalConfig(batch_size=batch))

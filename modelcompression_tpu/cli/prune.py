@@ -73,7 +73,8 @@ def _sweep(args, spec, params, seen) -> int:
     samples = names = None
     if args.data:
         samples, names = load_dataset(args)
-    stem = args.out.rsplit(".", 1)[0]
+    import os
+    stem = os.path.splitext(args.out)[0]
     rows = []
     for v in points:
         if args.mode == "l1_filter":
@@ -175,7 +176,8 @@ def main(argv=None) -> int:
               f"per prunable conv; params {n0 / 1e6:.1f}M -> "
               f"{num_params(slim_params) / 1e6:.1f}M")
         print(f"wrote {args.out}")
-        out_cfg = args.out_cfg or args.out.rsplit(".", 1)[0] + ".cfg"
+        import os
+        out_cfg = args.out_cfg or os.path.splitext(args.out)[0] + ".cfg"
         with open(out_cfg, "w") as f:
             f.write(dump_cfg(slim_spec))
         print(f"wrote {out_cfg} (slimmed architecture — use it for "

@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Darknet crop-jitter fraction in [0, 0.5); "
                         "default: the cfg's [region] jitter value; "
                         "pass 0 to disable")
-    p.add_argument("--multi-scale", action="store_true", default=None,
+    p.add_argument("--multi-scale", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="Darknet random-resize training (cfg random=1): "
                         "redraw the net size from 320..608 every 10 "
                         "batches. Each of the 10 sizes compiles its own "
@@ -61,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     enable_compilation_cache()
-    spec, params, _ = load_model(args, seed=args.seed)
+    spec, params, seen = load_model(args, seed=args.seed)
     samples, names = load_train_dataset(args)
     if not samples:
         print("error: dataset is empty", file=sys.stderr)
@@ -90,7 +91,8 @@ def main(argv=None) -> int:
                          max_boxes=args.max_boxes, seed=args.seed,
                          multi_scale=multi_scale)
     tx = make_optimizer(config)
-    state = TrainState.create(params, tx, jax.random.key(args.seed))
+    state = TrainState.create(params, tx, jax.random.key(args.seed),
+                              seen=seen)
     logger = MetricsLogger(jsonl_path=args.log_jsonl)
 
     eval_fn = None

@@ -78,16 +78,24 @@ def replicate(tree, mesh: Mesh):
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
-def make_parallel_train_step(step_fn, mesh: Mesh):
-    """Wrap a built train step for mesh execution.
-
-    With GSPMD it is enough to place the inputs (state replicated / TP-
-    sharded, batch sharded on 'data') and jit as usual — the compiled
-    program partitions automatically and the gradient all-reduce appears in
-    the XLA graph. This wrapper exists to make placement explicit and
-    fail-fast.
-    """
-    def wrapped(state, images, targets):
-        images, targets = shard_batch((images, targets), mesh)
-        return step_fn(state, images, targets)
-    return wrapped
+def place_train_state(state, mesh: Mesh, spec: NetworkSpec,
+                      tp: bool = False):
+    """Place a TrainState on a mesh: params TP-sharded over 'model' (or
+    replicated with tp=False), everything else replicated. With GSPMD this
+    placement plus a 'data'-sharded batch (shard_batch) is all a jitted
+    train step needs — the gradient all-reduce appears in the compiled
+    program automatically. Returns a new state of the same type."""
+    tp_size = mesh.shape.get("model", 1)
+    pspecs = param_specs(spec, state["params"], tp=tp, tp_size=tp_size)
+    out = dict(state)
+    out["params"] = {
+        k: {n: jax.device_put(v, NamedSharding(mesh, pspecs[k][n]))
+            for n, v in p.items()}
+        for k, p in state["params"].items()}
+    for key in out:
+        if key == "params":
+            continue
+        out[key] = jax.tree.map(
+            lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+            out[key])
+    return type(state)(out)

@@ -62,7 +62,7 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
             # timer's wall clock is accurate at every sync point
             host_metrics = {k: float(v) for k, v in metrics.items()}
             host_metrics["img_per_sec"] = timer.images_per_sec
-            logger.log(step, host_metrics)
+            logger.log(step, host_metrics, force=(step == n_steps))
         if eval_fn and eval_every and step % eval_every == 0:
             logger.log(step, eval_fn(state["params"]), prefix="eval")
         if checkpoint_fn and checkpoint_every and \
@@ -78,6 +78,7 @@ class IterativeRound:
     spec: NetworkSpec
     params: Params
     eval_metrics: Dict[str, float]
+    seen: int = 0  # cumulative images-seen after this round's fine-tune
 
 
 def iterative_prune_finetune(
@@ -91,7 +92,8 @@ def iterative_prune_finetune(
         logger: Optional[MetricsLogger] = None,
         repack_each_round: bool = True,
         ckpt_dir: Optional[str] = None,
-        resume: bool = False) -> List[IterativeRound]:
+        resume: bool = False,
+        initial_seen: int = 0) -> List[IterativeRound]:
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
@@ -114,6 +116,7 @@ def iterative_prune_finetune(
     prev_frac = 0.0
     weight_masks: Dict[str, jnp.ndarray] = {}
     start_round = 0
+    seen_running = initial_seen
 
     if ckpt_dir and resume:
         from modelcompression_tpu.utils.checkpoint import (
@@ -128,6 +131,7 @@ def iterative_prune_finetune(
                             for k, v in saved.get("weight_masks", {}).items()}
             prev_frac = float(meta["fraction"])
             start_round = int(meta["round"]) + 1
+            seen_running = int(meta.get("seen", initial_seen))
             logger.log(start_round,
                        {"resumed_fraction": prev_frac}, prefix="resume")
 
@@ -159,14 +163,17 @@ def iterative_prune_finetune(
         tx = make_optimizer(config)
         state = TrainState.create(params, tx, round_key,
                                   weight_masks=weight_masks,
-                                  channel_masks=channel_masks)
+                                  channel_masks=channel_masks,
+                                  seen=seen_running)
         state = train(state, spec, config, loader, steps_per_round,
                       logger=logger)
         params = state["params"]
+        seen_running = int(state["seen"])
         metrics = eval_fn(spec, params)
         logger.log(int(state["step"]),
                    dict(metrics, fraction=frac), prefix=f"round{ridx}")
-        rounds.append(IterativeRound(ridx, frac, spec, params, metrics))
+        rounds.append(IterativeRound(ridx, frac, spec, params, metrics,
+                                     seen=seen_running))
         prev_frac = frac
         if ckpt_dir:
             from modelcompression_tpu.utils.checkpoint import save_checkpoint
@@ -174,5 +181,6 @@ def iterative_prune_finetune(
                 ckpt_dir, ridx, spec,
                 {"params": params, "weight_masks": weight_masks},
                 extra={"round": ridx, "fraction": frac, "mode": mode,
+                       "seen": seen_running,
                        "metrics": {k: float(v) for k, v in metrics.items()}})
     return rounds

@@ -96,14 +96,19 @@ class TrainState(dict):
     def create(params: Params, tx, rng: jax.Array,
                weight_masks: Optional[Dict[str, jnp.ndarray]] = None,
                channel_masks: Optional[Dict[int, jnp.ndarray]] = None,
-               copy: bool = True) -> "TrainState":
+               copy: bool = True, seen: int = 0) -> "TrainState":
         """Build a fresh train state.
 
         ``copy=True`` (default) copies params/masks into new device
         buffers: the jitted step DONATES its input state, so aliasing the
         caller's arrays into it would invalidate them after the first step
         — a footgun every caller hit in practice. Pass copy=False only
-        when the caller hands over ownership deliberately."""
+        when the caller hands over ownership deliberately.
+
+        ``seen``: images-seen counter carried from a loaded ``.weights``
+        header — it gates the region loss's early-training prior term
+        (seen < 12800), so fine-tuning a converged model must NOT restart
+        it at zero."""
         if copy:
             def dup(v):
                 return jnp.array(v, copy=True)
@@ -115,7 +120,7 @@ class TrainState(dict):
             params=params,
             opt_state=tx.init(trainable),
             step=jnp.zeros((), jnp.int32),
-            seen=jnp.zeros((), jnp.int32),
+            seen=jnp.asarray(seen, jnp.int32),
             rng=rng,
             weight_masks=dict(weight_masks or {}),
             channel_masks=dict(channel_masks or {}),

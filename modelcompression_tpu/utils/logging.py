@@ -24,7 +24,12 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float],
-            prefix: str = "train") -> None:
+            prefix: str = "train", force: bool = False) -> None:
+        """Record one metrics row. ``print_every`` only rate-limits the
+        periodic "train" stream; one-off records (eval, round summaries,
+        resume, the final step of a run) pass ``force=True`` — and any
+        non-"train" prefix prints unconditionally, so important records
+        are never silently dropped when no JSONL file is configured."""
         rec = {"t": round(time.time() - self._t0, 3), "step": step,
                "prefix": prefix}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
@@ -32,7 +37,9 @@ class MetricsLogger:
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
-        if self.print_every and step % self.print_every == 0:
+        show = (force or prefix != "train"
+                or (self.print_every and step % self.print_every == 0))
+        if show and self.print_every:
             parts = [f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                      for k, v in rec.items() if k not in ("t", "prefix")]
             print(f"[{prefix}] " + " ".join(parts), file=self.stream)

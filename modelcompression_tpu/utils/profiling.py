@@ -30,6 +30,8 @@ class StepTimer:
         self.n_steps = 0
         self.n_images = 0
         self._start = None
+        if warmup == 0:  # clock starts immediately; ticks count from step 1
+            self._start = time.perf_counter()
 
     def tick(self, batch_size: int) -> None:
         self.n_steps += 1
