@@ -97,14 +97,35 @@ def main() -> int:
     rtt = measure_rtt()
     log(f"tunnel rtt: {rtt * 1e3:.0f} ms")
 
+    INNER = 10  # pipeline steps per dispatch (see note below)
+
     def bench_chip(spec_, params_, name):
         folded = fold_batchnorm(params_, spec_)
         step = make_eval_step(spec_, cfg, src_hw=(SRC_H, SRC_W))
         t0 = time.time()
         jax.block_until_ready(step(folded, images, img_w, img_h))
         log(f"{name}: compile+first {time.time() - t0:.1f}s")
-        sec = time_fn(lambda: step(folded, images, img_w, img_h),
-                      iters=50, windows=3, rtt=rtt)
+
+        # chip-throughput measurement: INNER pipeline iterations inside ONE
+        # jitted program (lax.fori_loop). Under tunnel congestion the
+        # per-execute dispatch latency (~2-3ms) exceeds the pruned model's
+        # ~5ms step, so per-dispatch timing measures the HOST's enqueue
+        # rate, not the chip. The input is perturbed per iteration so XLA
+        # cannot collapse the loop, and outputs reduce to a scalar carry.
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=())
+        def many(p, u8, w_, h_):
+            def body(i, acc):
+                u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
+                boxes, scores, valid = step.__wrapped__(p, u8_i, w_, h_) \
+                    if hasattr(step, "__wrapped__") else step(p, u8_i, w_, h_)
+                return acc + jnp.sum(scores)
+            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0))
+
+        jax.block_until_ready(many(folded, images, img_w, img_h))
+        sec = time_fn(lambda: many(folded, images, img_w, img_h),
+                      iters=10, windows=3, rtt=rtt) / INNER
         ips = BATCH / sec
         tflops = num_conv_flops(spec_) * ips / 1e12
         log(f"{name}: {ips:.1f} img/s ({sec * 1e3:.2f} ms/batch, "
