@@ -40,6 +40,10 @@ def add_model_args(p: argparse.ArgumentParser, weights_required=True):
     p.add_argument("--cfg", required=True, help="Darknet .cfg file")
     p.add_argument("--weights", required=weights_required, default=None,
                    help="Darknet .weights file (omit for random init)")
+    p.add_argument("--partial", action="store_true",
+                   help="--weights is a backbone prefix (Darknet's "
+                        ".conv.N convention): load the covered convs, "
+                        "randomly initialize the rest")
 
 
 def add_data_args(p: argparse.ArgumentParser):
@@ -51,9 +55,21 @@ def add_data_args(p: argparse.ArgumentParser):
 
 def load_model(args, seed: int = 0):
     spec = load_cfg(args.cfg)
+    partial = bool(getattr(args, "partial", False))
     if args.weights:
-        params, seen = load_weights(args.weights, spec)
+        params, seen = load_weights(args.weights, spec, partial=partial)
         params = jax.tree.map(np.asarray, params)
+        if partial:
+            # backbone-prefix init: covered convs come from the file, the
+            # rest (detection head) from random init; seen restarts at 0
+            # like Darknet training from a .conv.N backbone
+            init = jax.tree.map(np.asarray,
+                                init_params(spec, jax.random.key(seed)))
+            n_loaded = len(params)
+            params = {k: params.get(k, v) for k, v in init.items()}
+            print(f"partial init: {n_loaded} convs from {args.weights}, "
+                  f"{len(params) - n_loaded} randomly initialized")
+            seen = 0
     else:
         params = jax.tree.map(np.asarray,
                               init_params(spec, jax.random.key(seed)))

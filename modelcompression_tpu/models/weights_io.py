@@ -36,12 +36,20 @@ def _seen_dtype(major: int, minor: int):
     return np.int32
 
 
-def load_weights(path_or_file, spec: NetworkSpec) -> Tuple[Params, int]:
+def load_weights(path_or_file, spec: NetworkSpec,
+                 partial: bool = False) -> Tuple[Params, int]:
     """Read a Darknet .weights file into a params pytree for ``spec``.
 
     Returns (params, seen). Raises if the file is too short / too long for
     the architecture — a truncated read silently producing a wrong model is
     the classic failure mode of this format.
+
+    ``partial=True`` accepts a backbone-prefix file (Darknet's
+    ``darknet19.conv.23`` convention, produced by ``darknet partial`` /
+    ``save_weights(n_convs=...)``): reading stops cleanly at the first conv
+    whose tensors are not fully present, and ``params`` contains only the
+    loaded prefix — the caller fills the rest (see cli/common.load_model).
+    A file that ends MID-layer still raises.
     """
     if hasattr(path_or_file, "read"):
         buf = path_or_file.read()
@@ -73,6 +81,13 @@ def load_weights(path_or_file, spec: NetworkSpec) -> Tuple[Params, int]:
         if not isinstance(l, ConvLayer):
             continue
         oc, ic, k = l.filters, l.in_channels, l.size
+        n_layer = (4 * oc if l.batch_normalize else oc) + oc * ic * k * k
+        if partial and pos + n_layer > data.size:
+            if pos == data.size:
+                break  # clean prefix boundary
+            raise ValueError(
+                f".weights file ends MID-layer at conv {i}: need {n_layer} "
+                f"floats, have {data.size - pos} — not a valid partial file")
         p = {}
         if l.batch_normalize:
             p["beta"] = take(oc).copy()
@@ -94,8 +109,12 @@ def load_weights(path_or_file, spec: NetworkSpec) -> Tuple[Params, int]:
 
 def save_weights(path_or_file, spec: NetworkSpec, params: Params,
                  seen: int = 0, major: int = 0, minor: int = 2,
-                 revision: int = 0) -> None:
-    """Write params as a Darknet .weights file (inverse of load_weights)."""
+                 revision: int = 0, n_convs: int | None = None) -> None:
+    """Write params as a Darknet .weights file (inverse of load_weights).
+
+    ``n_convs``: write only the first N conv layers — Darknet's
+    ``partial`` command, producing backbone files like darknet19.conv.23
+    for transfer-learning initialization."""
     out: BinaryIO
     own = False
     if hasattr(path_or_file, "write"):
@@ -103,12 +122,16 @@ def save_weights(path_or_file, spec: NetworkSpec, params: Params,
     else:
         out = open(path_or_file, "wb")
         own = True
+    written = 0
     try:
         out.write(np.array([major, minor, revision], np.int32).tobytes())
         out.write(np.array([seen], _seen_dtype(major, minor)).tobytes())
         for i, l in enumerate(spec.layers):
             if not isinstance(l, ConvLayer):
                 continue
+            if n_convs is not None and written >= n_convs:
+                break
+            written += 1
             p = params[conv_key(i)]
             if l.batch_normalize:
                 for key in ("beta", "gamma", "mean", "var"):

@@ -94,3 +94,61 @@ def test_truncated_raises():
         load_weights(io.BytesIO(blob[:-64]), spec)
     with pytest.raises(ValueError, match="trailing"):
         load_weights(io.BytesIO(blob + b"\x00" * 8), spec)
+
+
+def test_partial_backbone_roundtrip():
+    """Darknet's .conv.N convention: save the first N convs, load with
+    partial=True — the prefix matches exactly, the suffix is absent, and a
+    mid-layer truncation still raises."""
+    spec = tiny_yolov2_voc()
+    params = _params_np(spec)
+    conv_idx = spec.conv_indices()
+    n = 5
+
+    b = io.BytesIO()
+    save_weights(b, spec, params, seen=123, n_convs=n)
+    buf = b.getvalue()
+
+    loaded, seen = load_weights(io.BytesIO(buf), spec, partial=True)
+    assert seen == 123
+    assert len(loaded) == n
+    for i in conv_idx[:n]:
+        k = conv_key(i)
+        for name, v in params[k].items():
+            np.testing.assert_array_equal(loaded[k][name], v)
+    for i in conv_idx[n:]:
+        assert conv_key(i) not in loaded
+
+    # without partial=True the same file is rejected as truncated
+    with pytest.raises(ValueError, match="truncated"):
+        load_weights(io.BytesIO(buf), spec)
+
+    # a MID-layer cut (float-aligned) raises even with partial=True
+    with pytest.raises(ValueError, match="MID-layer"):
+        load_weights(io.BytesIO(buf[:-8]), spec, partial=True)
+
+
+def test_partial_cli_init(tmp_path):
+    """load_model --partial: covered convs from the file, the rest random."""
+    import argparse
+    from modelcompression_tpu.cli.common import load_model
+    from modelcompression_tpu.models import dump_cfg
+
+    spec = tiny_yolov2_voc()
+    params = _params_np(spec)
+    wpath = str(tmp_path / "backbone.conv.3")
+    save_weights(wpath, spec, params, seen=999, n_convs=3)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(dump_cfg(spec))
+
+    args = argparse.Namespace(cfg=cfg_path, weights=wpath, partial=True)
+    spec2, loaded, seen = load_model(args)
+    assert seen == 0  # training from a backbone restarts the counter
+    conv_idx = spec2.conv_indices()
+    for i in conv_idx[:3]:
+        np.testing.assert_array_equal(loaded[conv_key(i)]["w"],
+                                      params[conv_key(i)]["w"])
+    # the rest exists (random init) and differs from the original params
+    k_last = conv_key(conv_idx[-1])
+    assert k_last in loaded
+    assert not np.array_equal(loaded[k_last]["w"], params[k_last]["w"])
