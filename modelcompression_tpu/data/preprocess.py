@@ -203,19 +203,28 @@ def random_jitter(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
     return images, out
 
 
-def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
+def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
+            center_range: Tuple[float, float] | None = (0.3, 0.7)
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """4-image mosaic augmentation, fixed shapes (SURVEY.md §7.4.5).
 
-    Composes sample i with samples (i+1, i+2, i+3) mod B into a 2x2 grid at
-    half resolution (center fixed at the midpoint — the fixed-size-gather
-    composition that keeps this jittable).
+    Composes sample i with samples (i+1, i+2, i+3) mod B into a 2x2 grid
+    whose split point is drawn per sample as (fy, fx) ~ U(center_range);
+    each source image is squashed to exactly fill its (variable-size)
+    quadrant. Like ``random_jitter``, the per-sample geometry rides
+    ``jax.image.scale_and_translate`` with traced scale/translation, so the
+    whole batch stays ONE jitted program with static shapes.
 
-    Fidelity note vs Darknet/YOLOv4-style mosaic: the grid center is FIXED
-    at the midpoint instead of jittered, and each tile is a full half-res
-    image instead of a random crop. Same augmentation family (multi-image
-    context mixing, small-object scale shift), strictly less spatial
-    variety; box geometry is exact (tested in test_preprocess.py).
+    ``center_range=None`` selects the fixed midpoint center, which lowers
+    to the cheaper matmul half-res + concat composition (identical result
+    to ``center_range=(0.5, 0.5)``, tested).
+
+    Fidelity note vs Darknet/YOLOv4-style mosaic: each tile is a full
+    squashed image rather than a random crop — compose with
+    ``random_jitter`` (applied first) for crop variety. Tile edges may be
+    darkened by up to half a pixel (scale_and_translate zero-fills past
+    the source edge); harmless for a training augmentation. Box geometry
+    is exact (tested in test_preprocess.py).
 
     Args:
       images: (B, H, W, 3) float; H, W even.
@@ -225,29 +234,82 @@ def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array
       (B, H, W, 3) images, (B, 4*M, 5) boxes.
     """
     b, h, w, c = images.shape
-    half = _bilinear_resize(images, h // 2, w // 2)
 
-    def quadrant(offset_b, off_y, off_x):
-        q = jnp.roll(half, -offset_b, axis=0)
+    if center_range is None:
+        # fixed-center fast path: half-res resize is two matmuls (MXU)
+        half = _bilinear_resize(images, h // 2, w // 2)
+
+        def quadrant(offset_b, off_y, off_x):
+            q = jnp.roll(half, -offset_b, axis=0)
+            bx = jnp.roll(boxes, -offset_b, axis=0)
+            # box in quadrant: scaled by 1/2 and shifted
+            scaled = bx.at[..., 1].set(bx[..., 1] * 0.5 + off_x) \
+                       .at[..., 2].set(bx[..., 2] * 0.5 + off_y) \
+                       .at[..., 3].set(bx[..., 3] * 0.5) \
+                       .at[..., 4].set(bx[..., 4] * 0.5)
+            # keep invalid rows invalid
+            scaled = jnp.where(bx[..., 3:4] > 0, scaled,
+                               jnp.zeros_like(scaled))
+            return q, scaled
+
+        q00, b00 = quadrant(0, 0.0, 0.0)
+        q01, b01 = quadrant(1, 0.0, 0.5)
+        q10, b10 = quadrant(2, 0.5, 0.0)
+        q11, b11 = quadrant(3, 0.5, 0.5)
+        top = jnp.concatenate([q00, q01], axis=2)
+        bot = jnp.concatenate([q10, q11], axis=2)
+        out = jnp.concatenate([top, bot], axis=1)
+        out_boxes = jnp.concatenate([b00, b01, b10, b11], axis=1)
+        return out, out_boxes
+
+    lo, hi = center_range
+    if not 0.0 < lo <= hi < 1.0:
+        raise ValueError(f"center_range must satisfy 0 < lo <= hi < 1, "
+                         f"got {center_range}")
+    k1, k2 = jax.random.split(rng)
+    fy = jax.random.uniform(k1, (b,), minval=lo, maxval=hi)
+    fx = jax.random.uniform(k2, (b,), minval=lo, maxval=hi)
+
+    def compose(tiles, fy_, fx_):
+        # tiles: (4, H, W, 3) sources for quadrants (00, 01, 10, 11)
+        out = jnp.zeros_like(tiles[0])
+        ys = jnp.arange(h)[:, None, None]
+        xs = jnp.arange(w)[None, :, None]
+        for k, (r_, c_) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            qh = (1.0 - fy_) if r_ else fy_       # quadrant size, normalized
+            qw = (1.0 - fx_) if c_ else fx_
+            ty = fy_ * h if r_ else 0.0            # quadrant origin, pixels
+            tx = fx_ * w if c_ else 0.0
+            # output half-pixel o+0.5 in the quadrant samples source
+            # half-pixel (o+0.5-t)/q — scale_and_translate's convention
+            tile = jax.image.scale_and_translate(
+                tiles[k], tiles[k].shape, (0, 1),
+                jnp.stack([qh, qw]), jnp.stack([ty, tx]),
+                method="linear", antialias=False)
+            in_y = (ys < fy_ * h) if r_ == 0 else (ys >= fy_ * h)
+            in_x = (xs < fx_ * w) if c_ == 0 else (xs >= fx_ * w)
+            out = jnp.where(in_y & in_x, tile, out)
+        return out
+
+    rolled = jnp.stack([jnp.roll(images, -k, axis=0) for k in range(4)])
+    out = jax.vmap(compose, in_axes=(1, 0, 0))(rolled, fy, fx)
+
+    def remap(offset_b, r_, c_):
         bx = jnp.roll(boxes, -offset_b, axis=0)
-        # box in quadrant: scaled by 1/2 and shifted
-        scaled = bx.at[..., 1].set(bx[..., 1] * 0.5 + off_x) \
-                   .at[..., 2].set(bx[..., 2] * 0.5 + off_y) \
-                   .at[..., 3].set(bx[..., 3] * 0.5) \
-                   .at[..., 4].set(bx[..., 4] * 0.5)
-        # keep invalid rows invalid
-        scaled = jnp.where(bx[..., 3:4] > 0, scaled,
-                           jnp.zeros_like(scaled))
-        return q, scaled
+        qh = jnp.where(r_, 1.0 - fy, fy)[:, None]
+        qw = jnp.where(c_, 1.0 - fx, fx)[:, None]
+        oy = jnp.where(r_, fy, 0.0)[:, None]
+        ox = jnp.where(c_, fx, 0.0)[:, None]
+        scaled = bx.at[..., 1].set(bx[..., 1] * qw + ox) \
+                   .at[..., 2].set(bx[..., 2] * qh + oy) \
+                   .at[..., 3].set(bx[..., 3] * qw) \
+                   .at[..., 4].set(bx[..., 4] * qh)
+        return jnp.where(bx[..., 3:4] > 0, scaled, jnp.zeros_like(scaled))
 
-    q00, b00 = quadrant(0, 0.0, 0.0)
-    q01, b01 = quadrant(1, 0.0, 0.5)
-    q10, b10 = quadrant(2, 0.5, 0.0)
-    q11, b11 = quadrant(3, 0.5, 0.5)
-    top = jnp.concatenate([q00, q01], axis=2)
-    bot = jnp.concatenate([q10, q11], axis=2)
-    out = jnp.concatenate([top, bot], axis=1)
-    out_boxes = jnp.concatenate([b00, b01, b10, b11], axis=1)
+    out_boxes = jnp.concatenate(
+        [remap(k, r_, c_)
+         for k, (r_, c_) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1)))],
+        axis=1)
     return out, out_boxes
 
 

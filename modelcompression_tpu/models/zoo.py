@@ -26,3 +26,7 @@ def tiny_yolov2_coco() -> NetworkSpec:
 
 def coco_names_path() -> str:
     return os.path.join(CONFIG_DIR, "coco.names")
+
+
+def voc_names_path() -> str:
+    return os.path.join(CONFIG_DIR, "voc.names")

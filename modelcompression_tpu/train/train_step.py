@@ -285,11 +285,14 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
         x = images.astype(jnp.float32)
         if images.dtype == jnp.uint8:
             x = x / 255.0
-        if config.augment_mosaic:
-            x, targets = mosaic4(x, targets, k_aug3)
+        # jitter BEFORE mosaic: each source image gets its own random
+        # crop/stretch, so the composed tiles carry crop variety (the
+        # Darknet/YOLOv4 mosaic samples per-tile crops the same way)
         if config.augment_jitter > 0:
             x, targets = random_jitter(x, targets, k_aug4,
                                        jitter=config.augment_jitter)
+        if config.augment_mosaic:
+            x, targets = mosaic4(x, targets, k_aug3)
         if config.augment_flip:
             x, targets = random_flip(x, targets, k_aug1)
         if config.augment_hsv:

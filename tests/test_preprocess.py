@@ -32,7 +32,8 @@ def test_mosaic_composition_and_box_geometry():
     boxes = np.zeros((b, 2, 5), np.float32)
     for i in range(b):
         boxes[i, 0] = [i % 3, 0.3 + 0.1 * i, 0.4, 0.2, 0.25]
-    out, out_boxes = mosaic4(images, jnp.asarray(boxes), jax.random.key(0))
+    out, out_boxes = mosaic4(images, jnp.asarray(boxes), jax.random.key(0),
+                             center_range=None)
     out, out_boxes = np.asarray(out), np.asarray(out_boxes)
 
     half = np.asarray(_bilinear_resize(images, h // 2, w // 2))
@@ -51,6 +52,59 @@ def test_mosaic_composition_and_box_geometry():
     # invalid rows stay invalid (w == 0)
     assert (out_boxes[:, 1::2][boxes[:, 1, 3] == 0].sum() == 0
             or (out_boxes[..., 3] >= 0).all())
+
+
+def test_mosaic_random_center_degenerate_matches_fixed():
+    """center_range=(0.5, 0.5) (scale_and_translate path) must reproduce
+    the fixed-center matmul path — pins the half-pixel sampling
+    convention of the traced-geometry composition."""
+    rng = np.random.default_rng(7)
+    b, h, w = 4, 32, 48
+    images = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    boxes = np.zeros((b, 2, 5), np.float32)
+    for i in range(b):
+        boxes[i, 0] = [i % 3, 0.3 + 0.1 * i, 0.4, 0.2, 0.25]
+    boxes = jnp.asarray(boxes)
+    fixed_im, fixed_bx = mosaic4(images, boxes, jax.random.key(0),
+                                 center_range=None)
+    rand_im, rand_bx = mosaic4(images, boxes, jax.random.key(0),
+                               center_range=(0.5, 0.5))
+    np.testing.assert_allclose(np.asarray(rand_im), np.asarray(fixed_im),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rand_bx), np.asarray(fixed_bx),
+                               atol=1e-6)
+
+
+def test_mosaic_random_center_box_matches_image_content():
+    """Random-center mosaic: a bright square in a source image must still be
+    covered by its remapped box in the composed canvas (geometry
+    end-to-end), boxes stay in [0,1], invalid rows stay invalid."""
+    b, h, w = 4, 64, 64
+    images = np.zeros((b, h, w, 3), np.float32)
+    images[1, 24:40, 16:32] = 1.0  # bright square in sample 1
+    boxes = np.zeros((b, 2, 5), np.float32)
+    boxes[1, 0] = [2, (16 + 32) / 2 / 64, (24 + 40) / 2 / 64,
+                   16 / 64, 16 / 64]
+    out, ob = mosaic4(jnp.asarray(images), jnp.asarray(boxes),
+                      jax.random.key(3), center_range=(0.3, 0.7))
+    out, ob = np.asarray(out), np.asarray(ob)
+    # sample 0's q01 tile is source sample 1 -> its box rows start at M=2
+    box = ob[0, 2]
+    assert box[0] == 2 and box[3] > 0
+    x1 = int(np.floor((box[1] - box[3] / 2) * w))
+    x2 = int(np.ceil((box[1] + box[3] / 2) * w))
+    y1 = int(np.floor((box[2] - box[4] / 2) * h))
+    y2 = int(np.ceil((box[2] + box[4] / 2) * h))
+    inner = out[0, y1 + 1:y2 - 1, x1 + 1:x2 - 1]
+    assert inner.mean() > 0.85, inner.mean()
+    # nothing bright outside the box (sample 1 is the only bright source
+    # and only its square is lit)
+    outside = out[0].sum() - out[0, y1:y2, x1:x2].sum()
+    assert outside < 0.1 * out[0, y1:y2, x1:x2].sum()
+    # all valid boxes normalized; invalid rows all-zero
+    valid = ob[..., 3] > 0
+    assert (ob[valid][:, 1:] >= 0).all() and (ob[valid][:, 1:] <= 1).all()
+    assert (ob[~valid] == 0).all()
 
 
 def test_flip_involution_and_box_mirror():

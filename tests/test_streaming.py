@@ -27,7 +27,10 @@ def test_pytree_items():
 
 def test_producer_runs_ahead():
     """With depth=2 the producer prepares batches while the consumer is
-    busy: total wall time ~ max(produce, consume), not the sum."""
+    busy. Asserted STRUCTURALLY (producer's progress observed ahead of the
+    consumer's), not by wall clock — absolute timing bounds flake on a
+    loaded machine (sleeps oversleep), while relative thread progress
+    holds."""
     produced = []
 
     def slow_source():
@@ -36,16 +39,18 @@ def test_producer_runs_ahead():
             produced.append(i)
             yield np.asarray([i])
 
-    t0 = time.perf_counter()
     seen = 0
+    ran_ahead = 0
     for x in prefetch_to_device(slow_source(), depth=2,
                                 put=lambda v: v):
         time.sleep(0.05)  # consumer work, overlapped with production
         seen += 1
-    wall = time.perf_counter() - t0
+        # while the consumer handled item (seen-1), how far did the
+        # producer get? > seen means it produced beyond what a serial
+        # (produce-then-consume) interleaving would have at this point.
+        ran_ahead = max(ran_ahead, len(produced) - seen)
     assert seen == 6
-    # serial would be >= 0.6s; overlapped should be well under
-    assert wall < 0.5, wall
+    assert ran_ahead >= 1, (ran_ahead, produced)
 
 
 def test_exception_propagates():
