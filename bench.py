@@ -111,20 +111,23 @@ def main() -> int:
         # per-execute dispatch latency (~2-3ms) exceeds the pruned model's
         # ~5ms step, so per-dispatch timing measures the HOST's enqueue
         # rate, not the chip. The input is perturbed per iteration so XLA
-        # cannot collapse the loop, and outputs reduce to a scalar carry.
+        # cannot collapse the loop, outputs reduce to a scalar carry, and
+        # the carry INIT is time_fn's per-call salt so the tunnel cannot
+        # serve repeat executions memoized (utils/timing.py docstring).
         import functools
 
         @functools.partial(jax.jit, static_argnames=())
-        def many(p, u8, w_, h_):
+        def many(p, u8, w_, h_, salt):
             def body(i, acc):
                 u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
                 boxes, scores, valid = step.__wrapped__(p, u8_i, w_, h_) \
                     if hasattr(step, "__wrapped__") else step(p, u8_i, w_, h_)
                 return acc + jnp.sum(scores)
-            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, INNER, body, salt)
 
-        jax.block_until_ready(many(folded, images, img_w, img_h))
-        sec = time_fn(lambda: many(folded, images, img_w, img_h),
+        jax.block_until_ready(many(folded, images, img_w, img_h,
+                                   jnp.float32(0)))
+        sec = time_fn(lambda s: many(folded, images, img_w, img_h, s),
                       iters=10, windows=3, rtt=rtt) / INNER
         ips = BATCH / sec
         tflops = num_conv_flops(spec_) * ips / 1e12
@@ -156,12 +159,17 @@ def main() -> int:
     batches = [rng.integers(0, 255, (BATCH, SRC_H, SRC_W, 3), np.uint8)
                for _ in range(STREAM_ITERS)]
     nbytes = batches[0].nbytes
-    # feed-only bandwidth (pipelined puts of unique data)
+    # feed-only bandwidth (pipelined puts of unique data). Reads (not just
+    # blocks) force completion: block_until_ready can resolve before the
+    # bytes land under the tunnel's async mode (utils/timing.py docstring).
+    def force(arrs):
+        for a in arrs:
+            jax.device_get(a.ravel()[0])
     xs = [jax.device_put(b) for b in probe[:4]]
-    jax.block_until_ready(xs)
+    force(xs)
     t0 = time.perf_counter()
     xs = [jax.device_put(b) for b in probe[4:12]]
-    jax.block_until_ready(xs)
+    force(xs)
     feed_gbps = 8 * nbytes / 1e9 / (time.perf_counter() - t0)
     del xs
     log(f"feed bandwidth (unique 36MB puts): {feed_gbps:.2f} GB/s")
@@ -172,6 +180,9 @@ def main() -> int:
         x = jax.device_put(b)
         outs.append(step(folded, x, img_w, img_h))
     jax.block_until_ready(outs)
+    # chip execution is serial, so reading one scalar from the LAST step's
+    # output forces every enqueued step (block alone can resolve early)
+    jax.device_get(outs[-1][1].ravel()[0])
     dt = time.perf_counter() - t0
     stream_ips = BATCH * STREAM_ITERS / dt
     log(f"streaming (host feed in loop): {stream_ips:.1f} img/s "

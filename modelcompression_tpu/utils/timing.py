@@ -1,49 +1,112 @@
 """Robust device timing over a high-latency PJRT tunnel.
 
-This environment reaches its TPU through a network tunnel whose round-trip
-latency is volatile (40 ms normally, ~400 ms under congestion). A naive
-``block_until_ready`` window therefore carries one tunnel RTT of pure noise
-— at 20 iterations that is 2–20 ms *per iteration* of measurement error,
-larger than the thing being measured. ``time_fn`` fixes the methodology:
+This environment reaches its TPU through a network tunnel with two
+behaviors that make naive timing meaningless (both measured here):
 
-* each window enqueues ``iters`` executions asynchronously and blocks once,
-  so the RTT is paid once per window, not per step;
-* the RTT itself is measured with an empty round-trip right before each
-  window and subtracted;
+1. **Volatile RTT** — 40–400 ms under congestion, sub-millisecond when the
+   relay is quiet. A naive ``block_until_ready`` window carries one RTT of
+   noise each.
+2. **``block_until_ready`` can complete without the work executing.** Under
+   some relay states, blocking on an un-read result resolves when the
+   execute is *enqueued*, not when it lands on the chip; and a repeat
+   execution with identical (executable, args) can be served memoized in
+   ~0.2 ms. A measurement that never READS its outputs can report
+   microseconds for a 400 ms program. (Measured: the same 20-forward
+   fori_loop program read 380 ms/call when its result was fetched and
+   0.2 ms/call when merely blocked on.)
+
+``time_fn``'s methodology therefore:
+
+* each window enqueues ``iters`` executions asynchronously and forces a
+  device→host READ of the last output — a read cannot complete before the
+  execution it depends on;
+* if ``fn`` accepts a positional argument, a fresh float32 salt is passed
+  per call so no two calls share identical args (defeats
+  execute-memoization. Thread it into the program so it cannot be sliced
+  away — e.g. as the init of the accumulating loop carry);
+* the RTT is measured with a read-based probe on unique payloads (puts of
+  identical content are content-deduped by the tunnel) and subtracted once
+  per window;
 * the reported value is the MIN over ``windows`` windows (min, not mean:
   tunnel congestion only ever adds time).
 """
 
 from __future__ import annotations
 
+import inspect
+import itertools
 import time
 from typing import Callable
 
 import jax
+import numpy as np
 
 
 def measure_rtt(device=None, probes: int = 3) -> float:
-    """Seconds for one host->device->host no-op round trip (min of probes)."""
-    x = jax.device_put(jax.numpy.zeros((8, 128)), device)
-    jax.block_until_ready(x)
+    """Seconds for one host->device->host round trip (min of probes).
+
+    Each probe puts a small UNIQUE payload and reads it back: the read
+    forces a genuine round trip (block-only probes resolve early under the
+    tunnel's async-completion mode) and unique content defeats the
+    tunnel's transfer dedupe.
+    """
+    rng = np.random.default_rng(int(time.time_ns()) % (2**31))
+    # warm the transfer path (allocator, layouts) outside the timed probes
+    np.asarray(jax.device_put(rng.integers(0, 2**31, 8, np.int64), device))
     best = float("inf")
     for _ in range(probes):
+        buf = rng.integers(0, 2**31, 8, np.int64)
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(jax.numpy.zeros(()), device))
+        np.asarray(jax.device_put(buf, device))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def time_fn(fn: Callable[[], object], iters: int = 50, windows: int = 3,
+def _fn_takes_salt(fn: Callable) -> bool:
+    try:
+        params = inspect.signature(fn).parameters.values()
+    except (TypeError, ValueError):
+        return False
+    return any(
+        p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                   inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        and p.default is inspect.Parameter.empty
+        for p in params)
+
+
+def _force_read(out) -> None:
+    """Fetch (part of) ``out`` to host — completion-proof, cheap."""
+    leaf = jax.tree.leaves(out)[0]
+    if not hasattr(leaf, "size") or leaf.size <= 65536:
+        np.asarray(leaf)
+    else:
+        # avoid dragging a large buffer over the (possibly slow) link
+        jax.device_get(leaf.ravel()[0])
+
+
+def time_fn(fn: Callable, iters: int = 50, windows: int = 3,
             warmup: int = 2, rtt: float | None = None) -> float:
     """Per-call seconds of an async-dispatchable device computation.
 
-    ``fn()`` must enqueue work and return something blockable
-    (jax.block_until_ready-able). Returns min-over-windows of
-    (window_time - rtt) / iters, floored at 0.
+    ``fn`` either takes no arguments, or one positional argument — a fresh
+    ``jnp.float32`` salt per call (pass it through the computation, e.g.
+    as a loop-carry init, so every call has distinct args). It must return
+    something fetchable; prefer a scalar so the forced read is one small
+    round trip. Returns min-over-windows of (window_time - rtt) / iters,
+    floored at 0.
     """
+    import jax.numpy as jnp
+
+    salts = itertools.count()
+    takes_salt = _fn_takes_salt(fn)
+
+    def call():
+        if takes_salt:
+            return fn(jnp.float32(next(salts) % 65536))
+        return fn()
+
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _force_read(call())
     if rtt is None:
         rtt = measure_rtt()
     best = float("inf")
@@ -51,8 +114,8 @@ def time_fn(fn: Callable[[], object], iters: int = 50, windows: int = 3,
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
+            out = call()
+        _force_read(out)
         dt = time.perf_counter() - t0
         best = min(best, max(dt - rtt, 0.0) / iters)
     return best

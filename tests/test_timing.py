@@ -18,6 +18,21 @@ def test_time_fn_measures_a_jitted_op():
     assert 0 <= sec < 1.0
 
 
+def test_time_fn_salts_each_call():
+    """A fn accepting one positional arg receives a DISTINCT float32 salt
+    per call — the defense against the tunnel serving repeat executions
+    with identical (executable, args) memoized (utils/timing.py)."""
+    seen = []
+
+    def fn(salt):
+        seen.append(float(salt))
+        return jnp.ones(()) * salt
+
+    time_fn(fn, iters=4, windows=2, warmup=1, rtt=0.0)
+    assert len(seen) == 1 + 4 * 2
+    assert len(set(seen)) == len(seen), seen
+
+
 def test_time_fn_rtt_floor():
     # subtracting an oversized rtt must floor at zero, not go negative
     f = jax.jit(lambda a: a + 1)

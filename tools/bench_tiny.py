@@ -30,12 +30,25 @@ img_h = jnp.full((B,), float(SRC[0]))
 rtt = measure_rtt()
 print(f"rtt {rtt*1e3:.0f} ms", file=sys.stderr)
 
+INNER = 10  # pipeline steps per dispatch (dispatch-proof, as bench.py)
+
 for name, sp, pr in (("tiny unpruned", spec, params),
                      ("tiny 75%-pruned", sspec, sparams)):
     folded = fold_batchnorm(pr, sp)
     step = make_eval_step(sp, cfg, src_hw=SRC)
-    sec = time_fn(lambda: step(folded, images, img_w, img_h),
-                  iters=50, windows=3, rtt=rtt)
+
+    @jax.jit
+    def many(p, u8, w_, h_, salt, step=step):
+        def body(i, acc):
+            u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
+            boxes, scores, valid = step(p, u8_i, w_, h_)
+            return acc + jnp.sum(scores)
+        # salt carry init: distinct args per timed call, so the tunnel
+        # cannot serve repeat executes memoized (utils/timing.py)
+        return jax.lax.fori_loop(0, INNER, body, salt)
+
+    sec = time_fn(lambda s: many(folded, images, img_w, img_h, s),
+                  iters=10, windows=3, rtt=rtt) / INNER
     gf = num_conv_flops(sp) / 1e9
     print(f"{name}: {B/sec:.0f} img/s ({sec*1e3:.2f} ms/batch, "
           f"{gf:.2f} GF/img, {gf*B/sec/1e3:.1f} TFLOPS)")

@@ -48,9 +48,13 @@ def variant_b(p, u8):
     return forward_folded(p, x, sspec, FAST)
 
 
-ta = time_fn(lambda: variant_a(folded, images), iters=30, windows=3, rtt=rtt)
-tb = time_fn(lambda: variant_b(folded_scaled, images), iters=30, windows=3,
-             rtt=rtt)
+# salt perturbs the input so every timed call has distinct args
+# (utils/timing.py: the tunnel can serve repeat executes memoized)
+ta = time_fn(lambda s: variant_a(folded, images + s.astype(jnp.uint8)),
+             iters=30, windows=3, rtt=rtt)
+tb = time_fn(lambda s: variant_b(folded_scaled,
+                                 images + s.astype(jnp.uint8)),
+             iters=30, windows=3, rtt=rtt)
 print(f"A current fwd : {ta*1e3:.2f} ms ({B/ta:.0f} img/s)")
 print(f"B folded  fwd : {tb*1e3:.2f} ms ({B/tb:.0f} img/s)")
 
