@@ -66,6 +66,13 @@ class EvalConfig:
     letterbox: bool = True
     precision: Precision = FAST
     fold_bn: bool = True
+    # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
+    # Default OFF: the reformulation is exact and tested, but measured
+    # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
+    # "input stage" entry) — the Pallas form hits Mosaic layout limits and
+    # the XLA form materializes im2col in HBM. Kept as an explicit knob
+    # for future toolchains.
+    fuse_input_stage: Optional[bool] = None
 
 
 def make_eval_step(spec: NetworkSpec, config: EvalConfig,
@@ -80,8 +87,18 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
     (B, src_h, src_w, 3) raw source frames (letterbox fused on device).
     """
     region = spec.region
-    fwd = forward_folded if config.fold_bn else forward
     net_h, net_w = spec.net.height, spec.net.width
+    fuse = config.fuse_input_stage
+    if fuse is None:
+        fuse = False  # measured slower than XLA's conv+pool; see EvalConfig
+    if fuse:
+        from modelcompression_tpu.ops.input_stage import input_stage_match
+        fuse = config.fold_bn and input_stage_match(spec)
+    if config.fold_bn:
+        def fwd(p, x, s, prec):
+            return forward_folded(p, x, s, prec, fuse_input_stage=fuse)
+    else:
+        fwd = forward
 
     def step(params: Params, images: jnp.ndarray,
              img_w: jnp.ndarray, img_h: jnp.ndarray):

@@ -164,10 +164,31 @@ def reorg(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
 
 def _forward_impl(params: Params, x: jnp.ndarray, spec: NetworkSpec,
                   precision: Precision, train_stats: bool, folded: bool,
-                  channel_masks) -> jnp.ndarray:
+                  channel_masks, fuse_input_stage: bool = False
+                  ) -> jnp.ndarray:
     outputs: List[Optional[jnp.ndarray]] = []
-    y = precision.cast_in(x)
-    for i, l in enumerate(spec.layers):
+    start = 0
+    if fuse_input_stage:
+        # conv1+bias+leaky+maxpool as one matmul-shaped op (Pallas on TPU)
+        # — see ops/input_stage.py. Caller must have checked
+        # input_stage_match(spec); requires folded BN (bias form).
+        if not folded:
+            raise ValueError("fuse_input_stage requires BN-folded params")
+        from modelcompression_tpu.ops.input_stage import fused_conv1_pool
+        p0 = params[conv_key(0)]
+        y = fused_conv1_pool(x, p0["w"], p0["bias"],
+                             compute_dtype=precision.compute_dtype)
+        if channel_masks is not None and 0 in channel_masks:
+            y = y * channel_masks[0].astype(y.dtype)[None, None, None, :]
+        # layer 0's un-pooled output is never materialized (no route
+        # consumes it — input_stage_match guarantees this)
+        outputs.append(None)
+        outputs.append(y)
+        start = 2
+    else:
+        y = precision.cast_in(x)
+    for i in range(start, len(spec.layers)):
+        l = spec.layers[i]
         if isinstance(l, ConvLayer):
             p = params[conv_key(i)]
             if folded:
@@ -235,10 +256,16 @@ def fold_batchnorm(params: Params, spec: NetworkSpec) -> Params:
 
 
 def forward_folded(params: Params, x: jnp.ndarray, spec: NetworkSpec,
-                   precision: Precision, channel_masks=None) -> jnp.ndarray:
-    """Forward pass for BN-folded params (every conv uses bias path)."""
+                   precision: Precision, channel_masks=None,
+                   fuse_input_stage: bool = False) -> jnp.ndarray:
+    """Forward pass for BN-folded params (every conv uses bias path).
+
+    ``fuse_input_stage``: run conv1+pool as the fused phase-matmul op
+    (ops/input_stage.py) — only valid when input_stage_match(spec); FAST
+    precision intended (the fusion reorders bf16 tap summation)."""
     return _forward_impl(params, x, spec, precision, train_stats=False,
-                         folded=True, channel_masks=channel_masks)
+                         folded=True, channel_masks=channel_masks,
+                         fuse_input_stage=fuse_input_stage)
 
 
 def num_params(params: Params) -> int:
