@@ -66,6 +66,13 @@ class EvalConfig:
     letterbox: bool = True
     precision: Precision = FAST
     fold_bn: bool = True
+    # NMS candidate prefilter: True (default) = exact lax.top_k sort;
+    # False = approx_max_k + exact top-K among survivors. MEASURED SLOWER
+    # on this hardware at the production shape (1.21 vs 0.74 ms for
+    # B=64,N=845,C=20,K=32 — approx_max_k lowers poorly under vmap;
+    # docs/PERF.md "Explored and rejected") — kept as a knob for other
+    # shape regimes, where N >> K makes the sort dominant.
+    exact_nms_prefilter: Optional[bool] = None
     # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
     # Default OFF: the reformulation is exact and tested, but measured
     # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
@@ -111,11 +118,15 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
         boxes, obj, cls = decode_region(raw, region)
         class_scores = obj[..., None] * cls  # (B, N, C)
         corners = center_to_corners(boxes)
+        exact_pf = config.exact_nms_prefilter
+        if exact_pf is None:
+            exact_pf = True  # approx measured slower here; see EvalConfig
         sel, scores, valid = batched_per_class_nms(
             corners, class_scores,
             iou_thresh=config.nms_thresh,
             score_thresh=config.conf_thresh,
-            max_out=config.max_detections)
+            max_out=config.max_detections,
+            exact_prefilter=exact_pf)
         # (B, C, K, 4) normalized -> source pixels, on device
         sel = corners_to_image(sel, img_w[:, None, None],
                                img_h[:, None, None],

@@ -159,3 +159,23 @@ def test_batched_shapes():
         jnp.asarray(boxes), jnp.asarray(cs), max_out=k)
     assert sel.shape == (b, c, k, 4)
     assert scores.shape == (b, c, k) and valid.shape == (b, c, k)
+
+
+def test_topk_approx_prefilter_matches_exact():
+    """exact_prefilter=False (approx_max_k + exact reorder) must produce
+    the same selections as the exact-sort path — on CPU approx_max_k
+    lowers to the exact reference, and the production contract is
+    documented as recall-0.99 identical on TPU (docs/PERF.md)."""
+    from modelcompression_tpu.evaluation.nms import nms_topk
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n = 845
+        boxes = random_boxes(rng, n)
+        scores = (rng.uniform(0, 1, n).astype(np.float32)) ** 4
+        exact = nms_topk(jnp.asarray(boxes), jnp.asarray(scores),
+                         0.45, 0.01, max_out=32, exact_prefilter=True)
+        approx = nms_topk(jnp.asarray(boxes), jnp.asarray(scores),
+                          0.45, 0.01, max_out=32, exact_prefilter=False)
+        for a, b in zip(exact, approx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
