@@ -46,6 +46,28 @@ def add_model_args(p: argparse.ArgumentParser, weights_required=True):
                         "randomly initialize the rest")
 
 
+def add_parallel_args(p: argparse.ArgumentParser):
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel size: shard the batch over this "
+                        "many devices on the mesh's 'data' axis (GSPMD "
+                        "inserts the collectives over ICI). 0 = "
+                        "single-device (default)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size: shard conv filters over "
+                        "the 'model' axis (train paths only)")
+
+
+def build_mesh(args):
+    """(mesh, tp_enabled) from --dp/--tp; (None, False) when unused."""
+    dp = getattr(args, "dp", 0)
+    tp = getattr(args, "tp", 1)
+    if dp <= 1 and tp <= 1:
+        return None, False
+    from modelcompression_tpu.core.mesh import MeshConfig, make_mesh
+    mesh = make_mesh(MeshConfig(data=max(dp, 1), model=max(tp, 1)))
+    return mesh, tp > 1
+
+
 def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--data", required=True,
                    help=".data file (train=/valid=/names=) or VOCdevkit root")

@@ -13,8 +13,8 @@ import argparse
 import sys
 
 from modelcompression_tpu.cli.common import (
-    add_data_args, add_model_args, enable_compilation_cache, load_dataset,
-    load_model,
+    add_data_args, add_model_args, add_parallel_args, build_mesh,
+    enable_compilation_cache, load_dataset, load_model,
 )
 from modelcompression_tpu.core.precision import get_precision
 from modelcompression_tpu.evaluation import (
@@ -46,6 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "convention (the default)")
     p.add_argument("--dump-dir", default=None,
                    help="write per-class detection files here")
+    add_parallel_args(p)
     return p
 
 
@@ -64,7 +65,12 @@ def main(argv=None) -> int:
         letterbox=not args.no_letterbox, precision=precision,
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"))
-    res = evaluate(params, spec, samples, names, cfg)
+    mesh, _ = build_mesh(args)
+    if mesh is not None and args.batch % mesh.shape["data"]:
+        print(f"error: --batch {args.batch} must be divisible by "
+              f"--dp {mesh.shape['data']}", file=sys.stderr)
+        return 2
+    res = evaluate(params, spec, samples, names, cfg, mesh=mesh)
     print(res.summary())
     if args.dump_dir:
         dump_detections(res, args.dump_dir)

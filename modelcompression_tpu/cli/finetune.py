@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.cli.common import (
-    add_data_args, add_model_args, enable_compilation_cache, load_dataset,
-    load_model, load_train_dataset,
+    add_data_args, add_model_args, add_parallel_args, build_mesh,
+    enable_compilation_cache, load_dataset, load_model, load_train_dataset,
 )
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
 from modelcompression_tpu.models import save_weights
@@ -65,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output .cfg (written when iterating with repack)")
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--seed", type=int, default=0)
+    add_parallel_args(p)
     return p
 
 
@@ -98,6 +99,11 @@ def main(argv=None) -> int:
                          net_h=spec.net.height, net_w=spec.net.width,
                          max_boxes=args.max_boxes, seed=args.seed)
     logger = MetricsLogger(jsonl_path=args.log_jsonl)
+    mesh, tp = build_mesh(args)
+    if mesh is not None and batch % mesh.shape["data"]:
+        print(f"error: batch {batch} must be divisible by --dp "
+              f"{mesh.shape['data']}", file=sys.stderr)
+        return 2
 
     if args.iterate:
         fractions = [float(x) for x in args.iterate.split(",") if x]
@@ -113,7 +119,7 @@ def main(argv=None) -> int:
             steps_per_round=args.steps, eval_fn=eval_fn,
             mode=args.iterate_mode, rng=jax.random.key(args.seed),
             logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume,
-            initial_seen=seen)
+            initial_seen=seen, mesh=mesh, tp=tp)
         if not rounds:
             print("nothing to do: all rounds already checkpointed")
             return 0
@@ -152,7 +158,7 @@ def main(argv=None) -> int:
     state = TrainState.create(params, tx, jax.random.key(args.seed),
                               weight_masks=weight_masks, seen=seen)
     state = train(state, spec, config, loader, n_steps=args.steps,
-                  logger=logger)
+                  logger=logger, mesh=mesh, tp=tp)
     save_weights(args.out, spec,
                  jax.tree.map(np.asarray, state["params"]),
                  seen=int(state["seen"]))

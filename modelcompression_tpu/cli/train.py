@@ -14,8 +14,8 @@ import sys
 import jax
 
 from modelcompression_tpu.cli.common import (
-    add_data_args, add_model_args, enable_compilation_cache, load_dataset,
-    load_model, load_train_dataset,
+    add_data_args, add_model_args, add_parallel_args, build_mesh,
+    enable_compilation_cache, load_dataset, load_model, load_train_dataset,
 )
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
 from modelcompression_tpu.train import (
@@ -56,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--seed", type=int, default=0)
+    add_parallel_args(p)
     return p
 
 
@@ -110,10 +111,15 @@ def main(argv=None) -> int:
             d = save_checkpoint(args.checkpoint_dir, step, spec, dict(st))
             print(f"checkpoint -> {d}")
 
+    mesh, tp = build_mesh(args)
+    if mesh is not None and batch % mesh.shape["data"]:
+        print(f"error: batch {batch} must be divisible by --dp "
+              f"{mesh.shape['data']}", file=sys.stderr)
+        return 2
     state = train(state, spec, config, loader, n_steps=args.steps,
                   logger=logger, eval_fn=eval_fn,
                   eval_every=args.eval_every, checkpoint_fn=ckpt_fn,
-                  checkpoint_every=args.checkpoint_every)
+                  checkpoint_every=args.checkpoint_every, mesh=mesh, tp=tp)
     if args.checkpoint_dir:
         d = save_checkpoint(args.checkpoint_dir, int(state["step"]), spec,
                             dict(state))

@@ -32,7 +32,12 @@ def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     streaming per BASELINE.json:11).
     """
     if devices is None:
-        devices = jax.devices()
+        # devices of the backend that will actually execute: tests pin
+        # jax_default_device to CPU while the TPU plugin stays registered,
+        # so bare jax.devices() is misleading (same rule as ops/pallas_topk)
+        d = jax.config.jax_default_device
+        devices = (jax.devices(d.platform) if d is not None
+                   else jax.devices())
     if config is None:
         config = MeshConfig(data=len(devices), model=1)
     n = config.data * config.model

@@ -161,17 +161,33 @@ def _prep_batch(samples: Sequence[Sample], net_h: int, net_w: int,
 
 def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
              class_names: Sequence[str], config: EvalConfig | None = None,
-             ) -> "EvalResult":
+             mesh=None) -> "EvalResult":
     """Full dataset eval -> mAP@50 + per-class AP + throughput.
 
     All boxes (GT and detections) are kept in source-image pixel
-    coordinates."""
+    coordinates.
+
+    ``mesh``: a mesh with a 'data' axis — params are replicated, batches
+    sharded on 'data' (GSPMD DP inference, SURVEY.md §2.3; numerically
+    identical to single-device, tests/test_parallel_eval.py). The batch
+    size must divide the data axis."""
     config = config or EvalConfig()
     if config.fold_bn:
         params = fold_batchnorm(params, spec)
     step = make_eval_step(spec, config)
     net_h, net_w = spec.net.height, spec.net.width
     bs = config.batch_size
+    shardings = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = mesh.shape.get("data", 1)
+        if bs % dp:
+            raise ValueError(
+                f"eval batch {bs} not divisible by data-parallel size {dp}")
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        shardings = (NamedSharding(mesh, P("data", None, None, None)),
+                     NamedSharding(mesh, P("data")),
+                     NamedSharding(mesh, P("data")))
 
     dets: Dict[str, List[Detection]] = {c: [] for c in class_names}
     gts: Dict[str, List[GroundTruth]] = {c: [] for c in class_names}
@@ -193,6 +209,9 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
 
     def put(item):
         chunk, arrs = item
+        if shardings is not None:
+            return chunk, tuple(jax.device_put(a, s)
+                                for a, s in zip(arrs, shardings))
         return chunk, jax.tree.map(jax.device_put, arrs)
 
     n_images = 0

@@ -36,14 +36,30 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
           eval_every: int = 0,
           checkpoint_fn: Optional[Callable[[int, TrainState], None]] = None,
           checkpoint_every: int = 0,
-          metrics_every: int = 10) -> TrainState:
+          metrics_every: int = 10,
+          mesh=None, tp: bool = False) -> TrainState:
     """Run ``n_steps`` train steps. Returns the final state.
 
     Metrics stay on device and are only materialized every
     ``metrics_every`` steps: each host readback over the device link costs
     a full round-trip (~40ms-plus on a tunneled TPU), so syncing every step
     serializes the pipeline (SURVEY.md §5.7 double-buffering intent).
+
+    ``mesh``: a (data[, model]) ``jax.sharding.Mesh`` — the state is
+    placed on it (params TP-sharded over 'model' when ``tp``) and every
+    batch is sharded on 'data'; GSPMD inserts the gradient all-reduce
+    (SURVEY.md §2.3). The loader's batch size must divide the data axis.
     """
+    if mesh is not None:
+        from modelcompression_tpu.parallel import (
+            place_train_state, shard_batch,
+        )
+        dp = mesh.shape.get("data", 1)
+        if loader.batch_size % dp:
+            raise ValueError(
+                f"batch {loader.batch_size} not divisible by data-parallel "
+                f"size {dp}")
+        state = place_train_state(state, mesh, spec, tp=tp)
     step_fn = make_train_step(spec, config)
     logger = logger or MetricsLogger()
     timer = StepTimer()
@@ -51,6 +67,9 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
     metrics = None
     for i in range(n_steps):
         images, targets = next(it)
+        if mesh is not None:
+            images, targets = shard_batch(
+                (jnp.asarray(images), jnp.asarray(targets)), mesh)
         state, metrics = step_fn(state, jnp.asarray(images),
                                  jnp.asarray(targets))
         step = i + 1  # avoid reading state["step"] back every iteration
@@ -93,7 +112,8 @@ def iterative_prune_finetune(
         repack_each_round: bool = True,
         ckpt_dir: Optional[str] = None,
         resume: bool = False,
-        initial_seen: int = 0) -> List[IterativeRound]:
+        initial_seen: int = 0,
+        mesh=None, tp: bool = False) -> List[IterativeRound]:
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
@@ -166,7 +186,7 @@ def iterative_prune_finetune(
                                   channel_masks=channel_masks,
                                   seen=seen_running)
         state = train(state, spec, config, loader, steps_per_round,
-                      logger=logger)
+                      logger=logger, mesh=mesh, tp=tp)
         params = state["params"]
         seen_running = int(state["seen"])
         metrics = eval_fn(spec, params)

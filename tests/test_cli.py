@@ -208,3 +208,36 @@ def test_detect_cli_smoke(tmp_path):
                       "--conf", "0.001", "--names", names])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_eval_cli_dp_sharded(tmp_path):
+    """eval --dp 4: DP inference over the virtual CPU mesh through the
+    public CLI surface (SURVEY.md §2.3; numeric equality of the sharded
+    step is pinned by tests/test_parallel_eval.py)."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=5)
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "4", "--dp", "4"])
+    assert rc == 0
+    # indivisible batch is rejected up front
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "3", "--dp", "4"])
+    assert rc == 2
+
+
+def test_finetune_cli_dp_tp(tmp_path):
+    """finetune --dp 2 --tp 2: one masked fine-tune over a (2, 2) mesh
+    through the public CLI (GSPMD DP grads + TP conv-filter sharding)."""
+    from modelcompression_tpu.cli import finetune
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=6)
+    out = str(tmp_path / "tuned.weights")
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "2", "--batch", "2",
+                        "--max-boxes", "8", "--dp", "2", "--tp", "2",
+                        "--out", out])
+    assert rc == 0
+    assert os.path.exists(out)

@@ -41,7 +41,12 @@ def test_param_specs_tp():
 
 def test_dryrun_multichip_8():
     """The driver contract: full train step over an 8-device mesh executes
-    (real DP x TP shardings, GSPMD collectives on the virtual CPU mesh)."""
+    (real DP x TP shardings, GSPMD collectives on the virtual CPU mesh).
+
+    dryrun_multichip itself runs the step in a scrubbed subprocess with
+    signal-death retries (on a 1-core host running 8 virtual devices,
+    XLA:CPU's collective rendezvous can hit its hard timeout and SIGABRT
+    — in-process that would kill the whole pytest run)."""
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "__graft_entry__.py")
     s = importlib.util.spec_from_file_location("graft_entry", path)
