@@ -241,3 +241,16 @@ def test_finetune_cli_dp_tp(tmp_path):
                         "--out", out])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_cli_help_surfaces():
+    """Every public entry point (the pyproject console scripts) parses
+    --help without import errors — the reference's script surface stays
+    invocable (BASELINE.json:5)."""
+    import pytest
+    for mod in ("prune", "finetune", "eval", "train", "detect"):
+        m = __import__(f"modelcompression_tpu.cli.{mod}",
+                       fromlist=["main"])
+        with pytest.raises(SystemExit) as e:
+            m.main(["--help"])
+        assert e.value.code == 0
