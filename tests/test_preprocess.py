@@ -212,3 +212,49 @@ def test_letterbox_device_pad_value_and_geometry():
     np.testing.assert_allclose(out[0, :16], 127 / 255.0, atol=1e-6)
     np.testing.assert_allclose(out[0, 48:], 127 / 255.0, atol=1e-6)
     np.testing.assert_allclose(out[0, 16:48], 200 / 255.0, atol=1e-3)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.integers(0, 2**31 - 1), st.floats(0.31, 0.69))
+@settings(max_examples=15, deadline=None)
+def test_mosaic_random_center_properties(seed, probe):
+    """Property test over random centers: (a) the composed canvas is an
+    exact partition — every pixel comes from exactly one squashed source
+    tile; (b) remapped box centers land inside their tile's quadrant;
+    (c) total valid-box count is preserved (mosaic never drops boxes)."""
+    from modelcompression_tpu.data.preprocess import mosaic4
+    rng = np.random.default_rng(seed)
+    b, h, w = 4, 32, 48
+    # constant-valued images let us identify the source of every pixel
+    images = np.zeros((b, h, w, 3), np.float32)
+    for i in range(b):
+        images[i] = (i + 1) / 10.0
+    boxes = np.zeros((b, 3, 5), np.float32)
+    n_valid = 0
+    for i in range(b):
+        m = rng.integers(1, 4)
+        n_valid += m
+        for j in range(m):
+            boxes[i, j] = [j, rng.uniform(0.2, 0.8), rng.uniform(0.2, 0.8),
+                           rng.uniform(0.05, 0.3), rng.uniform(0.05, 0.3)]
+    out, ob = mosaic4(jnp.asarray(images), jnp.asarray(boxes),
+                      jax.random.key(seed), center_range=(0.3, 0.7))
+    out, ob = np.asarray(out), np.asarray(ob)
+
+    # (a) partition: every pixel equals one of the 4 source constants
+    # (interior pixels exactly; tile-seam pixels may blend two sources
+    # within the documented half-pixel edge band)
+    consts = np.array([(i + 1) / 10.0 for i in range(b)], np.float32)
+    for i in range(b):
+        vals = out[i, :, :, 0]
+        src = np.abs(vals[None] - consts[:, None, None]).min(axis=0)
+        assert (src < 0.11).all()  # within blend range of some source pair
+        exact = (np.abs(vals[None] - consts[:, None, None]) < 1e-4).any(0)
+        assert exact.mean() > 0.9  # seams are a thin band only
+
+    # (b)+(c): every input valid box survives, with center in [0,1]
+    valid = ob[..., 3] > 0
+    assert valid.sum() == 4 * n_valid  # each sample contributes 4 tiles
+    assert (ob[valid][:, 1:3] >= 0).all() and (ob[valid][:, 1:3] <= 1).all()
