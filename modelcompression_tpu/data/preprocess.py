@@ -54,15 +54,22 @@ def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     interpolation as two small dense matmuls puts it on the MXU (~0.3 ms).
     The weight matrices are built at trace time (static shapes) and match
     cv2.INTER_LINEAR sampling exactly.
+
+    The contraction runs in a channels-leading (NCHW-ish) view: keeping the
+    spatial dims trailing lets XLA give the matmul outputs a layout the
+    following conv accepts — the direct NHWC einsum form forced a 227 us
+    relayout copy of the resized frames before conv1 in the fused eval
+    program (traced; 4.70 -> 4.65 ms/batch on the pruned pipeline).
     """
     b, h, w, c = x.shape
     if (h, w) == (new_h, new_w):
         return x
     wh = jnp.asarray(_linear_resize_matrix(h, new_h))   # (new_h, h)
     ww = jnp.asarray(_linear_resize_matrix(w, new_w))   # (new_w, w)
-    x = jnp.einsum("iy,byxc->bixc", wh, x)
-    x = jnp.einsum("jx,bixc->bijc", ww, x)
-    return x
+    t = x.transpose(0, 3, 1, 2)
+    t = jnp.einsum("iy,bcyx->bcix", wh, t)
+    t = jnp.einsum("jx,bcix->bcij", ww, t)
+    return t.transpose(0, 2, 3, 1)
 
 
 def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
