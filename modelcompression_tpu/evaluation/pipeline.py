@@ -215,14 +215,27 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
         return chunk, jax.tree.map(jax.device_put, arrs)
 
     n_images = 0
-    infer_time = 0.0
-    for chunk, (batch, img_w, img_h) in prefetch_to_device(
-            host_batches(), depth=2, put=put):
-        t0 = time.perf_counter()
-        boxes, scores, valid = step(params, batch, img_w, img_h)
-        boxes, scores, valid = jax.device_get((boxes, scores, valid))
-        infer_time += time.perf_counter() - t0
-        img_w, img_h = np.asarray(img_w), np.asarray(img_h)
+    t_loop0 = time.perf_counter()
+
+    def batch_results():
+        """Dispatch batch i, then fetch batch i-1's (tiny) outputs while
+        the device computes — the output-side half of the §5.7
+        double-buffering story (the input side is prefetch_to_device).
+        On a high-latency link the fetch round-trip would otherwise
+        serialize with compute."""
+        pending = None
+        for chunk, (batch, img_w, img_h) in prefetch_to_device(
+                host_batches(), depth=2, put=put):
+            outs = step(params, batch, img_w, img_h)  # async dispatch
+            if pending is not None:
+                p_chunk, p_w, p_h, p_outs = pending
+                yield p_chunk, p_w, p_h, jax.device_get(p_outs)
+            pending = (chunk, np.asarray(img_w), np.asarray(img_h), outs)
+        if pending is not None:
+            p_chunk, p_w, p_h, p_outs = pending
+            yield p_chunk, p_w, p_h, jax.device_get(p_outs)
+
+    for chunk, img_w, img_h, (boxes, scores, valid) in batch_results():
         n_images += len(chunk)
 
         for bi, s in enumerate(chunk):
@@ -247,6 +260,7 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
                         score=float(scores[bi, ci, k]),
                         box=tuple(float(x) for x in boxes[bi, ci, k])))
 
+    infer_time = time.perf_counter() - t_loop0  # wall over the pipelined loop
     m, per_class = mean_ap(dets, gts, use_07_metric=config.use_07_metric,
                            devkit_iou=config.devkit_iou)
     return EvalResult(
