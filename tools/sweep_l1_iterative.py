@@ -1,0 +1,86 @@
+"""The headline accuracy-contract shape (BASELINE.json:5,9,10) on the
+learnable fixture: train to high mAP, then the iterative L1-filter loop
+0.25 -> 0.5 -> 0.75 with PHYSICAL repack each round, measuring mAP@50
+right after each prune (drop) and after each round's fine-tune
+(recovery). The 0.75 row is the fixture-task stand-in for the
+"<= 2.0 mAP@50 drop at 75% filter pruning" contract until real VOC
+exists (SURVEY.md §7.5). Deterministic on the CPU backend; results
+recorded in docs/PERF.md."""
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import jax.numpy as jnp  # noqa: E402
+
+from modelcompression_tpu.compress import (  # noqa: E402
+    repack, uniform_filter_fraction_keep_sets,
+)
+from modelcompression_tpu.data.fixtures import (  # noqa: E402
+    FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
+)
+from modelcompression_tpu.data.voc import (  # noqa: E402
+    load_list_dataset, read_data_cfg,
+)
+from modelcompression_tpu.evaluation import EvalConfig, evaluate  # noqa
+from modelcompression_tpu.models import (  # noqa: E402
+    init_params, num_params, parse_cfg,
+)
+from modelcompression_tpu.train import (  # noqa: E402
+    BatchLoader, TrainConfig, TrainState, make_optimizer, make_train_step,
+)
+
+EVAL = EvalConfig(batch_size=8, conf_thresh=0.005, max_detections=20)
+FRACTIONS = (0.25, 0.5, 0.75)
+BASE_STEPS = 600
+ROUND_STEPS = 400
+
+
+def train_steps(spec, params, samples, n, seed):
+    config = TrainConfig.from_spec(spec, augment_flip=False, max_boxes=8)
+    loader = BatchLoader(samples, batch_size=8, net_h=96, net_w=96,
+                         max_boxes=8, seed=seed)
+    tx = make_optimizer(config)
+    state = TrainState.create(params, tx, jax.random.key(seed))
+    step = make_train_step(spec, config, tx)
+    it = iter(loader)
+    for _ in range(n):
+        imgs, tgts = next(it)
+        state, m = step(state, jnp.asarray(imgs), jnp.asarray(tgts))
+    return state["params"], float(m["loss"])
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="l1sweep")
+    data_cfg = make_fake_voc(root, n_images=16, image_size=96, seed=0)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=96, height=96))
+    params = init_params(spec, jax.random.key(0))
+    params, loss = train_steps(spec, params, samples, BASE_STEPS, seed=1)
+    base = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL).map50
+    print(f"baseline: {BASE_STEPS} steps, loss {loss:.2f}, "
+          f"mAP@50 {base*100:.1f}, params {num_params(params)/1e3:.0f}k")
+
+    prev_frac = 0.0
+    for ridx, frac in enumerate(FRACTIONS):
+        inc = 1.0 - (1.0 - frac) / (1.0 - prev_frac)
+        keep = uniform_filter_fraction_keep_sets(spec, params, inc)
+        spec, params = repack(spec, params, keep)
+        pruned = evaluate(params, spec, samples, FIXTURE_CLASSES,
+                          EVAL).map50
+        params, loss = train_steps(spec, params, samples, ROUND_STEPS,
+                                   seed=2 + ridx)
+        rec = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL).map50
+        print(f"round {ridx}: cum {frac:.0%} filters pruned + repacked "
+              f"(params {num_params(params)/1e3:.0f}k) | "
+              f"mAP {pruned*100:5.1f} pruned -> {rec*100:5.1f} after "
+              f"{ROUND_STEPS}-step fine-tune (delta vs base "
+              f"{(rec-base)*100:+.1f})")
+        prev_frac = frac
+
+
+if __name__ == "__main__":
+    main()
