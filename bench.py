@@ -159,12 +159,15 @@ def main() -> int:
     batches = [rng.integers(0, 255, (BATCH, SRC_H, SRC_W, 3), np.uint8)
                for _ in range(STREAM_ITERS)]
     nbytes = batches[0].nbytes
-    # feed-only bandwidth (pipelined puts of unique data). Reads (not just
-    # blocks) force completion: block_until_ready can resolve before the
-    # bytes land under the tunnel's async mode (utils/timing.py docstring).
+    # feed-only bandwidth (pipelined puts of unique data). A read (not
+    # just a block) forces completion: block_until_ready can resolve
+    # before the bytes land under the tunnel's async mode
+    # (utils/timing.py docstring). Reading only the LAST buffer suffices
+    # — the puts share one link, so its completion bounds the window —
+    # and avoids adding 7 serial round-trips to the timed section.
     def force(arrs):
-        for a in arrs:
-            jax.device_get(a.ravel()[0])
+        jax.block_until_ready(arrs)
+        jax.device_get(arrs[-1].ravel()[0])
     xs = [jax.device_put(b) for b in probe[:4]]
     force(xs)
     t0 = time.perf_counter()

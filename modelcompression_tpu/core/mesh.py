@@ -24,20 +24,29 @@ class MeshConfig:
     model: int = 1
 
 
+def effective_platform() -> str:
+    """Platform of the backend that will actually execute eager ops.
+
+    Tests (and users fighting this environment's sitecustomize) pin
+    ``jax_default_device`` to CPU while the TPU plugin stays registered,
+    so bare ``jax.default_backend()`` / ``jax.devices()`` are misleading.
+    The config value may legally be a Device OR a platform string."""
+    d = jax.config.jax_default_device
+    if d is None:
+        return jax.default_backend()
+    return d if isinstance(d, str) else d.platform
+
+
 def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     """Build a (data, model) mesh.
 
     With ``config=None``, all visible devices go on the data axis — the
-    right default for a CNN that fits on one chip (DP scales batch 64
+    right default for a CNN that fits one chip (DP scales batch 64
     streaming per BASELINE.json:11).
     """
     if devices is None:
-        # devices of the backend that will actually execute: tests pin
-        # jax_default_device to CPU while the TPU plugin stays registered,
-        # so bare jax.devices() is misleading (same rule as ops/pallas_topk)
-        d = jax.config.jax_default_device
-        devices = (jax.devices(d.platform) if d is not None
-                   else jax.devices())
+        # devices of the backend that will actually execute
+        devices = jax.devices(effective_platform())
     if config is None:
         config = MeshConfig(data=len(devices), model=1)
     n = config.data * config.model

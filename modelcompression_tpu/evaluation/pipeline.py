@@ -72,14 +72,14 @@ class EvalConfig:
     # B=64,N=845,C=20,K=32 — approx_max_k lowers poorly under vmap;
     # docs/PERF.md "Explored and rejected") — kept as a knob for other
     # shape regimes, where N >> K makes the sort dominant.
-    exact_nms_prefilter: Optional[bool] = None
+    exact_nms_prefilter: bool = True
     # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
     # Default OFF: the reformulation is exact and tested, but measured
     # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
     # "input stage" entry) — the Pallas form hits Mosaic layout limits and
     # the XLA form materializes im2col in HBM. Kept as an explicit knob
     # for future toolchains.
-    fuse_input_stage: Optional[bool] = None
+    fuse_input_stage: bool = False
 
 
 def make_eval_step(spec: NetworkSpec, config: EvalConfig,
@@ -96,8 +96,6 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
     region = spec.region
     net_h, net_w = spec.net.height, spec.net.width
     fuse = config.fuse_input_stage
-    if fuse is None:
-        fuse = False  # measured slower than XLA's conv+pool; see EvalConfig
     if fuse:
         from modelcompression_tpu.ops.input_stage import input_stage_match
         fuse = config.fold_bn and input_stage_match(spec)
@@ -118,15 +116,12 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
         boxes, obj, cls = decode_region(raw, region)
         class_scores = obj[..., None] * cls  # (B, N, C)
         corners = center_to_corners(boxes)
-        exact_pf = config.exact_nms_prefilter
-        if exact_pf is None:
-            exact_pf = True  # approx measured slower here; see EvalConfig
         sel, scores, valid = batched_per_class_nms(
             corners, class_scores,
             iou_thresh=config.nms_thresh,
             score_thresh=config.conf_thresh,
             max_out=config.max_detections,
-            exact_prefilter=exact_pf)
+            exact_prefilter=config.exact_nms_prefilter)
         # (B, C, K, 4) normalized -> source pixels, on device
         sel = corners_to_image(sel, img_w[:, None, None],
                                img_h[:, None, None],

@@ -265,15 +265,6 @@ def fused_conv1_pool_pallas(x: jnp.ndarray, w_hwio: jnp.ndarray,
     )(sp, ws, b2d)
 
 
-def on_tpu() -> bool:
-    """True when computation will actually execute on the TPU. Tests pin
-    jax_default_device to CPU while the TPU plugin stays registered, so
-    jax.devices() alone is misleading (same rule as ops/pallas_topk)."""
-    d = jax.config.jax_default_device
-    platform = d.platform if d is not None else jax.default_backend()
-    return platform in ("tpu", "axon")
-
-
 def fused_conv1_pool(x: jnp.ndarray, w_hwio: jnp.ndarray, bias: jnp.ndarray,
                      compute_dtype=jnp.bfloat16,
                      use_pallas: Optional[bool] = None) -> jnp.ndarray:

@@ -46,12 +46,10 @@ ROWS = CHUNK // LANES  # chunks are 2-D (ROWS, 128): Mosaic-native tiling
 
 
 def _interpret() -> bool:
-    # decide by the device that will actually execute: tests pin
-    # jax_default_device to CPU while the TPU plugin stays registered, so
-    # default_backend() alone is misleading
-    d = jax.config.jax_default_device
-    platform = d.platform if d is not None else jax.default_backend()
-    return platform not in ("tpu", "axon")
+    # decide by the device that will actually execute (the shared
+    # effective-platform rule; handles Device, string, and None configs)
+    from modelcompression_tpu.core.mesh import effective_platform
+    return effective_platform() not in ("tpu", "axon")
 
 
 def _count_le_kernel(mid_ref, bits_ref, seg_ref, out_ref, acc):

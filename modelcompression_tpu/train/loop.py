@@ -68,10 +68,14 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
     for i in range(n_steps):
         images, targets = next(it)
         if mesh is not None:
-            images, targets = shard_batch(
-                (jnp.asarray(images), jnp.asarray(targets)), mesh)
-        state, metrics = step_fn(state, jnp.asarray(images),
-                                 jnp.asarray(targets))
+            # one hop: device_put the RAW numpy batch with the mesh
+            # sharding (jnp.asarray first would commit it to the default
+            # device and pay the feed link twice)
+            images, targets = shard_batch((images, targets), mesh)
+        else:
+            images = jnp.asarray(images)
+            targets = jnp.asarray(targets)
+        state, metrics = step_fn(state, images, targets)
         step = i + 1  # avoid reading state["step"] back every iteration
         timer.tick(images.shape[0])  # host-side counters only, no sync
         sync_now = (metrics_every and step % metrics_every == 0) \

@@ -76,7 +76,11 @@ def _fn_takes_salt(fn: Callable) -> bool:
 
 def _force_read(out) -> None:
     """Fetch (part of) ``out`` to host — completion-proof, cheap."""
-    leaf = jax.tree.leaves(out)[0]
+    leaves = jax.tree.leaves(out)
+    if not leaves:  # None / leafless pytree: keep block_until_ready's
+        jax.block_until_ready(out)  # permissive contract
+        return
+    leaf = leaves[0]
     if not hasattr(leaf, "size") or leaf.size <= 65536:
         np.asarray(leaf)
     else:

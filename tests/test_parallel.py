@@ -53,3 +53,18 @@ def test_dryrun_multichip_8():
     m = importlib.util.module_from_spec(s)
     s.loader.exec_module(m)
     m.dryrun_multichip(8)  # raises on failure
+
+
+def test_effective_platform_accepts_string_default_device():
+    """jax.config.jax_default_device may hold a platform STRING (e.g. via
+    JAX_DEFAULT_DEVICE=cpu); platform detection and make_mesh must not
+    crash on it (review finding: .platform on a str)."""
+    from modelcompression_tpu.core.mesh import effective_platform
+    prev = jax.config.jax_default_device
+    try:
+        jax.config.update("jax_default_device", "cpu")
+        assert effective_platform() == "cpu"
+        mesh = make_mesh(MeshConfig(data=2, model=1))
+        assert dict(mesh.shape) == {"data": 2, "model": 1}
+    finally:
+        jax.config.update("jax_default_device", prev)
