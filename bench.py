@@ -225,7 +225,11 @@ def main() -> int:
         log(f"[warn] train throughput measurement skipped: {e}")
 
     # --- Pallas-vs-XLA equality on the real chip, re-proven every round ---
-    from modelcompression_tpu.compress import magnitude_masks_perlayer
+    # XLA side = the PRODUCTION default (compress/backend.py 'fused': the
+    # one-program segmented bisection); the per-shape argsort 'reference'
+    # backend stays a CPU oracle — running it here would pay one remote
+    # compile per conv shape (ops/topk_mask.py:5-8).
+    from modelcompression_tpu.compress import magnitude_mask_fn
     from modelcompression_tpu.ops.pallas_topk import (
         pallas_magnitude_masks_perlayer,
     )
@@ -233,9 +237,14 @@ def main() -> int:
     masks_pl = pallas_magnitude_masks_perlayer(params, spec, 0.75)
     masks_pl = {k: np.asarray(v) for k, v in masks_pl.items()}
     pallas_secs = time.perf_counter() - t0
-    masks_xla = magnitude_masks_perlayer(params, spec, 0.75)
+    t0 = time.perf_counter()
+    masks_xla = magnitude_mask_fn("magnitude")(params, spec, 0.75)
+    masks_xla = {k: np.asarray(v) for k, v in masks_xla.items()}
+    fused_secs = time.perf_counter() - t0
+    log(f"fused (production default) mask path: {fused_secs:.2f}s "
+        f"incl. compile")
     pallas_equal = all(
-        bool((masks_pl[k] == np.asarray(masks_xla[k])).all())
+        bool((masks_pl[k] == masks_xla[k]).all())
         for k in masks_xla)
     log(f"pallas top-k/mask == XLA on hardware: {pallas_equal} "
         f"({pallas_secs:.2f}s incl. compile, "

@@ -27,6 +27,7 @@ from modelcompression_tpu.cli.common import (
     add_data_args, add_model_args, add_parallel_args, build_mesh,
     enable_compilation_cache, load_dataset, load_model, load_train_dataset,
 )
+from modelcompression_tpu.compress import DEFAULT_MASK_BACKEND, MASK_BACKENDS
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
 from modelcompression_tpu.models import save_weights
 from modelcompression_tpu.models.darknet import conv_key
@@ -55,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "iterative loop, e.g. 0.25,0.5,0.75")
     p.add_argument("--iterate-mode", default="l1_filter",
                    choices=("l1_filter", "magnitude", "global"))
+    p.add_argument("--mask-backend", default=DEFAULT_MASK_BACKEND,
+                   choices=MASK_BACKENDS,
+                   help="magnitude/global mask implementation for "
+                        "--iterate (fused one-program XLA default | "
+                        "pallas Mosaic twins | reference argsort oracle)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="alias for --mask-backend pallas")
     p.add_argument("--ckpt-dir", default=None,
                    help="save a checkpoint after every iterative round")
     p.add_argument("--resume", action="store_true",
@@ -71,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.use_pallas:
+        args.mask_backend = "pallas"
     enable_compilation_cache()
     spec, params, seen = load_model(args)
     samples, names = load_train_dataset(args)
@@ -119,7 +129,8 @@ def main(argv=None) -> int:
             steps_per_round=args.steps, eval_fn=eval_fn,
             mode=args.iterate_mode, rng=jax.random.key(args.seed),
             logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume,
-            initial_seen=seen, mesh=mesh, tp=tp)
+            initial_seen=seen, mesh=mesh, tp=tp,
+            mask_backend=args.mask_backend)
         if not rounds:
             print("nothing to do: all rounds already checkpointed")
             return 0

@@ -26,7 +26,7 @@ from modelcompression_tpu.cli.common import (
     add_model_args, enable_compilation_cache, load_model,
 )
 from modelcompression_tpu.compress import (
-    apply_masks, magnitude_masks_global, magnitude_masks_perlayer,
+    DEFAULT_MASK_BACKEND, MASK_BACKENDS, apply_masks, magnitude_mask_fn,
     mask_sparsity, repack, uniform_filter_fraction_keep_sets,
 )
 from modelcompression_tpu.models import dump_cfg, num_params, save_weights
@@ -46,8 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True, help="output .weights path")
     p.add_argument("--out-cfg", default=None,
                    help="rewritten .cfg path (l1_filter mode)")
+    p.add_argument("--mask-backend", default=DEFAULT_MASK_BACKEND,
+                   choices=MASK_BACKENDS,
+                   help="magnitude/global mask implementation: 'fused' "
+                        "(default; one-program XLA segmented bisection — "
+                        "the production path, no per-shape compiles), "
+                        "'pallas' (hand-written Mosaic kernel twins), or "
+                        "'reference' (per-shape stable-argsort CPU oracle)")
     p.add_argument("--use-pallas", action="store_true",
-                   help="use the fused Pallas top-k/mask kernels")
+                   help="alias for --mask-backend pallas")
     p.add_argument("--sweep", default=None,
                    help="comma list of sparsities/fractions: prune at each "
                         "point, write <out stem>_<pct>.weights, and (with "
@@ -82,17 +89,7 @@ def _sweep(args, spec, params, seen) -> int:
             out_spec, out_params = repack(spec, params, keep)
             achieved = 1.0 - num_params(out_params) / num_params(params)
         else:
-            if args.use_pallas:
-                from modelcompression_tpu.ops import (
-                    pallas_magnitude_masks_global,
-                    pallas_magnitude_masks_perlayer,
-                )
-                fn = (pallas_magnitude_masks_perlayer
-                      if args.mode == "magnitude"
-                      else pallas_magnitude_masks_global)
-            else:
-                fn = (magnitude_masks_perlayer if args.mode == "magnitude"
-                      else magnitude_masks_global)
+            fn = magnitude_mask_fn(args.mode, args.mask_backend)
             masks = fn(params, spec, v)
             achieved = float(mask_sparsity(masks))
             out_spec, out_params = spec, apply_masks(params, masks)
@@ -122,6 +119,8 @@ def _sweep(args, spec, params, seen) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.use_pallas:
+        args.mask_backend = "pallas"
     enable_compilation_cache()
     spec, params, seen = load_model(args)
     n0 = num_params(params)
@@ -138,15 +137,7 @@ def main(argv=None) -> int:
             print(f"error: --sparsity must be in [0, 1), got "
                   f"{args.sparsity}", file=sys.stderr)
             return 2
-        if args.use_pallas:
-            from modelcompression_tpu.ops import (
-                pallas_magnitude_masks_global, pallas_magnitude_masks_perlayer,
-            )
-            fn = (pallas_magnitude_masks_perlayer if args.mode == "magnitude"
-                  else pallas_magnitude_masks_global)
-        else:
-            fn = (magnitude_masks_perlayer if args.mode == "magnitude"
-                  else magnitude_masks_global)
+        fn = magnitude_mask_fn(args.mode, args.mask_backend)
         masks = fn(params, spec, args.sparsity)
         achieved = float(mask_sparsity(masks))
         params = jax.tree.map(np.asarray, apply_masks(params, masks))

@@ -1,3 +1,6 @@
+from modelcompression_tpu.compress.backend import (
+    DEFAULT_MASK_BACKEND, MASK_BACKENDS, magnitude_mask_fn,
+)
 from modelcompression_tpu.compress.criteria import (
     apply_masks, global_threshold, l1_filter_keep, l1_filter_keep_sets,
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
@@ -9,6 +12,7 @@ from modelcompression_tpu.compress.repack import (
 )
 
 __all__ = [
+    "DEFAULT_MASK_BACKEND", "MASK_BACKENDS", "magnitude_mask_fn",
     "apply_masks", "global_threshold", "l1_filter_keep",
     "l1_filter_keep_sets", "l1_filter_scores", "l1_filter_scores_device",
     "magnitude_mask_layer",

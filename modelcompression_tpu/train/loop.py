@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.compress import (
-    channel_masks_from_keep, magnitude_masks_global,
-    magnitude_masks_perlayer, repack, uniform_filter_fraction_keep_sets,
+    DEFAULT_MASK_BACKEND, channel_masks_from_keep, magnitude_mask_fn,
+    repack, uniform_filter_fraction_keep_sets,
 )
 from modelcompression_tpu.models.cfg import NetworkSpec
 from modelcompression_tpu.models.darknet import Params
@@ -117,7 +117,8 @@ def iterative_prune_finetune(
         ckpt_dir: Optional[str] = None,
         resume: bool = False,
         initial_seen: int = 0,
-        mesh=None, tp: bool = False) -> List[IterativeRound]:
+        mesh=None, tp: bool = False,
+        mask_backend: str = DEFAULT_MASK_BACKEND) -> List[IterativeRound]:
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
@@ -133,6 +134,10 @@ def iterative_prune_finetune(
     latest round checkpoint and continues with the remaining fractions —
     the failure-recovery contract for multi-hour schedules (SURVEY.md
     §5.3/§5.4: "the iterative loop depends on saving after each round").
+
+    ``mask_backend`` selects the magnitude/global mask implementation
+    ('fused' one-program XLA default | 'pallas' Mosaic twins |
+    'reference' per-shape argsort oracle — compress/backend.py).
     """
     rng = rng if rng is not None else jax.random.key(0)
     logger = logger or MetricsLogger()
@@ -177,8 +182,10 @@ def iterative_prune_finetune(
             else:
                 channel_masks = channel_masks_from_keep(spec, keep_sets)
         elif mode in ("magnitude", "global"):
-            fn = (magnitude_masks_perlayer if mode == "magnitude"
-                  else magnitude_masks_global)
+            # default 'fused': masks recompute every round, so the
+            # one-program path is mandatory on a remote-compile TPU
+            # (compress/backend.py; VERDICT r1 #1)
+            fn = magnitude_mask_fn(mode, mask_backend)
             weight_masks = fn(params, spec, frac)
             channel_masks = {}
         else:
