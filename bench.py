@@ -201,7 +201,7 @@ def main() -> int:
             TrainConfig, TrainState, make_optimizer, make_train_step,
         )
         tcfg = TrainConfig.from_spec(slim_spec, augment_flip=True,
-                                     max_boxes=30)
+                                     augment_jitter=0.0, max_boxes=30)
         tx = make_optimizer(tcfg)
         tstate = TrainState.create(slim_params, tx, jax.random.key(1))
         tstep = make_train_step(slim_spec, tcfg, tx)

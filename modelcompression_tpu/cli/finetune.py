@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--max-boxes", type=int, default=30)
+    p.add_argument("--mosaic", action="store_true",
+                   help="4-image mosaic augmentation")
+    p.add_argument("--hsv", action="store_true",
+                   help="Darknet HSV distortion (knobs from the cfg's "
+                        "[net] hue/saturation/exposure)")
+    p.add_argument("--jitter", type=float, default=None,
+                   help="Darknet crop-jitter fraction in [0, 0.5); "
+                        "default: the cfg's [region] jitter value; "
+                        "pass 0 to disable")
     p.add_argument("--preserve-sparsity", action="store_true",
                    help="freeze the zero pattern of the loaded weights")
     p.add_argument("--iterate", default=None,
@@ -102,8 +111,18 @@ def main(argv=None) -> int:
     overrides = {}
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
+    if args.jitter is not None:
+        if not 0.0 <= args.jitter < 0.5:
+            print(f"error: --jitter must be in [0, 0.5), got {args.jitter}",
+                  file=sys.stderr)
+            return 2
+        overrides["augment_jitter"] = args.jitter
+    # full augmentation surface for the accuracy-recovery path
+    # (BASELINE.json:9 "short fine-tune on VOC"): cfg jitter is on by
+    # default via from_spec; mosaic/HSV are the same opt-ins train has
     config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
-                                   **overrides)
+                                   augment_mosaic=args.mosaic,
+                                   augment_hsv=args.hsv, **overrides)
     batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,

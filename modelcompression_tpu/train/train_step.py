@@ -65,8 +65,19 @@ class TrainConfig:
     augment_flip: bool = True
     augment_mosaic: bool = False
     augment_hsv: bool = False
-    # Darknet crop jitter fraction ([region] jitter=); 0 disables
+    # Darknet crop jitter fraction ([region] jitter=); 0 disables.
+    # from_spec fills it from the cfg so the fine-tune/train surfaces
+    # train with the reference's crop augmentation by default.
     augment_jitter: float = 0.0
+    # Darknet [net] HSV distortion knobs (image.c random_distort_image),
+    # applied when augment_hsv is on; from_spec fills them from the cfg.
+    # [net] angle= is deliberately NOT implemented: Darknet's detector
+    # data path (load_data_detection) never applies rotation — angle only
+    # affects the classifier pipeline — so rotation augment would be a
+    # parity DIVERGENCE, not a gap (SURVEY.md §5.6).
+    hue: float = 0.1
+    saturation: float = 1.5
+    exposure: float = 1.5
     max_boxes: int = 30
     # rematerialize each conv block in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for O(layers) less activation HBM.
@@ -76,11 +87,21 @@ class TrainConfig:
 
     @classmethod
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
+        """Train hyperparameters from the cfg (SURVEY.md §5.6: the Darknet
+        .cfg defines training, not just architecture): LR policy, [net]
+        HSV knobs, and the [region] crop jitter all default to the cfg's
+        values; ``overrides`` win."""
         n = spec.net
+        try:
+            jitter = spec.region.jitter
+        except ValueError:  # spec without a [region] layer
+            jitter = 0.0
         kw = dict(learning_rate=n.learning_rate, momentum=n.momentum,
                   decay=n.decay, burn_in=n.burn_in, policy=n.policy,
                   max_batches=n.max_batches, power=n.power, gamma=n.gamma,
-                  step=n.step, steps=n.steps, scales=n.scales)
+                  step=n.step, steps=n.steps, scales=n.scales,
+                  hue=n.hue, saturation=n.saturation, exposure=n.exposure,
+                  augment_jitter=jitter)
         kw.update(overrides)
         return cls(**kw)
 
@@ -296,7 +317,8 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
         if config.augment_flip:
             x, targets = random_flip(x, targets, k_aug1)
         if config.augment_hsv:
-            x = distort_hsv(x, k_aug2)
+            x = distort_hsv(x, k_aug2, hue=config.hue,
+                            sat=config.saturation, expo=config.exposure)
 
         trainable, stats = split_trainable(state["params"])
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

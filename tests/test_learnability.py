@@ -35,7 +35,8 @@ EVAL_CFG = EvalConfig(batch_size=8, conf_thresh=0.005, max_detections=20)
 
 
 def _train(spec, params, samples, n_steps, seed=1):
-    config = TrainConfig.from_spec(spec, augment_flip=False, max_boxes=8)
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, max_boxes=8)
     loader = BatchLoader(samples, batch_size=8, net_h=96, net_w=96,
                          max_boxes=8, seed=seed)
     tx = make_optimizer(config)

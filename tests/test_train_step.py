@@ -24,7 +24,7 @@ from tests.conftest import cpu_devices
 def tiny_setup(seed=0, w=64, bitmatch=True):
     spec = parse_cfg(tiny_region_cfg(num_classes=3, width=w, height=w))
     params = init_params(spec, jax.random.key(seed))
-    kw = dict(augment_flip=False)
+    kw = dict(augment_flip=False, augment_jitter=0.0)
     if bitmatch:
         kw["precision"] = BITMATCH
     config = TrainConfig.from_spec(spec, **kw)

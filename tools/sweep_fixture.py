@@ -32,7 +32,8 @@ EVAL = EvalConfig(batch_size=8, conf_thresh=0.005, max_detections=20)
 
 
 def train_steps(spec, params, samples, n, seed, masks=None):
-    config = TrainConfig.from_spec(spec, augment_flip=False, max_boxes=8)
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, max_boxes=8)
     loader = BatchLoader(samples, batch_size=8, net_h=96, net_w=96,
                          max_boxes=8, seed=seed)
     tx = make_optimizer(config)

@@ -40,7 +40,8 @@ ROUND_STEPS = 400
 
 
 def train_steps(spec, params, samples, n, seed):
-    config = TrainConfig.from_spec(spec, augment_flip=False, max_boxes=8)
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, max_boxes=8)
     loader = BatchLoader(samples, batch_size=8, net_h=96, net_w=96,
                          max_boxes=8, seed=seed)
     tx = make_optimizer(config)
