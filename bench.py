@@ -200,8 +200,12 @@ def main() -> int:
         from modelcompression_tpu.train import (
             TrainConfig, TrainState, make_optimizer, make_train_step,
         )
+        # subdivisions=1: measure ONE fwd+bwd at batch 64 (the chip-speed
+        # number); the cfg-faithful accumulated step is the same program
+        # scanned 8x (tests/test_subdivisions.py pins its semantics)
         tcfg = TrainConfig.from_spec(slim_spec, augment_flip=True,
-                                     augment_jitter=0.0, max_boxes=30)
+                                     augment_jitter=0.0, subdivisions=1,
+                                     max_boxes=30)
         tx = make_optimizer(tcfg)
         tstate = TrainState.create(slim_params, tx, jax.random.key(1))
         tstep = make_train_step(slim_spec, tcfg, tx)

@@ -46,7 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     add_data_args(p)
     p.add_argument("--steps", type=int, required=True,
                    help="fine-tune steps (per round when iterating)")
-    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None,
+                   help="EFFECTIVE batch per weight update "
+                        "(default: cfg batch=)")
+    p.add_argument("--subdivisions", type=int, default=None,
+                   help="micro-batches accumulated per update (default: "
+                        "cfg subdivisions=; 1 = whole batch in one "
+                        "forward, fastest on TPU when memory allows)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--max-boxes", type=int, default=30)
     p.add_argument("--mosaic", action="store_true",
@@ -120,18 +126,25 @@ def main(argv=None) -> int:
     # full augmentation surface for the accuracy-recovery path
     # (BASELINE.json:9 "short fine-tune on VOC"): cfg jitter is on by
     # default via from_spec; mosaic/HSV are the same opt-ins train has
+    subdiv = args.subdivisions or spec.net.subdivisions
+    batch = args.batch or spec.net.batch
+    if subdiv < 1 or batch % subdiv:
+        print(f"error: batch {batch} must be divisible by subdivisions "
+              f"{subdiv}", file=sys.stderr)
+        return 2
     config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
                                    augment_mosaic=args.mosaic,
-                                   augment_hsv=args.hsv, **overrides)
-    batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
+                                   augment_hsv=args.hsv,
+                                   subdivisions=subdiv, **overrides)
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,
                          max_boxes=args.max_boxes, seed=args.seed)
     logger = MetricsLogger(jsonl_path=args.log_jsonl)
     mesh, tp = build_mesh(args)
-    if mesh is not None and batch % mesh.shape["data"]:
-        print(f"error: batch {batch} must be divisible by --dp "
-              f"{mesh.shape['data']}", file=sys.stderr)
+    if mesh is not None and (batch // subdiv) % mesh.shape["data"]:
+        print(f"error: micro-batch {batch // subdiv} (batch/subdivisions) "
+              f"must be divisible by --dp {mesh.shape['data']}",
+              file=sys.stderr)
         return 2
 
     if args.iterate:

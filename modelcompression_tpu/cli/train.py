@@ -33,7 +33,15 @@ def build_parser() -> argparse.ArgumentParser:
     add_data_args(p)
     p.add_argument("--steps", type=int, required=True)
     p.add_argument("--batch", type=int, default=None,
-                   help="default: cfg batch/subdivisions")
+                   help="EFFECTIVE batch per weight update "
+                        "(default: cfg batch=)")
+    p.add_argument("--subdivisions", type=int, default=None,
+                   help="micro-batches accumulated per update (default: "
+                        "cfg subdivisions=). The step scans batch/"
+                        "subdivisions-image micro-batches inside one "
+                        "program — Darknet's effective-batch semantics; "
+                        "pass 1 to run the whole batch in one forward "
+                        "(fastest on TPU when memory allows)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--max-boxes", type=int, default=30)
     p.add_argument("--mosaic", action="store_true")
@@ -77,11 +85,16 @@ def main(argv=None) -> int:
         print(f"error: --jitter must be in [0, 0.5), got {jitter}",
               file=sys.stderr)
         return 2
+    subdiv = args.subdivisions or spec.net.subdivisions
+    batch = args.batch or spec.net.batch
+    if subdiv < 1 or batch % subdiv:
+        print(f"error: batch {batch} must be divisible by subdivisions "
+              f"{subdiv}", file=sys.stderr)
+        return 2
     config = TrainConfig.from_spec(
         spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
-        augment_jitter=jitter,
+        augment_jitter=jitter, subdivisions=subdiv,
         max_boxes=args.max_boxes, **overrides)
-    batch = args.batch or max(spec.net.batch // spec.net.subdivisions, 1)
     # default: the cfg's [region] random flag (Darknet trains multi-scale
     # whenever random=1)
     use_ms = (args.multi_scale if args.multi_scale is not None
@@ -112,9 +125,10 @@ def main(argv=None) -> int:
             print(f"checkpoint -> {d}")
 
     mesh, tp = build_mesh(args)
-    if mesh is not None and batch % mesh.shape["data"]:
-        print(f"error: batch {batch} must be divisible by --dp "
-              f"{mesh.shape['data']}", file=sys.stderr)
+    if mesh is not None and (batch // subdiv) % mesh.shape["data"]:
+        print(f"error: micro-batch {batch // subdiv} (batch/subdivisions) "
+              f"must be divisible by --dp {mesh.shape['data']}",
+              file=sys.stderr)
         return 2
     state = train(state, spec, config, loader, n_steps=args.steps,
                   logger=logger, eval_fn=eval_fn,
