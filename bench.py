@@ -120,7 +120,7 @@ def main() -> int:
         def many(p, u8, w_, h_, salt):
             def body(i, acc):
                 u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
-                boxes, scores, valid = step.__wrapped__(p, u8_i, w_, h_) \
+                boxes, scores, valid, _ = step.__wrapped__(p, u8_i, w_, h_) \
                     if hasattr(step, "__wrapped__") else step(p, u8_i, w_, h_)
                 return acc + jnp.sum(scores)
             return jax.lax.fori_loop(0, INNER, body, salt)

@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="confidence threshold")
     p.add_argument("--nms", type=float, default=0.45, help="NMS IoU")
     p.add_argument("--max-det", type=int, default=100)
+    p.add_argument("--exact-nms", action="store_true",
+                   help="exact greedy NMS over ALL candidates (no top-K "
+                        "candidate prefilter; ~100 serial argmax rounds "
+                        "per image-class — the mAP-audit switch). The "
+                        "default top-k path equals greedy whenever at "
+                        "most --max-det candidates clear --conf; every "
+                        "run reports the overflow fraction either way")
     p.add_argument("--metric", choices=("07", "continuous"), default="07",
                    help="VOC AP protocol: 11-point (07) or all-point")
     p.add_argument("--precision", default="fast",
@@ -64,7 +71,8 @@ def main(argv=None) -> int:
         max_detections=args.max_det, use_07_metric=(args.metric == "07"),
         letterbox=not args.no_letterbox, precision=precision,
         devkit_iou=not args.continuous_iou,
-        fold_bn=(precision.name != "bitmatch"))
+        fold_bn=(precision.name != "bitmatch"),
+        exact_nms=args.exact_nms)
     mesh, _ = build_mesh(args)
     if mesh is not None and args.batch % mesh.shape["data"]:
         print(f"error: --batch {args.batch} must be divisible by "

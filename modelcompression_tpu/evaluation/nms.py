@@ -194,3 +194,30 @@ def batched_per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
     f = jax.vmap(lambda b, s: per_class_nms(
         b, s, iou_thresh, score_thresh, max_out, exact_prefilter))
     return f(boxes, class_scores)
+
+
+def per_class_nms_padded(boxes: jnp.ndarray, class_scores: jnp.ndarray,
+                         iou_thresh: float = 0.45,
+                         score_thresh: float = 1e-3, max_out: int = 100
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EXACT greedy NMS per class over ALL N candidates (``nms_padded``),
+    no top-K candidate prefilter: correct even when more than ``max_out``
+    candidates clear ``score_thresh`` — the serial-argmax cost the
+    prefilter path avoids (module docstring) is paid deliberately here.
+    Only the OUTPUT is capped at ``max_out`` surviving detections per
+    class. (C, K, 4), (C, K), (C, K)."""
+    f = jax.vmap(
+        lambda s: nms_padded(boxes, s, iou_thresh, score_thresh, max_out),
+        in_axes=1)
+    return f(class_scores)
+
+
+def batched_per_class_nms_padded(boxes: jnp.ndarray,
+                                 class_scores: jnp.ndarray,
+                                 iou_thresh: float = 0.45,
+                                 score_thresh: float = 1e-3,
+                                 max_out: int = 100):
+    """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
+    f = jax.vmap(lambda b, s: per_class_nms_padded(
+        b, s, iou_thresh, score_thresh, max_out))
+    return f(boxes, class_scores)

@@ -43,7 +43,9 @@ from modelcompression_tpu.data.voc import Sample
 from modelcompression_tpu.evaluation.decode import (
     center_to_corners, corners_to_image, decode_region,
 )
-from modelcompression_tpu.evaluation.nms import batched_per_class_nms
+from modelcompression_tpu.evaluation.nms import (
+    batched_per_class_nms, batched_per_class_nms_padded,
+)
 from modelcompression_tpu.evaluation.voc_map import (
     Detection, GroundTruth, mean_ap,
 )
@@ -73,6 +75,17 @@ class EvalConfig:
     # docs/PERF.md "Explored and rejected") — kept as a knob for other
     # shape regimes, where N >> K makes the sort dominant.
     exact_nms_prefilter: bool = True
+    # Exact greedy NMS over ALL candidates (evaluation/nms.nms_padded) —
+    # no top-K candidate prefilter, so the result equals host greedy NMS
+    # even when more than max_detections candidates clear conf_thresh
+    # (only the OUTPUT is capped at max_detections survivors). ~100
+    # serial argmax rounds per (image, class): measured ~7.4 ms/batch-64
+    # extra on the pruned model, so it is the mAP-audit switch, not the
+    # throughput default. The default top-k path equals greedy exactly
+    # while <= max_detections candidates clear the threshold; every eval
+    # reports nms_overflow_frac so the cap is observable, never silent
+    # (SURVEY.md §7.4.2; VERDICT r1 #4).
+    exact_nms: bool = False
     # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
     # Default OFF: the reformulation is exact and tested, but measured
     # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
@@ -88,7 +101,10 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
 
     Returns fn(params, images_uint8, img_w (B,), img_h (B,)) ->
       (boxes (B,C,K,4) in source-image pixels, scores (B,C,K),
-       valid (B,C,K)).
+       valid (B,C,K), n_cand (B,C) int32 — candidates above conf_thresh
+       per (image, class), the truncation-observability counter:
+       n_cand > K means the default top-k NMS saw more candidates than
+       its prefilter keeps).
 
     ``images_uint8`` is (B, net, net, 3) when ``src_hw is None``, else
     (B, src_h, src_w, 3) raw source frames (letterbox fused on device).
@@ -116,17 +132,28 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
         boxes, obj, cls = decode_region(raw, region)
         class_scores = obj[..., None] * cls  # (B, N, C)
         corners = center_to_corners(boxes)
-        sel, scores, valid = batched_per_class_nms(
-            corners, class_scores,
-            iou_thresh=config.nms_thresh,
-            score_thresh=config.conf_thresh,
-            max_out=config.max_detections,
-            exact_prefilter=config.exact_nms_prefilter)
+        # truncation observability: candidates above threshold per
+        # (image, class) — one cheap reduce fused into the program
+        n_cand = jnp.sum(class_scores > config.conf_thresh,
+                         axis=1).astype(jnp.int32)  # (B, C)
+        if config.exact_nms:
+            sel, scores, valid = batched_per_class_nms_padded(
+                corners, class_scores,
+                iou_thresh=config.nms_thresh,
+                score_thresh=config.conf_thresh,
+                max_out=config.max_detections)
+        else:
+            sel, scores, valid = batched_per_class_nms(
+                corners, class_scores,
+                iou_thresh=config.nms_thresh,
+                score_thresh=config.conf_thresh,
+                max_out=config.max_detections,
+                exact_prefilter=config.exact_nms_prefilter)
         # (B, C, K, 4) normalized -> source pixels, on device
         sel = corners_to_image(sel, img_w[:, None, None],
                                img_h[:, None, None],
                                net_w, net_h, config.letterbox)
-        return sel, scores, valid
+        return sel, scores, valid, n_cand
 
     return jax.jit(step)
 
@@ -230,8 +257,16 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
             p_chunk, p_w, p_h, p_outs = pending
             yield p_chunk, p_w, p_h, jax.device_get(p_outs)
 
-    for chunk, img_w, img_h, (boxes, scores, valid) in batch_results():
+    n_cells = 0
+    n_overflow = 0
+    max_cand = 0
+    for chunk, img_w, img_h, (boxes, scores, valid, n_cand) \
+            in batch_results():
         n_images += len(chunk)
+        real = n_cand[:len(chunk)]  # exclude batch padding rows
+        n_cells += real.size
+        n_overflow += int((real > config.max_detections).sum())
+        max_cand = max(max_cand, int(real.max()) if real.size else 0)
 
         for bi, s in enumerate(chunk):
             w, h = float(img_w[bi]), float(img_h[bi])
@@ -262,7 +297,11 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
         map50=m, per_class_ap=per_class, detections=dets,
         n_images=n_images,
         images_per_sec=n_images / infer_time if infer_time else 0.0,
-        use_07_metric=config.use_07_metric)
+        use_07_metric=config.use_07_metric,
+        nms_overflow_frac=(n_overflow / n_cells if n_cells else 0.0),
+        nms_max_candidates=max_cand,
+        max_detections=config.max_detections,
+        exact_nms=config.exact_nms)
 
 
 @dataclasses.dataclass
@@ -273,6 +312,14 @@ class EvalResult:
     n_images: int
     images_per_sec: float
     use_07_metric: bool
+    # NMS truncation observability ("no silent caps", VERDICT r1 #4):
+    # fraction of (image, class) cells whose above-threshold candidate
+    # count exceeded max_detections — cells where the default top-k NMS
+    # can differ from exact greedy — plus the worst cell's count.
+    nms_overflow_frac: float = 0.0
+    nms_max_candidates: int = 0
+    max_detections: int = 0
+    exact_nms: bool = False
 
     def summary(self) -> str:
         lines = [f"{'class':<16} AP@50"]
@@ -282,6 +329,19 @@ class EvalResult:
         lines.append(f"mAP@50 ({proto}): {self.map50 * 100:.2f}  "
                      f"[{self.n_images} images, "
                      f"{self.images_per_sec:.1f} img/s]")
+        if self.exact_nms:
+            lines.append(
+                f"NMS: exact greedy over all candidates "
+                f"(worst cell {self.nms_max_candidates} candidates; "
+                f"output capped at {self.max_detections} survivors)")
+        else:
+            lines.append(
+                f"NMS: top-{self.max_detections} prefilter; "
+                f"{self.nms_overflow_frac:.2%} of (image,class) cells "
+                f"exceeded it (worst {self.nms_max_candidates}) — "
+                + ("exact-equal to greedy NMS on this run"
+                   if self.nms_overflow_frac == 0.0 else
+                   "re-run with exact_nms (eval --exact-nms) to audit"))
         return "\n".join(lines)
 
 
