@@ -72,6 +72,83 @@ def make_fake_voc(root: str, n_images: int = 8, image_size: int = 416,
     return data_path
 
 
+def make_fake_voc_devkit(root: str, n_images: int = 8,
+                         image_size: int = 416, max_objects: int = 3,
+                         seed: int = 0, year: str = "2007",
+                         image_sets: Tuple[str, ...] = ("test", "trainval"),
+                         class_names: Tuple[str, ...] = ("aeroplane",
+                                                         "bicycle", "bird"),
+                         ) -> str:
+    """Write a VOCdevkit-SHAPED synthetic dataset; returns the devkit root
+    to pass as ``--data`` (the directory containing ``VOC<year>/``).
+
+    Layout is the real Pascal devkit's (the drop-in contract,
+    BASELINE.json:7 / VERDICT r1 #6): ``VOC2007/JPEGImages/<id>.jpg``,
+    ``VOC2007/Annotations/<id>.xml`` with 1-based inclusive-pixel
+    ``bndbox`` coords and real VOC class ``name`` tags, and
+    ``VOC2007/ImageSets/Main/<set>.txt`` id lists — so the moment real
+    VOC lands, the same eval/finetune commands need zero code changes.
+    Object classes are drawn from ``class_names`` (a subset of the 20 VOC
+    names; colors follow the same palette as ``make_fake_voc``). One
+    object per ~4 is flagged ``difficult`` to exercise the AP protocol's
+    difficult handling.
+    """
+    import cv2
+    rng = np.random.default_rng(seed)
+    vdir = os.path.join(root, f"VOC{year}")
+    img_dir = os.path.join(vdir, "JPEGImages")
+    ann_dir = os.path.join(vdir, "Annotations")
+    set_dir = os.path.join(vdir, "ImageSets", "Main")
+    for d in (img_dir, ann_dir, set_dir):
+        os.makedirs(d, exist_ok=True)
+
+    ids = []
+    for i in range(n_images):
+        h = w = image_size
+        img = np.full((h, w, 3), 110, np.uint8)
+        noise = rng.integers(0, 30, (h, w, 3), dtype=np.uint8)
+        img = np.clip(img.astype(np.int16) + noise - 15, 0, 255) \
+            .astype(np.uint8)
+        objs = []
+        for _ in range(int(rng.integers(1, max_objects + 1))):
+            cls = int(rng.integers(0, len(class_names)))
+            bw = int(rng.integers(w // 8, w // 3))
+            bh = int(rng.integers(h // 8, h // 3))
+            x1 = int(rng.integers(0, w - bw))
+            y1 = int(rng.integers(0, h - bh))
+            color = _COLORS[cls % len(_COLORS)]
+            img[y1:y1 + bh, x1:x1 + bw] = color
+            difficult = int(rng.integers(0, 4) == 0)
+            objs.append((class_names[cls], x1, y1, x1 + bw, y1 + bh,
+                         difficult))
+        img_id = f"{i:06d}"
+        ids.append(img_id)
+        cv2.imwrite(os.path.join(img_dir, f"{img_id}.jpg"),
+                    img[:, :, ::-1])  # RGB -> BGR for cv2
+        obj_xml = "".join(
+            f"  <object>\n    <name>{n}</name>\n"
+            f"    <difficult>{d}</difficult>\n"
+            "    <bndbox>\n"
+            # devkit convention: 1-based inclusive pixel coords
+            f"      <xmin>{x1 + 1}</xmin><ymin>{y1 + 1}</ymin>"
+            f"<xmax>{x2}</xmax><ymax>{y2}</ymax>\n"
+            "    </bndbox>\n  </object>\n"
+            for n, x1, y1, x2, y2, d in objs)
+        with open(os.path.join(ann_dir, f"{img_id}.xml"), "w") as f:
+            f.write(
+                "<annotation>\n"
+                f"  <filename>{img_id}.jpg</filename>\n"
+                f"  <size><width>{w}</width><height>{h}</height>"
+                "<depth>3</depth></size>\n"
+                f"{obj_xml}"
+                "</annotation>\n")
+
+    for image_set in image_sets:
+        with open(os.path.join(set_dir, f"{image_set}.txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return root
+
+
 def tiny_region_cfg(num_classes: int = 3, width: int = 416,
                     height: int = 416) -> str:
     """A minimal fast Tiny-YOLO-style cfg for fixture integration tests
