@@ -12,6 +12,7 @@ import argparse
 import sys
 
 import jax
+import numpy as np
 
 from modelcompression_tpu.cli.common import (
     add_data_args, add_model_args, add_parallel_args, build_mesh,
@@ -61,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "Default: the cfg's random= flag")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest full-train checkpoint from "
+                        "--checkpoint-dir (params + optimizer momentum + "
+                        "step/seen + PRNG) and continue until --steps "
+                        "TOTAL steps; the data stream is fast-forwarded "
+                        "so the resumed run sees the same batches an "
+                        "uninterrupted run would")
     p.add_argument("--eval-every", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -107,6 +115,39 @@ def main(argv=None) -> int:
     tx = make_optimizer(config)
     state = TrainState.create(params, tx, jax.random.key(args.seed),
                               seen=seen)
+    n_steps = args.steps
+    if args.resume:
+        if not args.checkpoint_dir:
+            print("error: --resume requires --checkpoint-dir",
+                  file=sys.stderr)
+            return 2
+        from modelcompression_tpu.utils.checkpoint import (
+            latest_checkpoint, load_checkpoint,
+        )
+        latest = latest_checkpoint(args.checkpoint_dir)
+        if latest is None:
+            print(f"no checkpoint in {args.checkpoint_dir}; starting fresh")
+        else:
+            from modelcompression_tpu.models import dump_cfg
+            # restore INTO the fresh state (by-name rehang: optimizer
+            # NamedTuples + PRNG key rewrap, utils/checkpoint.py)
+            ck_spec, state, meta = load_checkpoint(latest, target=state)
+            if dump_cfg(ck_spec) != dump_cfg(spec):
+                print(f"error: checkpoint architecture ({latest}/arch.cfg)"
+                      f" differs from --cfg {args.cfg} — resume must "
+                      "continue the same run", file=sys.stderr)
+                return 2
+            start = int(np.asarray(state["step"]))
+            n_steps = args.steps - start
+            if n_steps <= 0:
+                print(f"nothing to do: checkpoint at step {start} >= "
+                      f"--steps {args.steps}")
+                return 0
+            # replay the data stream to where the interrupted run stood
+            loader.skip_batches(start)
+            print(f"resumed {latest} at step {start} "
+                  f"(seen {int(np.asarray(state['seen']))}); "
+                  f"{n_steps} steps to go")
     logger = MetricsLogger(jsonl_path=args.log_jsonl)
 
     eval_fn = None
@@ -121,7 +162,11 @@ def main(argv=None) -> int:
     ckpt_fn = None
     if args.checkpoint_dir:
         def ckpt_fn(step, st):
-            d = save_checkpoint(args.checkpoint_dir, step, spec, dict(st))
+            # name by the GLOBAL step (st["step"]), not the loop-local
+            # count — a resumed run must extend the directory, not
+            # overwrite step_00000001 onward
+            gstep = int(np.asarray(jax.device_get(st["step"])))
+            d = save_checkpoint(args.checkpoint_dir, gstep, spec, dict(st))
             print(f"checkpoint -> {d}")
 
     mesh, tp = build_mesh(args)
@@ -130,7 +175,7 @@ def main(argv=None) -> int:
               f"must be divisible by --dp {mesh.shape['data']}",
               file=sys.stderr)
         return 2
-    state = train(state, spec, config, loader, n_steps=args.steps,
+    state = train(state, spec, config, loader, n_steps=n_steps,
                   logger=logger, eval_fn=eval_fn,
                   eval_every=args.eval_every, checkpoint_fn=ckpt_fn,
                   checkpoint_every=args.checkpoint_every, mesh=mesh, tp=tp)

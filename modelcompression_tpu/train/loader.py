@@ -74,8 +74,20 @@ class BatchLoader:
         self.resize_every = resize_every
         self._batch_counter = 0
         self._cur_size = (net_h, net_w)
+        self._skip = 0
         if not self.samples:
             raise ValueError("empty dataset")
+
+    def skip_batches(self, n: int) -> None:
+        """Fast-forward the loader by ``n`` batches WITHOUT touching disk:
+        the next ``n`` batches consume their shuffle order and multi-scale
+        RNG draws (so the stream stays bit-identical to an uninterrupted
+        run) but are never built. The resume contract (SURVEY.md §5.3):
+        a run restored at step k must see the same batch k+1 an
+        uninterrupted run would."""
+        if n < 0:
+            raise ValueError(f"cannot skip {n} batches")
+        self._skip += n
 
     def batches_per_epoch(self) -> int:
         n = len(self.samples)
@@ -122,9 +134,17 @@ class BatchLoader:
             for c in chunks:
                 while len(c) < self.batch_size:
                     c.append(order[0])
-        yield from prefetch_to_device(
-            (self._make_batch(c) for c in chunks),
-            depth=self.prefetch, put=lambda x: x)
+        def gen():
+            for c in chunks:
+                if self._skip > 0:
+                    # consume this batch's multi-scale draw, skip the IO
+                    self._skip -= 1
+                    self._next_size()
+                    continue
+                yield self._make_batch(c)
+
+        yield from prefetch_to_device(gen(), depth=self.prefetch,
+                                      put=lambda x: x)
 
     def __iter__(self):
         while True:
