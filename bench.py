@@ -127,7 +127,7 @@ def main() -> int:
 
         jax.block_until_ready(many(folded, images, img_w, img_h,
                                    jnp.float32(0)))
-        sec = time_fn(lambda s: many(folded, images, img_w, img_h, s),
+        sec = time_fn(lambda salt: many(folded, images, img_w, img_h, salt),
                       iters=10, windows=3, rtt=rtt) / INNER
         ips = BATCH / sec
         tflops = num_conv_flops(spec_) * ips / 1e12

@@ -10,7 +10,9 @@ Subpackages
 core        precision policy (bit-match fp32 vs fast bf16), mesh/sharding setup
 models      Darknet .cfg importer, functional Darknet-19/YOLOv2/Tiny-YOLOv2
             forward pass (NHWC, jit-first), Darknet .weights codec
-ops         Pallas TPU kernels (fused top-k/mask, NMS) + pure-XLA fallbacks
+ops         Pallas TPU kernels (fused top-k/mask; plus the parked input-stage
+            fusion) + one-program pure-XLA twins — NMS is deliberately XLA
+            (top-k + IoU-matrix + scan; measured fastest, docs/PERF.md)
 compress    pruning criteria (per-layer magnitude, global threshold, L1 filter),
             mask state, structured channel repack + cfg rewrite
 train       region loss, optax train/fine-tune steps (pjit), iterative loop

@@ -233,6 +233,15 @@ def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
     the source edge); harmless for a training augmentation. Box geometry
     is exact (tested in test_preprocess.py).
 
+    MEMORY NOTE (random-center path): the composition materializes 4
+    full-resolution rolled copies of the batch plus 4 full-size resampled
+    tiles per sample before the final select — roughly 4-8x the
+    activation footprint of the fixed-center matmul path. At the
+    production shape (batch 64 x 608^2 multi-scale worst case, ~0.3 GB of
+    fp32 tiles) this fits a v5e comfortably next to YOLOv2 activations,
+    but budget for it (or pass ``center_range=None``) before scaling
+    batch or resolution well past that.
+
     Args:
       images: (B, H, W, 3) float; H, W even.
       boxes: (B, M, 5) [cls, cx, cy, w, h] normalized; invalid rows have

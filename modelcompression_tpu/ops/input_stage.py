@@ -66,6 +66,10 @@ def input_stage_match(spec: NetworkSpec) -> bool:
     consumes the un-pooled conv output."""
     if len(spec.layers) < 2:
         return False
+    if spec.net.height % 2 or spec.net.width % 2:
+        # space_to_depth2's reshape needs even H/W; decline the fusion
+        # instead of failing at trace time with an opaque reshape error
+        return False
     l0, l1 = spec.layers[0], spec.layers[1]
     if not (isinstance(l0, ConvLayer) and l0.size == 3 and l0.stride == 1
             and l0.padding == 1 and l0.in_channels == 3

@@ -63,15 +63,29 @@ def measure_rtt(device=None, probes: int = 3) -> float:
 
 
 def _fn_takes_salt(fn: Callable) -> bool:
+    """Salting is opt-in BY NAME: only a first required positional
+    parameter literally called ``salt`` receives the per-call salt. Any
+    other required positional parameter is a caller bug (the fn expects
+    its own argument and would silently get a float32 injected — a wrong
+    measurement), so it fails loudly instead."""
     try:
         params = inspect.signature(fn).parameters.values()
     except (TypeError, ValueError):
         return False
-    return any(
-        p.kind in (inspect.Parameter.POSITIONAL_ONLY,
-                   inspect.Parameter.POSITIONAL_OR_KEYWORD)
-        and p.default is inspect.Parameter.empty
-        for p in params)
+    required = [
+        p for p in params
+        if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                      inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        and p.default is inspect.Parameter.empty]
+    if not required:
+        return False
+    if required[0].name == "salt":
+        return True
+    raise TypeError(
+        f"time_fn: fn has a required positional parameter "
+        f"{required[0].name!r}. Name it 'salt' (and thread it into the "
+        "program, e.g. as a loop-carry init) to opt into per-call "
+        "salting, or bind the argument before timing.")
 
 
 def _force_read(out) -> None:
@@ -92,12 +106,14 @@ def time_fn(fn: Callable, iters: int = 50, windows: int = 3,
             warmup: int = 2, rtt: float | None = None) -> float:
     """Per-call seconds of an async-dispatchable device computation.
 
-    ``fn`` either takes no arguments, or one positional argument — a fresh
-    ``jnp.float32`` salt per call (pass it through the computation, e.g.
-    as a loop-carry init, so every call has distinct args). It must return
-    something fetchable; prefer a scalar so the forced read is one small
-    round trip. Returns min-over-windows of (window_time - rtt) / iters,
-    floored at 0.
+    ``fn`` either takes no arguments, or one positional argument NAMED
+    ``salt`` — a fresh ``jnp.float32`` per call (pass it through the
+    computation, e.g. as a loop-carry init, so every call has distinct
+    args). A required positional parameter with any other name raises
+    (explicit opt-in prevents silently mis-measuring a fn that expected
+    its own argument). It must return something fetchable; prefer a
+    scalar so the forced read is one small round trip. Returns
+    min-over-windows of (window_time - rtt) / iters, floored at 0.
     """
     import jax.numpy as jnp
 

@@ -33,6 +33,20 @@ def test_time_fn_salts_each_call():
     assert len(set(seen)) == len(seen), seen
 
 
+def test_time_fn_rejects_mis_signatured_fn():
+    """Salting is opt-in BY NAME (advisor r1): a fn whose required
+    positional parameter is not called 'salt' expected its own argument —
+    injecting a float32 would silently corrupt the measurement, so it
+    must fail loudly instead."""
+    import pytest
+
+    def fn(images):
+        return jnp.zeros(())
+
+    with pytest.raises(TypeError, match="salt"):
+        time_fn(fn, iters=2, windows=1, warmup=0, rtt=0.0)
+
+
 def test_time_fn_rtt_floor():
     # subtracting an oversized rtt must floor at zero, not go negative
     f = jax.jit(lambda a: a + 1)

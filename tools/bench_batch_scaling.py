@@ -45,6 +45,6 @@ for name, sp, pr in (("unpruned", spec, params),
             # salted carry: distinct args per call (utils/timing.py)
             return jax.lax.fori_loop(0, INNER, body, salt)
 
-        sec = time_fn(lambda s: many(folded, imgs, w, h, s),
+        sec = time_fn(lambda salt: many(folded, imgs, w, h, salt),
                       iters=max(4, 256 // B), windows=3, rtt=rtt) / INNER
         print(f"{name} B={B:3d}: {B/sec:7.0f} img/s ({sec*1e3:6.2f} ms)")

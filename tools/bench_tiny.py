@@ -47,7 +47,7 @@ for name, sp, pr in (("tiny unpruned", spec, params),
         # cannot serve repeat executes memoized (utils/timing.py)
         return jax.lax.fori_loop(0, INNER, body, salt)
 
-    sec = time_fn(lambda s: many(folded, images, img_w, img_h, s),
+    sec = time_fn(lambda salt: many(folded, images, img_w, img_h, salt),
                   iters=10, windows=3, rtt=rtt) / INNER
     gf = num_conv_flops(sp) / 1e9
     print(f"{name}: {B/sec:.0f} img/s ({sec*1e3:.2f} ms/batch, "

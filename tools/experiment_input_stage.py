@@ -50,10 +50,10 @@ def variant_b(p, u8):
 
 # salt perturbs the input so every timed call has distinct args
 # (utils/timing.py: the tunnel can serve repeat executes memoized)
-ta = time_fn(lambda s: variant_a(folded, images + s.astype(jnp.uint8)),
+ta = time_fn(lambda salt: variant_a(folded, images + salt.astype(jnp.uint8)),
              iters=30, windows=3, rtt=rtt)
-tb = time_fn(lambda s: variant_b(folded_scaled,
-                                 images + s.astype(jnp.uint8)),
+tb = time_fn(lambda salt: variant_b(folded_scaled,
+                                    images + salt.astype(jnp.uint8)),
              iters=30, windows=3, rtt=rtt)
 print(f"A current fwd : {ta*1e3:.2f} ms ({B/ta:.0f} img/s)")
 print(f"B folded  fwd : {tb*1e3:.2f} ms ({B/tb:.0f} img/s)")

@@ -136,13 +136,13 @@ rd = float(jnp.max(jnp.abs(fa - fb)) / (jnp.max(jnp.abs(fa)) + 1e-9))
 print(f"full fwd max rel diff: {rd:.2e}")
 
 # salted inputs: distinct args per timed call (utils/timing.py)
-t_sr = time_fn(lambda s: stage_ref(images + s.astype(jnp.uint8)),
+t_sr = time_fn(lambda salt: stage_ref(images + salt.astype(jnp.uint8)),
                iters=30, windows=3, rtt=rtt)
-t_ss = time_fn(lambda s: stage_s2d(images + s.astype(jnp.uint8)),
+t_ss = time_fn(lambda salt: stage_s2d(images + salt.astype(jnp.uint8)),
                iters=30, windows=3, rtt=rtt)
-t_fr = time_fn(lambda s: full_ref(images + s.astype(jnp.uint8)),
+t_fr = time_fn(lambda salt: full_ref(images + salt.astype(jnp.uint8)),
                iters=30, windows=3, rtt=rtt)
-t_fs = time_fn(lambda s: full_s2d(images + s.astype(jnp.uint8)),
+t_fs = time_fn(lambda salt: full_s2d(images + salt.astype(jnp.uint8)),
                iters=30, windows=3, rtt=rtt)
 print(f"input stage: ref {t_sr*1e3:.2f} ms -> s2d {t_ss*1e3:.2f} ms")
 print(f"full fwd   : ref {t_fr*1e3:.2f} ms -> s2d {t_fs*1e3:.2f} ms "

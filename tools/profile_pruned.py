@@ -61,7 +61,7 @@ for cut in cuts:
         # tunnel cannot serve repeats memoized (utils/timing.py docstring)
         return jax.lax.fori_loop(0, INNER, body, salt)
 
-    sec = time_fn(lambda s: many(folded, images, s), iters=5, windows=3,
+    sec = time_fn(lambda salt: many(folded, images, salt), iters=5, windows=3,
                   rtt=rtt) / INNER
     gf = num_conv_flops(sub) / 1e9
     print(f"layers[:{cut:2d}] (convs {ch}): {sec*1e3:6.2f} ms "
