@@ -87,8 +87,13 @@ def main() -> int:
     log(f"75%-filter repacked params: {num_params(slim_params) / 1e6:.1f}M")
 
     # deployment eval config: conf 0.01, 32 dets/class/image (a 13x13 VOC
-    # scene rarely yields more; the mAP eval path keeps 0.005/100)
-    cfg = EvalConfig(batch_size=BATCH, conf_thresh=0.01, max_detections=32)
+    # scene rarely yields more; the mAP eval path keeps 0.005/100 and no
+    # prefilter). nms_prefilter=128: one class-agnostic top-128 before
+    # the 20 per-class sorts — measured +10% on the pruned pipeline
+    # (docs/PERF.md "NMS class-agnostic prefilter"), exact while <= 128
+    # candidates clear conf on an image (reported via n_cand).
+    cfg = EvalConfig(batch_size=BATCH, conf_thresh=0.01, max_detections=32,
+                     nms_prefilter=128)
     img_w = jnp.full((BATCH,), float(SRC_W))
     img_h = jnp.full((BATCH,), float(SRC_H))
     images = jnp.asarray(rng.integers(

@@ -2,9 +2,10 @@ from modelcompression_tpu.evaluation.decode import (
     center_to_corners, corners_to_image, decode_region,
 )
 from modelcompression_tpu.evaluation.nms import (
-    batched_per_class_nms, batched_per_class_nms_padded, iou_corners,
+    batched_per_class_nms, batched_per_class_nms_padded,
+    batched_per_class_nms_prefiltered, iou_corners,
     nms_padded, nms_topk, pairwise_iou, per_class_nms,
-    per_class_nms_padded,
+    per_class_nms_padded, per_class_nms_prefiltered,
 )
 from modelcompression_tpu.evaluation.voc_map import (
     Detection, GroundTruth, class_ap, mean_ap, voc_ap,
@@ -16,6 +17,7 @@ from modelcompression_tpu.evaluation.pipeline import (
 __all__ = [
     "center_to_corners", "corners_to_image", "decode_region",
     "batched_per_class_nms", "batched_per_class_nms_padded",
+    "batched_per_class_nms_prefiltered", "per_class_nms_prefiltered",
     "iou_corners", "nms_padded", "nms_topk",
     "pairwise_iou", "per_class_nms", "per_class_nms_padded",
     "Detection", "GroundTruth", "class_ap", "mean_ap", "voc_ap",

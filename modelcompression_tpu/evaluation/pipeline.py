@@ -45,6 +45,7 @@ from modelcompression_tpu.evaluation.decode import (
 )
 from modelcompression_tpu.evaluation.nms import (
     batched_per_class_nms, batched_per_class_nms_padded,
+    batched_per_class_nms_prefiltered,
 )
 from modelcompression_tpu.evaluation.voc_map import (
     Detection, GroundTruth, mean_ap,
@@ -86,6 +87,14 @@ class EvalConfig:
     # reports nms_overflow_frac so the cap is observable, never silent
     # (SURVEY.md §7.4.2; VERDICT r1 #4).
     exact_nms: bool = False
+    # Class-agnostic candidate prefilter before the per-class NMS sorts
+    # (evaluation/nms.per_class_nms_prefiltered): one top-N' selection on
+    # the max class score cuts N=grid*anchors before the C per-class
+    # top-k sorts. 0 = off. Exact vs the unfiltered path whenever at
+    # most N' candidates have any class above conf_thresh (the
+    # n_cand counter makes the regime observable). Perf on chip:
+    # docs/PERF.md "NMS class-agnostic prefilter".
+    nms_prefilter: int = 0
     # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
     # Default OFF: the reformulation is exact and tested, but measured
     # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
@@ -142,6 +151,14 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                 iou_thresh=config.nms_thresh,
                 score_thresh=config.conf_thresh,
                 max_out=config.max_detections)
+        elif config.nms_prefilter > 0:
+            sel, scores, valid = batched_per_class_nms_prefiltered(
+                corners, class_scores,
+                iou_thresh=config.nms_thresh,
+                score_thresh=config.conf_thresh,
+                max_out=config.max_detections,
+                prefilter=config.nms_prefilter,
+                exact_prefilter=config.exact_nms_prefilter)
         else:
             sel, scores, valid = batched_per_class_nms(
                 corners, class_scores,

@@ -73,6 +73,50 @@ def test_batched_padded_equals_per_cell_oracle():
         np.testing.assert_allclose(got, class_scores[want, c], rtol=1e-6)
 
 
+def test_class_agnostic_prefilter_exact_within_budget():
+    """per_class_nms_prefiltered == per_class_nms whenever at most N'
+    candidates have ANY class above threshold (the documented exactness
+    condition), across classes with disjoint score patterns."""
+    from modelcompression_tpu.evaluation import (
+        per_class_nms, per_class_nms_prefiltered,
+    )
+    rng = np.random.default_rng(5)
+    n, c = 200, 6
+    xy = rng.uniform(0, 1, (n, 2))
+    wh = rng.uniform(0.05, 0.3, (n, 2))
+    boxes = np.concatenate([xy - wh / 2, xy + wh / 2], -1).astype(np.float32)
+    scores = np.zeros((n, c), np.float32)
+    # 80 candidates carry above-threshold scores for scattered classes
+    hot = rng.choice(n, 80, replace=False)
+    scores[hot, rng.integers(0, c, 80)] = rng.uniform(0.2, 1.0, 80)
+    scores += rng.uniform(0, 1e-4, (n, c))  # sub-threshold noise, no ties
+
+    base = per_class_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                         0.45, 0.1, max_out=16)
+    pre = per_class_nms_prefiltered(jnp.asarray(boxes), jnp.asarray(scores),
+                                    0.45, 0.1, max_out=16, prefilter=128)
+    for a, b in zip(base, pre):  # 80 hot <= 128 budget -> identical
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # beyond the budget the result may differ — documented truncation
+    tight = per_class_nms_prefiltered(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.1, max_out=16,
+        prefilter=32)
+    kept = float(np.asarray(tight[2]).sum())
+    assert kept <= float(np.asarray(base[2]).sum())
+
+
+def test_pipeline_prefilter_matches_default_when_within_budget(tmp_path):
+    spec, params, samples = _eval_fixture(tmp_path)
+    names = ["redbox", "greenbox", "bluebox"]
+    # 64px tiny net: N = 2*2*5 = 20 candidates, far under the budget
+    cfg = EvalConfig(batch_size=2, conf_thresh=0.005, max_detections=100)
+    r_base = evaluate(params, spec, samples, names, cfg)
+    r_pre = evaluate(params, spec, samples, names,
+                     dataclasses.replace(cfg, nms_prefilter=16))
+    assert r_base.map50 == r_pre.map50
+
+
 def _eval_fixture(tmp_path):
     from modelcompression_tpu.data.fixtures import (
         make_fake_voc, tiny_region_cfg,
