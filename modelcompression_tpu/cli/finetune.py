@@ -126,7 +126,14 @@ def main(argv=None) -> int:
     # full augmentation surface for the accuracy-recovery path
     # (BASELINE.json:9 "short fine-tune on VOC"): cfg jitter is on by
     # default via from_spec; mosaic/HSV are the same opt-ins train has
-    subdiv = args.subdivisions or spec.net.subdivisions
+    # an explicit --batch without --subdivisions means "this IS the
+    # per-update batch, one forward": micro-batching is a memory knob the
+    # user can set separately; only the cfg-default path inherits the
+    # cfg's subdivisions (Darknet's effective-batch semantics)
+    if args.batch is not None and args.subdivisions is None:
+        subdiv = 1
+    else:
+        subdiv = args.subdivisions or spec.net.subdivisions
     batch = args.batch or spec.net.batch
     if subdiv < 1 or batch % subdiv:
         print(f"error: batch {batch} must be divisible by subdivisions "

@@ -93,7 +93,14 @@ def main(argv=None) -> int:
         print(f"error: --jitter must be in [0, 0.5), got {jitter}",
               file=sys.stderr)
         return 2
-    subdiv = args.subdivisions or spec.net.subdivisions
+    # an explicit --batch without --subdivisions means "this IS the
+    # per-update batch, one forward": micro-batching is a memory knob the
+    # user can set separately; only the cfg-default path inherits the
+    # cfg's subdivisions (Darknet's effective-batch semantics)
+    if args.batch is not None and args.subdivisions is None:
+        subdiv = 1
+    else:
+        subdiv = args.subdivisions or spec.net.subdivisions
     batch = args.batch or spec.net.batch
     if subdiv < 1 or batch % subdiv:
         print(f"error: batch {batch} must be divisible by subdivisions "

@@ -204,5 +204,12 @@ def test_train_cli_subdivisions(tmp_path):
     assert rc == 0
     rc = train_cli.main(["--cfg", cfg_path, "--weights", wpath,
                          "--data", data_cfg, "--steps", "1",
-                         "--batch", "3", "--max-boxes", "8"])
+                         "--batch", "3", "--subdivisions", "2",
+                         "--max-boxes", "8"])
     assert rc == 2
+    # an explicit --batch WITHOUT --subdivisions overrides the cfg's
+    # micro-batching entirely (one forward) — the pre-round-2 CLI shape
+    rc = train_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                         "--data", data_cfg, "--steps", "1",
+                         "--batch", "3", "--max-boxes", "8"])
+    assert rc == 0
