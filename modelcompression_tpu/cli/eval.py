@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="confidence threshold")
     p.add_argument("--nms", type=float, default=0.45, help="NMS IoU")
     p.add_argument("--max-det", type=int, default=100)
+    p.add_argument("--nms-prefilter", type=int, default=0,
+                   help="class-agnostic top-N' candidate prefilter before "
+                        "the per-class NMS sorts (0 = off, the mAP "
+                        "default). Exact while <= N' candidates/image "
+                        "clear --conf (overflow is reported); measured "
+                        "+10%% on the pruned deployment pipeline "
+                        "(docs/PERF.md)")
     p.add_argument("--exact-nms", action="store_true",
                    help="exact greedy NMS over ALL candidates (no top-K "
                         "candidate prefilter; ~100 serial argmax rounds "
@@ -72,7 +79,7 @@ def main(argv=None) -> int:
         letterbox=not args.no_letterbox, precision=precision,
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"),
-        exact_nms=args.exact_nms)
+        exact_nms=args.exact_nms, nms_prefilter=args.nms_prefilter)
     mesh, _ = build_mesh(args)
     if mesh is not None and args.batch % mesh.shape["data"]:
         print(f"error: --batch {args.batch} must be divisible by "

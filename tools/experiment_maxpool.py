@@ -27,10 +27,16 @@ def main():
 
     B, H, W, C = 64, 416, 416, 8
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32)) \
-        .astype(jnp.bfloat16)
+    print("rtt probe...", file=sys.stderr, flush=True)
     rtt = measure_rtt()
-    print(f"rtt {rtt*1e3:.0f} ms", file=sys.stderr)
+    print(f"rtt {rtt*1e3:.0f} ms", file=sys.stderr, flush=True)
+    # ship uint8 (88MB) over the tunnel, cast to bf16 on device
+    x8 = jax.device_put(rng.integers(0, 255, (B, H, W, C), np.uint8))
+    jax.block_until_ready(x8)
+    print("input on device", file=sys.stderr, flush=True)
+    x = jax.jit(lambda a: a.astype(jnp.bfloat16) / 16.0)(x8)
+    jax.block_until_ready(x)
+    print("cast done", file=sys.stderr, flush=True)
 
     @jax.jit
     def pool_rw(x, salt):
