@@ -232,6 +232,23 @@ def test_detect_cli_smoke(tmp_path):
     assert os.path.exists(out)
 
 
+def test_eval_cli_nms_switches(tmp_path):
+    """--exact-nms and --nms-prefilter reach the pipeline through the
+    public CLI surface (truncation audit + deployment prefilter)."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=2, image_size=96,
+                             seed=12)
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2",
+                        "--max-det", "8", "--exact-nms"])
+    assert rc == 0
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2",
+                        "--nms-prefilter", "16"])
+    assert rc == 0
+
+
 def test_eval_cli_dp_sharded(tmp_path):
     """eval --dp 4: DP inference over the virtual CPU mesh through the
     public CLI surface (SURVEY.md §2.3; numeric equality of the sharded
