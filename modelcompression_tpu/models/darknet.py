@@ -133,20 +133,13 @@ def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
     out_w = (w + pad_total - k) // s + 1
     pad_h_end = max(0, (out_h - 1) * s + k - h - pad_begin)
     pad_w_end = max(0, (out_w - 1) * s + k - w - pad_begin)
-    if (k == 2 and s == 2 and pad_begin == 0 and pad_h_end == 0
-            and pad_w_end == 0):
-        # 2x2/2 VALID on even inputs (every pool of YOLOv2 + all but the
-        # last of Tiny-YOLOv2): reshape + two axis-maxes instead of
-        # reduce_window — measured 309 us vs 723 us on the pruned hot
-        # shape (64,416,416,8) where C=8 strands most of the VPU lanes
-        # (tools/experiment_maxpool.py; docs/PERF.md). Values identical;
-        # gradient tie-breaking differs (reduce_window routes to one
-        # argmax, reduce-max's VJP credits every tied element) — ties
-        # between distinct conv outputs are measure-zero in training.
-        b = x.shape[0]
-        c = x.shape[3]
-        y = x.reshape(b, out_h, 2, out_w, 2, c)
-        return jnp.max(jnp.max(y, axis=4), axis=2)
+    # NOTE a reshape+axis-max form of the 2x2/2 VALID case measured 2.3x
+    # faster STANDALONE (309 vs 723 us at (64,416,416,8)) but exactly
+    # NEUTRAL inside the fused pipeline (4.31 vs 4.28 ms/batch — XLA
+    # already fuses the reduce_window in context), so reduce_window stays:
+    # its SelectAndScatter VJP routes gradient to ONE argmax like
+    # Darknet/torch, where reduce-max's VJP credits every tied element
+    # (tools/experiment_maxpool.py; docs/PERF.md explored-and-rejected).
     # -inf (not finfo.min): JAX only recognizes the differentiable
     # reduce_window_max pattern with a -inf identity element
     neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
