@@ -9,7 +9,7 @@ from modelcompression_tpu.models.darknet import (
 from modelcompression_tpu.models.weights_io import load_weights, save_weights
 from modelcompression_tpu.models.zoo import (
     CONFIG_DIR, coco_names_path, tiny_yolov2_coco, tiny_yolov2_voc,
-    yolov2_voc,
+    yolov2_coco, yolov2_voc,
 )
 
 __all__ = [
@@ -20,5 +20,5 @@ __all__ = [
     "num_params", "reorg",
     "load_weights", "save_weights", "CONFIG_DIR", "coco_names_path",
     "tiny_yolov2_coco", "tiny_yolov2_voc",
-    "yolov2_voc",
+    "yolov2_coco", "yolov2_voc",
 ]

@@ -20,6 +20,13 @@ def tiny_yolov2_voc() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "tiny-yolo-voc.cfg"))
 
 
+def yolov2_coco() -> NetworkSpec:
+    """Full YOLOv2 with the 80-class COCO head and public COCO anchor
+    priors (the darknet yolov2.cfg shape) — completes the model-family
+    matrix next to the COCO-subset Tiny variant (BASELINE.json:10)."""
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov2-coco.cfg"))
+
+
 def tiny_yolov2_coco() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "tiny-yolo-coco.cfg"))
 

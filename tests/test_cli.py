@@ -27,6 +27,28 @@ def test_coco_config_shape():
     assert len(names) == 80 and names[0] == "person"
 
 
+def test_full_yolov2_coco_config_shape():
+    """Full YOLOv2-COCO (darknet yolov2.cfg shape): same Darknet-19 +
+    reorg backbone as the VOC variant, 80-class head, COCO anchors."""
+    from modelcompression_tpu.models import yolov2_coco, yolov2_voc
+    coco, voc = yolov2_coco(), yolov2_voc()
+    assert coco.region.classes == 80
+    cc = [l for l in coco.layers if isinstance(l, ConvLayer)]
+    vc = [l for l in voc.layers if isinstance(l, ConvLayer)]
+    assert cc[-1].filters == 425 and len(cc) == len(vc) == 23
+    # backbone identical to the VOC variant; only the head conv differs
+    assert [l.filters for l in cc[:-1]] == [l.filters for l in vc[:-1]]
+    assert abs(coco.region.anchors[0] - 0.57273) < 1e-6
+    # forward shape sanity at reduced resolution
+    coco.net.width = coco.net.height = 64
+    from modelcompression_tpu.core.precision import FAST
+    from modelcompression_tpu.models.darknet import forward
+    import jax.numpy as jnp
+    p = init_params(coco, jax.random.key(0))
+    y = forward(p, jnp.zeros((1, 64, 64, 3)), coco, FAST)
+    assert y.shape == (1, 2, 2, 425)
+
+
 def test_finetune_iterate_coco_80_classes(tmp_path):
     """One iterative prune->finetune->eval round with 80 classes through the
     finetune CLI. Uses the shipped COCO cfg's layer stack at reduced
