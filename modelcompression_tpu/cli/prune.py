@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="target weight sparsity (magnitude/global modes)")
     p.add_argument("--fraction", type=float, default=None,
                    help="filter drop fraction (l1_filter mode)")
+    p.add_argument("--fractions", default=None,
+                   help="PER-LAYER drop fractions for l1_filter mode as "
+                        "'convidx:frac,convidx:frac' (e.g. '0:0.25,2:0.5')"
+                        "; unlisted prunable convs use --fraction (or 0). "
+                        "The Li et al. sensitivity-scheduled workflow — "
+                        "measure with tools/sensitivity_scan.py first")
     p.add_argument("--out", required=True, help="output .weights path")
     p.add_argument("--out-cfg", default=None,
                    help="rewritten .cfg path (l1_filter mode)")
@@ -151,20 +157,45 @@ def main(argv=None) -> int:
                 f.write(dump_cfg(spec))
             print(f"wrote {args.out_cfg} (architecture unchanged)")
     else:  # l1_filter
-        if args.fraction is None:
-            print("error: --fraction is required for l1_filter mode",
-                  file=sys.stderr)
+        if args.fraction is None and args.fractions is None:
+            print("error: --fraction or --fractions is required for "
+                  "l1_filter mode", file=sys.stderr)
             return 2
-        if not (0.0 <= args.fraction < 1.0):
+        if args.fraction is not None and not (0.0 <= args.fraction < 1.0):
             print(f"error: --fraction must be in [0, 1), got "
                   f"{args.fraction}", file=sys.stderr)
             return 2
-        keep = uniform_filter_fraction_keep_sets(spec, params, args.fraction)
+        if args.fractions is not None:
+            from modelcompression_tpu.compress import (
+                l1_filter_keep_sets_scheduled,
+            )
+            try:
+                sched = {}
+                for tok in args.fractions.split(","):
+                    if not tok.strip():
+                        continue
+                    idx, _, val = tok.partition(":")
+                    f = float(val)
+                    if not 0.0 <= f < 1.0:
+                        raise ValueError(f"fraction {f} out of [0, 1)")
+                    sched[int(idx)] = f
+                keep = l1_filter_keep_sets_scheduled(
+                    params, spec, sched, default=args.fraction or 0.0)
+                keep = {i: np.asarray(k) for i, k in keep.items()}
+            except ValueError as e:
+                print(f"error: bad --fractions: {e}", file=sys.stderr)
+                return 2
+        else:
+            keep = uniform_filter_fraction_keep_sets(spec, params,
+                                                     args.fraction)
         slim_spec, slim_params = repack(spec, params, keep)
         slim_params = jax.tree.map(np.asarray, slim_params)
         save_weights(args.out, slim_spec, slim_params, seen=seen)
-        print(f"l1_filter prune: dropped {args.fraction:.0%} of filters "
-              f"per prunable conv; params {n0 / 1e6:.1f}M -> "
+        what = (f"per-layer schedule {args.fractions}"
+                if args.fractions is not None
+                else f"{args.fraction:.0%} of filters per prunable conv")
+        print(f"l1_filter prune: dropped {what}; "
+              f"params {n0 / 1e6:.1f}M -> "
               f"{num_params(slim_params) / 1e6:.1f}M")
         print(f"wrote {args.out}")
         import os

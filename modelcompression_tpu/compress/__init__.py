@@ -3,6 +3,7 @@ from modelcompression_tpu.compress.backend import (
 )
 from modelcompression_tpu.compress.criteria import (
     apply_masks, global_threshold, l1_filter_keep, l1_filter_keep_sets,
+    l1_filter_keep_sets_scheduled,
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
@@ -14,7 +15,8 @@ from modelcompression_tpu.compress.repack import (
 __all__ = [
     "DEFAULT_MASK_BACKEND", "MASK_BACKENDS", "magnitude_mask_fn",
     "apply_masks", "global_threshold", "l1_filter_keep",
-    "l1_filter_keep_sets", "l1_filter_scores", "l1_filter_scores_device",
+    "l1_filter_keep_sets", "l1_filter_keep_sets_scheduled",
+    "l1_filter_scores", "l1_filter_scores_device",
     "magnitude_mask_layer",
     "magnitude_masks_global", "magnitude_masks_perlayer", "mask_sparsity",
     "channel_masks_from_keep", "propagate_keep_sets", "repack",

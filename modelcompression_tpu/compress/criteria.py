@@ -143,6 +143,30 @@ def l1_filter_keep_sets(params: Params, spec: NetworkSpec, fraction: float,
     return {i: _keep_from_scores(s, fraction) for i, s in scores.items()}
 
 
+def l1_filter_keep_sets_scheduled(params: Params, spec: NetworkSpec,
+                                  fractions: Dict[int, float],
+                                  default: float = 0.0,
+                                  skip: Sequence[int] = ()
+                                  ) -> Dict[int, "np.ndarray"]:
+    """PER-LAYER drop fractions (Li et al. 2017 §4: layers differ wildly
+    in pruning sensitivity, so the paper prunes each layer by its own
+    measured-safe fraction rather than uniformly). ``fractions`` maps
+    conv layer index -> drop fraction; unlisted prunable convs use
+    ``default``. Same one-device-program scoring as the uniform path;
+    pair with tools/sensitivity_scan.py to choose the schedule."""
+    for i in fractions:
+        if not isinstance(spec.layers[i], ConvLayer):
+            raise ValueError(f"layer {i} is not a conv layer")
+    scores = l1_filter_scores_device(params, spec, skip=skip)
+    unknown = set(fractions) - set(scores)
+    if unknown:
+        raise ValueError(
+            f"fractions given for non-prunable conv indices {sorted(unknown)}"
+            " (the detection conv and skipped layers are protected)")
+    return {i: _keep_from_scores(s, fractions.get(i, default))
+            for i, s in scores.items()}
+
+
 def mask_sparsity(masks: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Achieved sparsity: fraction of zeros across all masked tensors."""
     total = sum(m.size for m in masks.values())
