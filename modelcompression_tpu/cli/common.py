@@ -15,7 +15,7 @@ from modelcompression_tpu.data.voc import (
     read_names,
 )
 from modelcompression_tpu.models import (
-    NetworkSpec, init_params, load_cfg, load_weights,
+    init_params, load_cfg, load_weights,
 )
 
 

@@ -30,7 +30,6 @@ from modelcompression_tpu.cli.common import (
 from modelcompression_tpu.compress import DEFAULT_MASK_BACKEND, MASK_BACKENDS
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
 from modelcompression_tpu.models import save_weights
-from modelcompression_tpu.models.darknet import conv_key
 from modelcompression_tpu.train import (
     BatchLoader, TrainConfig, TrainState, iterative_prune_finetune,
     make_optimizer, train,

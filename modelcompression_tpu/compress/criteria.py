@@ -12,7 +12,7 @@ tested equal to these (same signatures, SURVEY.md §7.2.3).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

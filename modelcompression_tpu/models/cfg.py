@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
-from typing import List, Sequence, Tuple, Union
+from typing import List, Tuple, Union
 
 
 @dataclasses.dataclass

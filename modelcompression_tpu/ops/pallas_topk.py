@@ -25,7 +25,7 @@ On non-TPU backends the kernels run in interpreter mode (tests).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from modelcompression_tpu.models.cfg import NetworkSpec
-from modelcompression_tpu.models.darknet import Params, conv_key
+from modelcompression_tpu.models.darknet import Params
 from modelcompression_tpu.ops.topk_mask import _prunable_keys, abs_bits
 
 CHUNK = 128 * 1024  # uint32 chunk -> 512KB VMEM per input buffer (the

@@ -25,7 +25,7 @@ mask-apply into hand-written kernels with the same signatures.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ sequence axis (SURVEY.md §2.3 table).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

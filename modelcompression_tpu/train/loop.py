@@ -13,7 +13,6 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from modelcompression_tpu.compress import (
     DEFAULT_MASK_BACKEND, channel_masks_from_keep, magnitude_mask_fn,

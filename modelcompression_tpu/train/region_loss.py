@@ -33,7 +33,7 @@ ordering) — matching the reference-class sequential overwrite.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@
 import numpy as np
 
 from modelcompression_tpu.models import (
-    ConvLayer, MaxPoolLayer, RegionLayer, ReorgLayer, RouteLayer,
+    ConvLayer, MaxPoolLayer, ReorgLayer, RouteLayer,
     dump_cfg, out_channels, parse_cfg, tiny_yolov2_voc, yolov2_voc,
 )
 

@@ -15,7 +15,6 @@ model recovers to mAP@50 >= 0.8.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from modelcompression_tpu.compress import (

@@ -9,7 +9,7 @@ import pytest
 
 from modelcompression_tpu.core.precision import BITMATCH, FAST
 from modelcompression_tpu.models import (
-    ConvLayer, MaxPoolLayer, forward, fold_batchnorm, forward_folded,
+    MaxPoolLayer, forward, fold_batchnorm, forward_folded,
     init_params, maxpool, parse_cfg, reorg, tiny_yolov2_voc, yolov2_voc,
 )
 from tests.oracle.torch_ref import torch_forward, torch_maxpool, torch_reorg

@@ -5,7 +5,6 @@ import importlib.util
 import os
 
 import jax
-import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from modelcompression_tpu.core.mesh import MeshConfig, make_mesh

@@ -2,15 +2,13 @@
 loader -> train loop -> checkpoint save/restore -> iterative
 prune->finetune->eval, minutes on CPU."""
 
-import glob
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.data.fixtures import (
-    FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
+    make_fake_voc, tiny_region_cfg,
 )
 from modelcompression_tpu.data.voc import load_list_dataset, read_data_cfg
 from modelcompression_tpu.models import init_params, parse_cfg, num_params

@@ -1,12 +1,10 @@
 """VOC/Darknet-list loader edge cases (round-2 review findings)."""
 
-import os
 
-import numpy as np
 import pytest
 
 from modelcompression_tpu.data.voc import (
-    _label_path, load_list_dataset, load_voc_devkit,
+    _label_path, load_voc_devkit,
 )
 
 

@@ -24,11 +24,11 @@ from modelcompression_tpu.data.voc import (  # noqa: E402
     load_list_dataset, read_data_cfg,
 )
 from modelcompression_tpu.evaluation import (  # noqa: E402
-    EvalConfig, evaluate, make_eval_step,
+    EvalConfig, evaluate,
 )
 from modelcompression_tpu.models import init_params, parse_cfg  # noqa
 from modelcompression_tpu.models.darknet import (  # noqa: E402
-    fold_batchnorm, forward,
+    forward,
 )
 
 cpu = jax.devices("cpu")[0]

@@ -9,10 +9,8 @@ which XLA may fuse/vectorize differently. Also timed inside the REAL
 fused pruned pipeline to see end-to-end effect.
 """
 
-import functools
 import os
 import sys
-import time
 
 import numpy as np
 

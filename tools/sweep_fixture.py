@@ -11,7 +11,6 @@ import jax  # noqa: E402
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 
 from modelcompression_tpu.compress import (  # noqa: E402
     apply_masks, magnitude_masks_perlayer, mask_sparsity,
