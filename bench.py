@@ -91,7 +91,9 @@ def main() -> int:
     # prefilter). nms_prefilter=128: one class-agnostic top-128 before
     # the 20 per-class sorts — measured +10% on the pruned pipeline
     # (docs/PERF.md "NMS class-agnostic prefilter"), exact while <= 128
-    # candidates clear conf on an image (reported via n_cand).
+    # candidates on an image have ANY class above conf (reported via the
+    # eval step's per-image n_any counter; evaluate() compares it to the
+    # budget and reports prefilter_overflow_frac).
     cfg = EvalConfig(batch_size=BATCH, conf_thresh=0.01, max_detections=32,
                      nms_prefilter=128)
     img_w = jnp.full((BATCH,), float(SRC_W))
@@ -125,7 +127,8 @@ def main() -> int:
         def many(p, u8, w_, h_, salt):
             def body(i, acc):
                 u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
-                boxes, scores, valid, _ = step.__wrapped__(p, u8_i, w_, h_) \
+                boxes, scores, valid, _, _ = \
+                    step.__wrapped__(p, u8_i, w_, h_) \
                     if hasattr(step, "__wrapped__") else step(p, u8_i, w_, h_)
                 return acc + jnp.sum(scores)
             return jax.lax.fori_loop(0, INNER, body, salt)

@@ -75,6 +75,41 @@ def add_data_args(p: argparse.ArgumentParser):
                    help="VOCdevkit image set (when --data is a devkit root)")
 
 
+def resolve_batch_subdivisions(args, spec):
+    """Effective-batch semantics shared by the train and finetune CLIs
+    (Darknet [net] batch/subdivisions, SURVEY.md §5.6).
+
+    An explicit --batch without --subdivisions means "this IS the
+    per-update batch, one forward": micro-batching is a memory knob the
+    user can set separately; only the cfg-default path inherits the cfg's
+    subdivisions (Darknet's effective-batch semantics). Explicit values
+    are tested with ``is not None`` so ``--batch 0``/``--subdivisions 0``
+    are rejected rather than silently falling back to the cfg.
+
+    Returns (batch, subdivisions); raises ValueError on invalid combos.
+    """
+    if args.batch is not None and args.subdivisions is None:
+        subdiv = 1
+    elif args.subdivisions is not None:
+        subdiv = args.subdivisions
+    else:
+        subdiv = spec.net.subdivisions
+    batch = args.batch if args.batch is not None else spec.net.batch
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    if subdiv < 1 or batch % subdiv:
+        raise ValueError(f"batch {batch} must be divisible by "
+                         f"subdivisions {subdiv}")
+    return batch, subdiv
+
+
+def resolve_mask_backend(args) -> str:
+    """--use-pallas is an alias for --mask-backend pallas (prune and
+    finetune CLIs share the flag pair)."""
+    return "pallas" if getattr(args, "use_pallas", False) \
+        else args.mask_backend
+
+
 def load_model(args, seed: int = 0):
     spec = load_cfg(args.cfg)
     partial = bool(getattr(args, "partial", False))

@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
                      max_detections=50)
     step = make_eval_step(spec, cfg)
-    sel, out_scores, valid, _ = step(
+    sel, out_scores, valid, _, _ = step(
         folded, jnp.asarray(canvas[None]),
         jnp.asarray([float(w)]), jnp.asarray([float(h)]))
     sel = np.asarray(sel)[0]          # already in source-image pixels

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.exact_nms and args.nms_prefilter > 0:
+        print("error: --exact-nms and --nms-prefilter are mutually "
+              "exclusive — the exact path runs greedy NMS over ALL "
+              "candidates, so a prefilter would silently not apply",
+              file=sys.stderr)
+        return 2
     enable_compilation_cache()
     spec, params, _ = load_model(args)
     samples, names = load_dataset(args)

@@ -26,6 +26,7 @@ import numpy as np
 from modelcompression_tpu.cli.common import (
     add_data_args, add_model_args, add_parallel_args, build_mesh,
     enable_compilation_cache, load_dataset, load_model, load_train_dataset,
+    resolve_batch_subdivisions, resolve_mask_backend,
 )
 from modelcompression_tpu.compress import DEFAULT_MASK_BACKEND, MASK_BACKENDS
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
@@ -93,8 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.use_pallas:
-        args.mask_backend = "pallas"
+    args.mask_backend = resolve_mask_backend(args)
     enable_compilation_cache()
     spec, params, seen = load_model(args)
     samples, names = load_train_dataset(args)
@@ -125,18 +125,10 @@ def main(argv=None) -> int:
     # full augmentation surface for the accuracy-recovery path
     # (BASELINE.json:9 "short fine-tune on VOC"): cfg jitter is on by
     # default via from_spec; mosaic/HSV are the same opt-ins train has
-    # an explicit --batch without --subdivisions means "this IS the
-    # per-update batch, one forward": micro-batching is a memory knob the
-    # user can set separately; only the cfg-default path inherits the
-    # cfg's subdivisions (Darknet's effective-batch semantics)
-    if args.batch is not None and args.subdivisions is None:
-        subdiv = 1
-    else:
-        subdiv = args.subdivisions or spec.net.subdivisions
-    batch = args.batch or spec.net.batch
-    if subdiv < 1 or batch % subdiv:
-        print(f"error: batch {batch} must be divisible by subdivisions "
-              f"{subdiv}", file=sys.stderr)
+    try:
+        batch, subdiv = resolve_batch_subdivisions(args, spec)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 2
     config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
                                    augment_mosaic=args.mosaic,

@@ -24,6 +24,7 @@ import numpy as np
 
 from modelcompression_tpu.cli.common import (
     add_model_args, enable_compilation_cache, load_model,
+    resolve_mask_backend,
 )
 from modelcompression_tpu.compress import (
     DEFAULT_MASK_BACKEND, MASK_BACKENDS, apply_masks, magnitude_mask_fn,
@@ -125,8 +126,7 @@ def _sweep(args, spec, params, seen) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.use_pallas:
-        args.mask_backend = "pallas"
+    args.mask_backend = resolve_mask_backend(args)
     enable_compilation_cache()
     spec, params, seen = load_model(args)
     n0 = num_params(params)

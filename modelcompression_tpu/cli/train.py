@@ -17,6 +17,7 @@ import numpy as np
 from modelcompression_tpu.cli.common import (
     add_data_args, add_model_args, add_parallel_args, build_mesh,
     enable_compilation_cache, load_dataset, load_model, load_train_dataset,
+    resolve_batch_subdivisions,
 )
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
 from modelcompression_tpu.train import (
@@ -93,18 +94,10 @@ def main(argv=None) -> int:
         print(f"error: --jitter must be in [0, 0.5), got {jitter}",
               file=sys.stderr)
         return 2
-    # an explicit --batch without --subdivisions means "this IS the
-    # per-update batch, one forward": micro-batching is a memory knob the
-    # user can set separately; only the cfg-default path inherits the
-    # cfg's subdivisions (Darknet's effective-batch semantics)
-    if args.batch is not None and args.subdivisions is None:
-        subdiv = 1
-    else:
-        subdiv = args.subdivisions or spec.net.subdivisions
-    batch = args.batch or spec.net.batch
-    if subdiv < 1 or batch % subdiv:
-        print(f"error: batch {batch} must be divisible by subdivisions "
-              f"{subdiv}", file=sys.stderr)
+    try:
+        batch, subdiv = resolve_batch_subdivisions(args, spec)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 2
     config = TrainConfig.from_spec(
         spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
@@ -123,6 +116,7 @@ def main(argv=None) -> int:
     state = TrainState.create(params, tx, jax.random.key(args.seed),
                               seen=seen)
     n_steps = args.steps
+    start = 0
     if args.resume:
         if not args.checkpoint_dir:
             print("error: --resume requires --checkpoint-dir",
@@ -185,7 +179,8 @@ def main(argv=None) -> int:
     state = train(state, spec, config, loader, n_steps=n_steps,
                   logger=logger, eval_fn=eval_fn,
                   eval_every=args.eval_every, checkpoint_fn=ckpt_fn,
-                  checkpoint_every=args.checkpoint_every, mesh=mesh, tp=tp)
+                  checkpoint_every=args.checkpoint_every,
+                  initial_step=start, mesh=mesh, tp=tp)
     if args.checkpoint_dir:
         d = save_checkpoint(args.checkpoint_dir, int(state["step"]), spec,
                             dict(state))

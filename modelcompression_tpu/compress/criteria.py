@@ -155,6 +155,13 @@ def l1_filter_keep_sets_scheduled(params: Params, spec: NetworkSpec,
     ``default``. Same one-device-program scoring as the uniform path;
     pair with tools/sensitivity_scan.py to choose the schedule."""
     for i in fractions:
+        # range-check before indexing: a bad index must surface as the
+        # same ValueError every other malformed schedule raises, not an
+        # IndexError traceback (negative indices would silently alias
+        # from the end, so reject those too)
+        if not 0 <= i < len(spec.layers):
+            raise ValueError(
+                f"conv index {i} out of range [0, {len(spec.layers) - 1}]")
         if not isinstance(spec.layers[i], ConvLayer):
             raise ValueError(f"layer {i} is not a conv layer")
     scores = l1_filter_scores_device(params, spec, skip=skip)

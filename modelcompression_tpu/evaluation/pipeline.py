@@ -103,6 +103,14 @@ class EvalConfig:
     # for future toolchains.
     fuse_input_stage: bool = False
 
+    def __post_init__(self):
+        if self.exact_nms and self.nms_prefilter > 0:
+            raise ValueError(
+                "exact_nms and nms_prefilter are mutually exclusive: the "
+                "exact path runs greedy NMS over ALL candidates, so a "
+                "candidate prefilter would silently not apply — drop one "
+                "of the two flags")
+
 
 def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                    src_hw: Optional[Tuple[int, int]] = None):
@@ -110,10 +118,17 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
 
     Returns fn(params, images_uint8, img_w (B,), img_h (B,)) ->
       (boxes (B,C,K,4) in source-image pixels, scores (B,C,K),
-       valid (B,C,K), n_cand (B,C) int32 — candidates above conf_thresh
-       per (image, class), the truncation-observability counter:
-       n_cand > K means the default top-k NMS saw more candidates than
-       its prefilter keeps).
+       valid (B,C,K), n_cand (B,C) int32, n_any (B,) int32).
+      The two counters make every truncation observable (VERDICT r1 #4,
+      "no silent caps"):
+      * n_cand — candidates above conf_thresh per (image, class);
+        n_cand > K means the default top-k NMS saw more candidates than
+        its per-class prefilter keeps.
+      * n_any — candidates whose MAX class score clears conf_thresh per
+        image; n_any > config.nms_prefilter means the class-agnostic
+        prefilter (when enabled) truncated before the per-class sorts,
+        so its exactness condition was violated even if every n_cand
+        cell is within budget.
 
     ``images_uint8`` is (B, net, net, 3) when ``src_hw is None``, else
     (B, src_h, src_w, 3) raw source frames (letterbox fused on device).
@@ -145,6 +160,10 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
         # (image, class) — one cheap reduce fused into the program
         n_cand = jnp.sum(class_scores > config.conf_thresh,
                          axis=1).astype(jnp.int32)  # (B, C)
+        # any-class candidate count — the class-agnostic prefilter's
+        # exactness budget is per IMAGE, not per (image, class)
+        n_any = jnp.sum(jnp.max(class_scores, axis=-1) > config.conf_thresh,
+                        axis=-1).astype(jnp.int32)  # (B,)
         if config.exact_nms:
             sel, scores, valid = batched_per_class_nms_padded(
                 corners, class_scores,
@@ -170,7 +189,7 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
         sel = corners_to_image(sel, img_w[:, None, None],
                                img_h[:, None, None],
                                net_w, net_h, config.letterbox)
-        return sel, scores, valid, n_cand
+        return sel, scores, valid, n_cand, n_any
 
     return jax.jit(step)
 
@@ -277,13 +296,19 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     n_cells = 0
     n_overflow = 0
     max_cand = 0
-    for chunk, img_w, img_h, (boxes, scores, valid, n_cand) \
+    n_pf_overflow = 0
+    max_any = 0
+    for chunk, img_w, img_h, (boxes, scores, valid, n_cand, n_any) \
             in batch_results():
         n_images += len(chunk)
         real = n_cand[:len(chunk)]  # exclude batch padding rows
         n_cells += real.size
         n_overflow += int((real > config.max_detections).sum())
         max_cand = max(max_cand, int(real.max()) if real.size else 0)
+        real_any = n_any[:len(chunk)]
+        max_any = max(max_any, int(real_any.max()) if real_any.size else 0)
+        if config.nms_prefilter > 0:
+            n_pf_overflow += int((real_any > config.nms_prefilter).sum())
 
         for bi, s in enumerate(chunk):
             w, h = float(img_w[bi]), float(img_h[bi])
@@ -323,7 +348,11 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
         nms_overflow_frac=(n_overflow / n_cells if n_cells else 0.0),
         nms_max_candidates=max_cand,
         max_detections=config.max_detections,
-        exact_nms=config.exact_nms)
+        exact_nms=config.exact_nms,
+        nms_prefilter=config.nms_prefilter,
+        prefilter_overflow_frac=(n_pf_overflow / n_images
+                                 if n_images else 0.0),
+        prefilter_max_candidates=max_any)
 
 
 @dataclasses.dataclass
@@ -344,6 +373,14 @@ class EvalResult:
     nms_max_candidates: int = 0
     max_detections: int = 0
     exact_nms: bool = False
+    # class-agnostic prefilter observability: its exactness budget is the
+    # per-IMAGE any-class candidate count (nms.per_class_nms_prefiltered
+    # docstring), which the per-(image,class) n_cand cells cannot bound —
+    # fraction of images whose any-class count exceeded nms_prefilter,
+    # plus the worst image's count (0 / 0.0 / max seen when prefilter off)
+    nms_prefilter: int = 0
+    prefilter_overflow_frac: float = 0.0
+    prefilter_max_candidates: int = 0
 
     def summary(self) -> str:
         lines = [f"{'class':<16} AP@50"]
@@ -359,13 +396,23 @@ class EvalResult:
                 f"(worst cell {self.nms_max_candidates} candidates; "
                 f"output capped at {self.max_detections} survivors)")
         else:
+            exact_run = self.nms_overflow_frac == 0.0
             lines.append(
                 f"NMS: top-{self.max_detections} prefilter; "
                 f"{self.nms_overflow_frac:.2%} of (image,class) cells "
-                f"exceeded it (worst {self.nms_max_candidates}) — "
-                + ("exact-equal to greedy NMS on this run"
-                   if self.nms_overflow_frac == 0.0 else
-                   "re-run with exact_nms (eval --exact-nms) to audit"))
+                f"exceeded it (worst {self.nms_max_candidates})")
+            if self.nms_prefilter > 0:
+                # the class-agnostic prefilter has its own (per-image)
+                # exactness budget — both must hold for the exact claim
+                exact_run = exact_run and self.prefilter_overflow_frac == 0.0
+                lines.append(
+                    f"NMS: class-agnostic prefilter {self.nms_prefilter}; "
+                    f"{self.prefilter_overflow_frac:.2%} of images "
+                    f"exceeded it (worst {self.prefilter_max_candidates} "
+                    f"any-class candidates)")
+            lines.append(
+                "NMS: exact-equal to greedy NMS on this run" if exact_run
+                else "NMS: re-run with exact_nms (eval --exact-nms) to audit")
         return "\n".join(lines)
 
 

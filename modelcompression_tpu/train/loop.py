@@ -36,6 +36,7 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
           checkpoint_fn: Optional[Callable[[int, TrainState], None]] = None,
           checkpoint_every: int = 0,
           metrics_every: int = 10,
+          initial_step: int = 0,
           mesh=None, tp: bool = False) -> TrainState:
     """Run ``n_steps`` train steps. Returns the final state.
 
@@ -43,6 +44,12 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
     ``metrics_every`` steps: each host readback over the device link costs
     a full round-trip (~40ms-plus on a tunneled TPU), so syncing every step
     serializes the pipeline (SURVEY.md §5.7 double-buffering intent).
+
+    ``initial_step``: the restored global step when resuming — logging,
+    eval, and checkpoint cadences key off ``initial_step + i + 1`` so a
+    resumed run continues the SAME step numbering and cadence phase an
+    uninterrupted run would have (not a fresh 1..n_steps count that would
+    duplicate JSONL step ids and shift --eval-every boundaries).
 
     ``mesh``: a (data[, model]) ``jax.sharding.Mesh`` — the state is
     placed on it (params TP-sharded over 'model' when ``tp``) and every
@@ -75,16 +82,19 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
             images = jnp.asarray(images)
             targets = jnp.asarray(targets)
         state, metrics = step_fn(state, images, targets)
-        step = i + 1  # avoid reading state["step"] back every iteration
+        # global step, tracked host-side (avoids reading state["step"]
+        # back every iteration); equals state["step"] because
+        # initial_step is the restored step count on resume
+        step = initial_step + i + 1
+        last = i == n_steps - 1
         timer.tick(images.shape[0])  # host-side counters only, no sync
-        sync_now = (metrics_every and step % metrics_every == 0) \
-            or step == n_steps
+        sync_now = (metrics_every and step % metrics_every == 0) or last
         if sync_now:
             # float() blocks until this step's compute finished, so the
             # timer's wall clock is accurate at every sync point
             host_metrics = {k: float(v) for k, v in metrics.items()}
             host_metrics["img_per_sec"] = timer.images_per_sec
-            logger.log(step, host_metrics, force=(step == n_steps))
+            logger.log(step, host_metrics, force=last)
         if eval_fn and eval_every and step % eval_every == 0:
             logger.log(step, eval_fn(state["params"]), prefix="eval")
         if checkpoint_fn and checkpoint_every and \

@@ -39,6 +39,13 @@ def test_full_yolov2_coco_config_shape():
     # backbone identical to the VOC variant; only the head conv differs
     assert [l.filters for l in cc[:-1]] == [l.filters for l in vc[:-1]]
     assert abs(coco.region.anchors[0] - 0.57273) < 1e-6
+    # training hyperparameters are the PUBLIC yolov2.cfg's, not the VOC
+    # variant's (TrainConfig.from_spec reads the cfg as the training
+    # config, so these drive real training runs)
+    assert coco.net.width == coco.net.height == 608
+    assert coco.net.burn_in == 1000
+    assert coco.net.max_batches == 500200
+    assert coco.net.steps == (400000, 450000)
     # forward shape sanity at reduced resolution
     coco.net.width = coco.net.height = 64
     from modelcompression_tpu.core.precision import FAST

@@ -140,14 +140,19 @@ def test_fused_eval_step_src_hw(tmp_path):
     imgs = jnp.asarray(rng.integers(0, 255, (2, 96, 160, 3), np.uint8))
     img_w = jnp.full((2,), 160.0)
     img_h = jnp.full((2,), 96.0)
-    boxes, scores, valid, n_cand = step(folded, imgs, img_w, img_h)
+    boxes, scores, valid, n_cand, n_any = step(folded, imgs, img_w, img_h)
+    # n_any counts DISTINCT candidates with any class above threshold, so
+    # it is bounded by the per-class total and at least the worst class
+    assert n_any.shape == (2,)
+    assert (np.asarray(n_any) >= np.asarray(n_cand).max(axis=1)).all()
+    assert (np.asarray(n_any) <= np.asarray(n_cand).sum(axis=1)).all()
     assert boxes.shape == (2, 3, 10, 4)
     b = np.asarray(boxes)[np.asarray(valid)]
     assert len(b) > 0  # random net at 1e-4 conf produces something
     assert (b[:, 0::2] >= 0).all() and (b[:, 0::2] <= 160).all()
     assert (b[:, 1::2] >= 0).all() and (b[:, 1::2] <= 96).all()
     # deterministic
-    boxes2, _, valid2, _ = step(folded, imgs, img_w, img_h)
+    boxes2, _, valid2, _, _ = step(folded, imgs, img_w, img_h)
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid2))
     np.testing.assert_array_equal(np.asarray(boxes), np.asarray(boxes2))
 

@@ -16,6 +16,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from modelcompression_tpu.evaluation import (
     EvalConfig, batched_per_class_nms_padded, evaluate, nms_padded,
@@ -115,6 +116,38 @@ def test_pipeline_prefilter_matches_default_when_within_budget(tmp_path):
     r_pre = evaluate(params, spec, samples, names,
                      dataclasses.replace(cfg, nms_prefilter=16))
     assert r_base.map50 == r_pre.map50
+
+
+def test_pipeline_prefilter_overflow_reported(tmp_path):
+    """The class-agnostic prefilter's exactness budget is the per-IMAGE
+    any-class candidate count — per-(image,class) cells can all be within
+    max_detections while the prefilter still truncates. The eval result
+    must expose that regime, and must not claim exactness in it."""
+    spec, params, samples = _eval_fixture(tmp_path)
+    names = ["redbox", "greenbox", "bluebox"]
+    # 64px tiny net: N = 2*2*5 = 20 candidates; at conf 1e-6 on random
+    # weights every candidate clears SOME class, so a budget of 4 is
+    # exceeded on every image while max_detections=100 never overflows
+    cfg = EvalConfig(batch_size=2, conf_thresh=1e-6, max_detections=100,
+                     nms_prefilter=4)
+    res = evaluate(params, spec, samples, names, cfg)
+    assert res.nms_overflow_frac == 0.0          # per-class cells fine...
+    assert res.prefilter_overflow_frac > 0.5     # ...but the budget blew
+    assert res.prefilter_max_candidates > 4
+    assert "class-agnostic prefilter" in res.summary()
+    assert "exact-equal" not in res.summary()
+    assert "audit" in res.summary()
+
+    # generous budget: overflow 0, exactness claim restored
+    res2 = evaluate(params, spec, samples, names,
+                    dataclasses.replace(cfg, nms_prefilter=20))
+    assert res2.prefilter_overflow_frac == 0.0
+    assert "exact-equal" in res2.summary()
+
+
+def test_exact_nms_and_prefilter_conflict_rejected():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        EvalConfig(exact_nms=True, nms_prefilter=8)
 
 
 def _eval_fixture(tmp_path):

@@ -27,14 +27,14 @@ def test_dp_sharded_eval_matches_single_device():
     img_h = jnp.full((8,), 80.0)
 
     step1 = make_eval_step(spec, cfg)
-    b1, s1, v1, c1 = step1(folded, images, img_w, img_h)
+    b1, s1, v1, c1, a1 = step1(folded, images, img_w, img_h)
 
     mesh = Mesh(np.array(cpu_devices()), ("data",))
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("data"))
     folded_r = jax.device_put(folded, rep)
     step2 = make_eval_step(spec, cfg)
-    b2, s2, v2, c2 = step2(jax.device_put(folded, rep),
+    b2, s2, v2, c2, a2 = step2(jax.device_put(folded, rep),
                        jax.device_put(images,
                                       NamedSharding(mesh, P("data", None,
                                                             None, None))),

@@ -213,3 +213,29 @@ def test_train_cli_subdivisions(tmp_path):
                          "--data", data_cfg, "--steps", "1",
                          "--batch", "3", "--max-boxes", "8"])
     assert rc == 0
+
+
+def test_resolve_batch_subdivisions_rejects_explicit_zero():
+    """Explicit --batch 0 / --subdivisions 0 must error, not silently
+    fall back to the cfg values (falsy-zero review finding)."""
+    import argparse
+
+    from modelcompression_tpu.cli.common import resolve_batch_subdivisions
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    spec.net.batch, spec.net.subdivisions = 8, 2
+
+    def ns(batch=None, subdivisions=None):
+        return argparse.Namespace(batch=batch, subdivisions=subdivisions)
+
+    assert resolve_batch_subdivisions(ns(), spec) == (8, 2)
+    assert resolve_batch_subdivisions(ns(batch=4), spec) == (4, 1)
+    assert resolve_batch_subdivisions(ns(batch=4, subdivisions=2),
+                                      spec) == (4, 2)
+    assert resolve_batch_subdivisions(ns(subdivisions=4), spec) == (8, 4)
+    with pytest.raises(ValueError):
+        resolve_batch_subdivisions(ns(subdivisions=0), spec)
+    with pytest.raises(ValueError):
+        resolve_batch_subdivisions(ns(batch=0), spec)
+    with pytest.raises(ValueError):
+        resolve_batch_subdivisions(ns(batch=4, subdivisions=3), spec)

@@ -53,13 +53,16 @@ def _setup_cli(tmp_path):
     return cfg_path, wpath, data_cfg
 
 
-def _run(cfg_path, wpath, data_cfg, ckdir, steps, resume=False):
+def _run(cfg_path, wpath, data_cfg, ckdir, steps, resume=False,
+         jsonl=None):
     from modelcompression_tpu.cli import train as train_cli
     argv = ["--cfg", cfg_path, "--weights", wpath, "--data", data_cfg,
             "--steps", str(steps), "--batch", "2", "--max-boxes", "8",
             "--checkpoint-dir", ckdir]
     if resume:
         argv.append("--resume")
+    if jsonl:
+        argv += ["--log-jsonl", jsonl]
     return train_cli.main(argv)
 
 
@@ -96,6 +99,26 @@ def test_train_cli_kill_and_resume_matches_uninterrupted(tmp_path):
             jax.tree_util.tree_leaves_with_path(sb["opt_state"])):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
                                       err_msg=f"opt_state{pa}")
+
+
+def test_train_cli_resume_continues_global_step_numbering(tmp_path):
+    """A resumed run's metric stream must continue the GLOBAL step ids,
+    not restart at 1 (restarting would duplicate step keys for any JSONL
+    consumer and shift --eval-every/--checkpoint-every cadence)."""
+    import json
+    cfg_path, wpath, data_cfg = _setup_cli(tmp_path)
+    ck = str(tmp_path / "ck")
+    jl = str(tmp_path / "metrics.jsonl")
+    assert _run(cfg_path, wpath, data_cfg, ck, steps=2, jsonl=jl) == 0
+    assert _run(cfg_path, wpath, data_cfg, ck, steps=4, resume=True,
+                jsonl=jl) == 0
+    steps = [json.loads(l)["step"] for l in open(jl)
+             if json.loads(l)["prefix"] == "train"]
+    # first run logs its final step 2; the resumed run logs 3..4, never
+    # a second step-1/2 row
+    assert steps == sorted(steps)
+    assert steps.count(2) == 1
+    assert steps[-1] == 4
 
 
 def test_train_cli_resume_nothing_to_do(tmp_path):

@@ -40,7 +40,7 @@ for name, sp, pr in (("unpruned", spec, params),
         def many(p, u8, w_, h_, salt, step=step):
             def body(i, acc):
                 u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
-                boxes, scores, valid, _ = step(p, u8_i, w_, h_)
+                boxes, scores, valid, _, _ = step(p, u8_i, w_, h_)
                 return acc + jnp.sum(scores)
             # salted carry: distinct args per call (utils/timing.py)
             return jax.lax.fori_loop(0, INNER, body, salt)

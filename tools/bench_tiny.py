@@ -41,7 +41,7 @@ for name, sp, pr in (("tiny unpruned", spec, params),
     def many(p, u8, w_, h_, salt, step=step):
         def body(i, acc):
             u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
-            boxes, scores, valid, _ = step(p, u8_i, w_, h_)
+            boxes, scores, valid, _, _ = step(p, u8_i, w_, h_)
             return acc + jnp.sum(scores)
         # salt carry init: distinct args per timed call, so the tunnel
         # cannot serve repeat executes memoized (utils/timing.py)
