@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "run reports the overflow fraction either way")
     p.add_argument("--metric", choices=("07", "continuous"), default="07",
                    help="VOC AP protocol: 11-point (07) or all-point")
+    p.add_argument("--map-iou", type=float, default=0.5,
+                   help="AP matching IoU threshold (0.5 = the VOC/headline "
+                        "protocol; e.g. 0.75 audits localization quality)")
     p.add_argument("--precision", default="fast",
                    choices=("fast", "bitmatch"),
                    help="bitmatch = fp32/HIGHEST (bit-faithful, slower)")
@@ -82,6 +85,7 @@ def main(argv=None) -> int:
     cfg = EvalConfig(
         batch_size=args.batch, conf_thresh=args.conf, nms_thresh=args.nms,
         max_detections=args.max_det, use_07_metric=(args.metric == "07"),
+        map_iou=args.map_iou,
         letterbox=not args.no_letterbox, precision=precision,
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"),

@@ -66,6 +66,10 @@ class EvalConfig:
     # VOC devkit +1 inclusive-pixel IoU for AP matching (boxes here are in
     # source pixels, so the devkit convention is the parity-correct one)
     devkit_iou: bool = True
+    # AP matching IoU threshold. 0.5 is the VOC/headline protocol
+    # (BASELINE.json:2 mAP@50); other values give mAP@{75,...} for
+    # localization-quality audits (COCO-style strictness)
+    map_iou: float = 0.5
     letterbox: bool = True
     precision: Precision = FAST
     fold_bn: bool = True
@@ -104,6 +108,8 @@ class EvalConfig:
     fuse_input_stage: bool = False
 
     def __post_init__(self):
+        if not 0.0 < self.map_iou <= 1.0:
+            raise ValueError(f"map_iou must be in (0, 1], got {self.map_iou}")
         if self.exact_nms and self.nms_prefilter > 0:
             raise ValueError(
                 "exact_nms and nms_prefilter are mutually exclusive: the "
@@ -338,13 +344,15 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     # Chip-only throughput numbers come from bench.py's salted
     # min-over-windows methodology, never from here.
     wall_time = time.perf_counter() - t_loop0
-    m, per_class = mean_ap(dets, gts, use_07_metric=config.use_07_metric,
+    m, per_class = mean_ap(dets, gts, iou_thresh=config.map_iou,
+                           use_07_metric=config.use_07_metric,
                            devkit_iou=config.devkit_iou)
     return EvalResult(
         map50=m, per_class_ap=per_class, detections=dets,
         n_images=n_images,
         images_per_sec=n_images / wall_time if wall_time else 0.0,
         use_07_metric=config.use_07_metric,
+        map_iou=config.map_iou,
         nms_overflow_frac=(n_overflow / n_cells if n_cells else 0.0),
         nms_max_candidates=max_cand,
         max_detections=config.max_detections,
@@ -357,6 +365,8 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
 
 @dataclasses.dataclass
 class EvalResult:
+    # mean AP at config.map_iou (the field name keeps the headline-metric
+    # spelling; map_iou below records the threshold actually used)
     map50: float
     per_class_ap: Dict[str, float]
     detections: Dict[str, List[Detection]]
@@ -365,6 +375,7 @@ class EvalResult:
     # compute + fetch); chip-only numbers are bench.py's job
     images_per_sec: float
     use_07_metric: bool
+    map_iou: float = 0.5
     # NMS truncation observability ("no silent caps", VERDICT r1 #4):
     # fraction of (image, class) cells whose above-threshold candidate
     # count exceeded max_detections — cells where the default top-k NMS
@@ -383,11 +394,12 @@ class EvalResult:
     prefilter_max_candidates: int = 0
 
     def summary(self) -> str:
-        lines = [f"{'class':<16} AP@50"]
+        at = f"{self.map_iou * 100:g}"
+        lines = [f"{'class':<16} AP@{at}"]
         for c, ap in sorted(self.per_class_ap.items()):
             lines.append(f"{c:<16} {ap * 100:6.2f}")
         proto = "11-point" if self.use_07_metric else "all-point"
-        lines.append(f"mAP@50 ({proto}): {self.map50 * 100:.2f}  "
+        lines.append(f"mAP@{at} ({proto}): {self.map50 * 100:.2f}  "
                      f"[{self.n_images} images, "
                      f"{self.images_per_sec:.1f} img/s pipeline wall]")
         if self.exact_nms:

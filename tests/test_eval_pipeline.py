@@ -106,6 +106,26 @@ def test_evaluate_end_to_end_smoke(tmp_path):
     assert "mAP@50" in res.summary()
 
 
+def test_evaluate_map_iou_threshold(tmp_path):
+    """EvalConfig.map_iou threads through to AP matching and the summary
+    label (mAP@75 audits localization quality; the IoU-boundary math
+    itself is pinned in test_voc_map.test_iou_threshold_boundary)."""
+    import dataclasses
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=128, height=128))
+    params = init_params(spec, jax.random.key(0))
+    data_cfg = make_fake_voc(str(tmp_path), n_images=2, image_size=160,
+                             seed=1)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    cfg = EvalConfig(batch_size=2, max_detections=10, map_iou=0.75)
+    res = evaluate(params, spec, samples, FIXTURE_CLASSES, cfg)
+    assert res.map_iou == 0.75
+    assert "mAP@75" in res.summary() and "AP@75" in res.summary()
+    with pytest.raises(ValueError, match="map_iou"):
+        dataclasses.replace(cfg, map_iou=0.0)
+    with pytest.raises(ValueError, match="map_iou"):
+        dataclasses.replace(cfg, map_iou=1.5)
+
+
 def test_letterbox_device_matches_host():
     """Device letterbox must produce (approximately) the host canvas: same
     geometry, same pad value, bilinear content within resampler tolerance."""
