@@ -233,14 +233,12 @@ def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
     the source edge); harmless for a training augmentation. Box geometry
     is exact (tested in test_preprocess.py).
 
-    MEMORY NOTE (random-center path): the composition materializes 4
-    full-resolution rolled copies of the batch plus 4 full-size resampled
-    tiles per sample before the final select — roughly 4-8x the
-    activation footprint of the fixed-center matmul path. At the
-    production shape (batch 64 x 608^2 multi-scale worst case, ~0.3 GB of
-    fp32 tiles) this fits a v5e comfortably next to YOLOv2 activations,
-    but budget for it (or pass ``center_range=None``) before scaling
-    batch or resolution well past that.
+    MEMORY NOTE (random-center path): the composition loops over the 4
+    quadrants, so only ONE rolled batch copy, its resampled tile, and
+    the accumulating canvas are live at a time (~3 batch-size buffers;
+    the earlier form stacked all 4 rolled copies up front, ~4-8x the
+    fixed-center path's footprint). The fixed-center matmul path
+    (``center_range=None``) remains the cheapest form.
 
     Args:
       images: (B, H, W, 3) float; H, W even.
@@ -286,29 +284,30 @@ def mosaic4(images: jnp.ndarray, boxes: jnp.ndarray, rng: jax.Array,
     fy = jax.random.uniform(k1, (b,), minval=lo, maxval=hi)
     fx = jax.random.uniform(k2, (b,), minval=lo, maxval=hi)
 
-    def compose(tiles, fy_, fx_):
-        # tiles: (4, H, W, 3) sources for quadrants (00, 01, 10, 11)
-        out = jnp.zeros_like(tiles[0])
-        ys = jnp.arange(h)[:, None, None]
-        xs = jnp.arange(w)[None, :, None]
-        for k, (r_, c_) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            qh = (1.0 - fy_) if r_ else fy_       # quadrant size, normalized
-            qw = (1.0 - fx_) if c_ else fx_
-            ty = fy_ * h if r_ else 0.0            # quadrant origin, pixels
-            tx = fx_ * w if c_ else 0.0
-            # output half-pixel o+0.5 in the quadrant samples source
-            # half-pixel (o+0.5-t)/q — scale_and_translate's convention
-            tile = jax.image.scale_and_translate(
-                tiles[k], tiles[k].shape, (0, 1),
-                jnp.stack([qh, qw]), jnp.stack([ty, tx]),
-                method="linear", antialias=False)
-            in_y = (ys < fy_ * h) if r_ == 0 else (ys >= fy_ * h)
-            in_x = (xs < fx_ * w) if c_ == 0 else (xs >= fx_ * w)
-            out = jnp.where(in_y & in_x, tile, out)
-        return out
+    ys = jnp.arange(h)[None, :, None, None]       # (1, H, 1, 1)
+    xs = jnp.arange(w)[None, None, :, None]       # (1, 1, W, 1)
+    fy_b = fy[:, None, None, None]
+    fx_b = fx[:, None, None, None]
 
-    rolled = jnp.stack([jnp.roll(images, -k, axis=0) for k in range(4)])
-    out = jax.vmap(compose, in_axes=(1, 0, 0))(rolled, fy, fx)
+    def st(img, qh_, qw_, ty_, tx_):
+        # output half-pixel o+0.5 in the quadrant samples source
+        # half-pixel (o+0.5-t)/q — scale_and_translate's convention
+        return jax.image.scale_and_translate(
+            img, img.shape, (0, 1),
+            jnp.stack([qh_, qw_]), jnp.stack([ty_, tx_]),
+            method="linear", antialias=False)
+
+    out = jnp.zeros_like(images)
+    for k, (r_, c_) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        src = jnp.roll(images, -k, axis=0)         # one copy live at a time
+        qh = (1.0 - fy) if r_ else fy              # quadrant size, normalized
+        qw = (1.0 - fx) if c_ else fx
+        ty = fy * h if r_ else jnp.zeros_like(fy)  # quadrant origin, pixels
+        tx = fx * w if c_ else jnp.zeros_like(fx)
+        tile = jax.vmap(st)(src, qh, qw, ty, tx)
+        in_y = (ys < fy_b * h) if r_ == 0 else (ys >= fy_b * h)
+        in_x = (xs < fx_b * w) if c_ == 0 else (xs >= fx_b * w)
+        out = jnp.where(in_y & in_x, tile, out)
 
     def remap(offset_b, r_, c_):
         bx = jnp.roll(boxes, -offset_b, axis=0)
