@@ -64,28 +64,36 @@ def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     b, h, w, c = x.shape
     if (h, w) == (new_h, new_w):
         return x
-    wh = jnp.asarray(_linear_resize_matrix(h, new_h))   # (new_h, h)
-    ww = jnp.asarray(_linear_resize_matrix(w, new_w))   # (new_w, w)
+    # interpolation matrices follow the activation dtype, so a bf16 input
+    # runs the whole resize in bf16 (half the HBM traffic; callers pick
+    # the dtype per precision policy)
+    wh = jnp.asarray(_linear_resize_matrix(h, new_h),
+                     x.dtype)                            # (new_h, h)
+    ww = jnp.asarray(_linear_resize_matrix(w, new_w), x.dtype)  # (new_w, w)
     t = x.transpose(0, 3, 1, 2)
     t = jnp.einsum("iy,bcyx->bcix", wh, t)
     t = jnp.einsum("jx,bcix->bcij", ww, t)
     return t.transpose(0, 2, 3, 1)
 
 
-def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
-                     ) -> jnp.ndarray:
+def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int,
+                     dtype=jnp.float32) -> jnp.ndarray:
     """Aspect-preserving resize + center pad, jittable.
 
     Args:
       images: (B, H, W, 3) uint8 or float; H, W static.
+      dtype: compute/output dtype. float32 is the bit-faithful default;
+        the FAST eval pipeline passes bf16 (the conv stack consumes bf16
+        anyway, so resizing in bf16 only moves the rounding one op
+        earlier while halving the resize's HBM traffic).
     Returns:
-      (B, net_h, net_w, 3) float32 in [0, 1].
+      (B, net_h, net_w, 3) ``dtype`` in [0, 1].
     """
     b, h, w, c = images.shape
     r = min(net_w / w, net_h / h)
     new_w, new_h = int(round(w * r)), int(round(h * r))
-    x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 \
-        else images.astype(jnp.float32)
+    x = images.astype(dtype) / jnp.asarray(255.0, dtype) \
+        if images.dtype == jnp.uint8 else images.astype(dtype)
     x = _bilinear_resize(x, new_h, new_w)
     pad_top = (net_h - new_h) // 2
     pad_left = (net_w - new_w) // 2
@@ -95,11 +103,12 @@ def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int
         constant_values=GRAY / 255.0)  # same canvas value as letterbox_host
 
 
-def stretch_resize_device(images: jnp.ndarray, net_h: int, net_w: int
-                          ) -> jnp.ndarray:
-    """Plain stretch resize to net size (the pytorch-yolo2 valid.py mode)."""
-    x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 \
-        else images.astype(jnp.float32)
+def stretch_resize_device(images: jnp.ndarray, net_h: int, net_w: int,
+                          dtype=jnp.float32) -> jnp.ndarray:
+    """Plain stretch resize to net size (the pytorch-yolo2 valid.py mode).
+    ``dtype`` as in ``letterbox_device``."""
+    x = images.astype(dtype) / jnp.asarray(255.0, dtype) \
+        if images.dtype == jnp.uint8 else images.astype(dtype)
     return _bilinear_resize(x, net_h, net_w)
 
 

@@ -118,6 +118,14 @@ class EvalConfig:
                 "of the two flags")
 
 
+def _resize_dtype(precision):
+    """Eval-input resize dtype for a precision policy (monkeypatchable
+    seam for the on-chip A/B in tools/experiment_bf16_letterbox.py)."""
+    import jax.numpy as _jnp
+    return precision.compute_dtype if precision.name == "fast" \
+        else _jnp.float32
+
+
 def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                    src_hw: Optional[Tuple[int, int]] = None):
     """Build the jitted device program (module docstring).
@@ -151,13 +159,21 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
     else:
         fwd = forward
 
+    # FAST mode resizes in the conv compute dtype (bf16): the conv stack
+    # rounds its input to bf16 anyway, so this only moves that rounding
+    # one op earlier while halving the letterbox stage's HBM traffic.
+    # BITMATCH keeps the resize in f32 (bit-faithful path).
+    rs_dtype = _resize_dtype(config.precision)
+
     def step(params: Params, images: jnp.ndarray,
              img_w: jnp.ndarray, img_h: jnp.ndarray):
         if src_hw is not None:
-            x = (letterbox_device(images, net_h, net_w) if config.letterbox
-                 else stretch_resize_device(images, net_h, net_w))
+            x = (letterbox_device(images, net_h, net_w, dtype=rs_dtype)
+                 if config.letterbox
+                 else stretch_resize_device(images, net_h, net_w,
+                                            dtype=rs_dtype))
         else:
-            x = images.astype(jnp.float32) / 255.0
+            x = images.astype(rs_dtype) / jnp.asarray(255.0, rs_dtype)
         raw = fwd(params, x, spec, config.precision)
         boxes, obj, cls = decode_region(raw, region)
         class_scores = obj[..., None] * cls  # (B, N, C)
