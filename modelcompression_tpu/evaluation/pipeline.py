@@ -217,16 +217,23 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
 
 
 def _prep_batch(samples: Sequence[Sample], net_h: int, net_w: int,
-                letterbox: bool
+                letterbox: bool, executor=None
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host side: decode + letterbox to a fixed uint8 canvas.
+
+    ``executor``: optional ThreadPoolExecutor — image decode and cv2
+    resize release the GIL, so per-image prep parallelizes across host
+    cores (a real TPU host must letterbox ~15k img/s to keep the pruned
+    pipeline fed; one thread tops out around 0.5-1k).
 
     Returns (batch (B,net,net,3) uint8, img_w (B,), img_h (B,))."""
     import cv2
     batch = np.zeros((len(samples), net_h, net_w, 3), np.uint8)
     img_w = np.ones(len(samples), np.float32)
     img_h = np.ones(len(samples), np.float32)
-    for i, s in enumerate(samples):
+
+    def prep_one(i_s):
+        i, s = i_s
         img = s.load_image()
         h, w = img.shape[:2]
         if letterbox:
@@ -236,6 +243,13 @@ def _prep_batch(samples: Sequence[Sample], net_h: int, net_w: int,
                                 interpolation=cv2.INTER_LINEAR)
         batch[i] = canvas
         img_w[i], img_h[i] = w, h
+
+    if executor is not None:
+        # list() propagates the first worker exception
+        list(executor.map(prep_one, enumerate(samples)))
+    else:
+        for item in enumerate(samples):
+            prep_one(item)
     return batch, img_w, img_h
 
 
@@ -272,6 +286,15 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     dets: Dict[str, List[Detection]] = {c: [] for c in class_names}
     gts: Dict[str, List[GroundTruth]] = {c: [] for c in class_names}
 
+    # per-image host prep fans out over host cores inside the prefetch
+    # thread (decode/cv2 release the GIL); sized to the machine, 1-worker
+    # degenerate case == the serial path
+    import concurrent.futures
+    import os as _os
+    n_workers = max(1, min(16, _os.cpu_count() or 1))
+    prep_pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=n_workers) if n_workers > 1 else None
+
     def host_batches():
         """Producer: decode + letterbox + collate on host (runs in the
         prefetch thread, overlapped with device compute)."""
@@ -279,7 +302,8 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
             chunk = list(samples[start:start + bs])
             pad_to = bs - len(chunk)
             batch, img_w, img_h = _prep_batch(chunk, net_h, net_w,
-                                              config.letterbox)
+                                              config.letterbox,
+                                              executor=prep_pool)
             if pad_to:
                 batch = np.concatenate(
                     [batch, np.zeros((pad_to, net_h, net_w, 3), np.uint8)])
@@ -320,39 +344,45 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     max_cand = 0
     n_pf_overflow = 0
     max_any = 0
-    for chunk, img_w, img_h, (boxes, scores, valid, n_cand, n_any) \
-            in batch_results():
-        n_images += len(chunk)
-        real = n_cand[:len(chunk)]  # exclude batch padding rows
-        n_cells += real.size
-        n_overflow += int((real > config.max_detections).sum())
-        max_cand = max(max_cand, int(real.max()) if real.size else 0)
-        real_any = n_any[:len(chunk)]
-        max_any = max(max_any, int(real_any.max()) if real_any.size else 0)
-        if config.nms_prefilter > 0:
-            n_pf_overflow += int((real_any > config.nms_prefilter).sum())
+    try:
+        for chunk, img_w, img_h, (boxes, scores, valid, n_cand, n_any) \
+                in batch_results():
+            n_images += len(chunk)
+            real = n_cand[:len(chunk)]  # exclude batch padding rows
+            n_cells += real.size
+            n_overflow += int((real > config.max_detections).sum())
+            max_cand = max(max_cand, int(real.max()) if real.size else 0)
+            real_any = n_any[:len(chunk)]
+            max_any = max(max_any,
+                          int(real_any.max()) if real_any.size else 0)
+            if config.nms_prefilter > 0:
+                n_pf_overflow += int((real_any > config.nms_prefilter).sum())
 
-        for bi, s in enumerate(chunk):
-            w, h = float(img_w[bi]), float(img_h[bi])
-            # ground truth in source pixels (labels are normalized cx cy w h)
-            diff = (s.difficult if s.difficult is not None
-                    else np.zeros(len(s.labels), bool))
-            for row, d in zip(s.labels, diff):
-                cls, cx, cy, bw, bh = row
-                gts[class_names[int(cls)]].append(GroundTruth(
-                    image_id=s.image_id,
-                    box=((cx - bw / 2) * w, (cy - bh / 2) * h,
-                         (cx + bw / 2) * w, (cy + bh / 2) * h),
-                    difficult=bool(d)))
-            for ci, cname in enumerate(class_names):
-                v = valid[bi, ci]
-                if not v.any():
-                    continue
-                for k in np.nonzero(v)[0]:
-                    dets[cname].append(Detection(
+            for bi, s in enumerate(chunk):
+                w, h = float(img_w[bi]), float(img_h[bi])
+                # ground truth in source pixels (labels are normalized
+                # cx cy w h)
+                diff = (s.difficult if s.difficult is not None
+                        else np.zeros(len(s.labels), bool))
+                for row, d in zip(s.labels, diff):
+                    cls, cx, cy, bw, bh = row
+                    gts[class_names[int(cls)]].append(GroundTruth(
                         image_id=s.image_id,
-                        score=float(scores[bi, ci, k]),
-                        box=tuple(float(x) for x in boxes[bi, ci, k])))
+                        box=((cx - bw / 2) * w, (cy - bh / 2) * h,
+                             (cx + bw / 2) * w, (cy + bh / 2) * h),
+                        difficult=bool(d)))
+                for ci, cname in enumerate(class_names):
+                    v = valid[bi, ci]
+                    if not v.any():
+                        continue
+                    for k in np.nonzero(v)[0]:
+                        dets[cname].append(Detection(
+                            image_id=s.image_id,
+                            score=float(scores[bi, ci, k]),
+                            box=tuple(float(x) for x in boxes[bi, ci, k])))
+    finally:
+        if prep_pool is not None:
+            prep_pool.shutdown(wait=True)
 
     # WALL time over the whole pipelined loop (prefetch puts + device
     # compute + output fetch + host accumulation), NOT device-only

@@ -191,3 +191,21 @@ def test_dump_detections_format(tmp_path):
     # sorted by descending score
     assert lines[0].split()[0] == "img0002"
     assert len(lines[0].split()) == 6
+
+
+def test_prep_batch_threaded_matches_serial(tmp_path):
+    """_prep_batch with a ThreadPoolExecutor must produce byte-identical
+    output to the serial path (each worker writes disjoint batch rows).
+    On the real TPU host the pool is sized to the machine; this pins the
+    multi-worker branch even on a 1-core CI box."""
+    import concurrent.futures
+    from modelcompression_tpu.evaluation.pipeline import _prep_batch
+    data_cfg = make_fake_voc(str(tmp_path), n_images=6, image_size=96,
+                             seed=3)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    serial = _prep_batch(samples, 64, 64, letterbox=True)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        threaded = _prep_batch(samples, 64, 64, letterbox=True,
+                               executor=pool)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
