@@ -63,6 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "convention (the default)")
     p.add_argument("--dump-dir", default=None,
                    help="write per-class detection files here")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 inference "
+                        "(compress/quantize.py): per-channel int8 "
+                        "weights, per-tensor int8 activations calibrated "
+                        "on the first --calib-images eval images. "
+                        "Incompatible with --precision bitmatch")
+    p.add_argument("--calib-images", type=int, default=64,
+                   help="images used for int8 activation calibration")
+    p.add_argument("--calib-quantile", type=float, default=None,
+                   help="calibrate activation scales at this quantile of "
+                        "|activation| instead of the max (e.g. 0.9999 "
+                        "sheds single-pixel outliers)")
     add_parallel_args(p)
     return p
 
@@ -82,6 +94,10 @@ def main(argv=None) -> int:
         print("error: dataset is empty", file=sys.stderr)
         return 2
     precision = get_precision(args.precision)
+    if args.int8 and precision.name == "bitmatch":
+        print("error: --int8 is a quantized path; it cannot bit-match "
+              "(--precision bitmatch)", file=sys.stderr)
+        return 2
     cfg = EvalConfig(
         batch_size=args.batch, conf_thresh=args.conf, nms_thresh=args.nms,
         max_detections=args.max_det, use_07_metric=(args.metric == "07"),
@@ -90,6 +106,29 @@ def main(argv=None) -> int:
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"),
         exact_nms=args.exact_nms, nms_prefilter=args.nms_prefilter)
+    if args.int8:
+        import numpy as np
+
+        from modelcompression_tpu.compress import (
+            forward_quantized, quantize_from_batches,
+        )
+        from modelcompression_tpu.evaluation.pipeline import _prep_batch
+        from modelcompression_tpu.models.darknet import fold_batchnorm
+
+        n = max(1, min(args.calib_images, len(samples)))
+        print(f"int8: calibrating activation scales on {n} images...",
+              file=sys.stderr)
+        batch, _, _ = _prep_batch(samples[:n], spec.net.height,
+                                  spec.net.width,
+                                  letterbox=not args.no_letterbox)
+        folded = fold_batchnorm(params, spec)
+        # fixed-size chunks: one calibration XLA program, bounded memory
+        chunks = [batch[i:i + 8].astype(np.float32) / 255.0
+                  for i in range(0, len(batch) - len(batch) % 8, 8)] \
+            or [batch.astype(np.float32) / 255.0]
+        params = quantize_from_batches(
+            folded, spec, chunks, quantile=args.calib_quantile)
+        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
     mesh, _ = build_mesh(args)
     if mesh is not None and args.batch % mesh.shape["data"]:
         print(f"error: --batch {args.batch} must be divisible by "

@@ -7,6 +7,10 @@ from modelcompression_tpu.compress.criteria import (
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
+from modelcompression_tpu.compress.quantize import (
+    collect_act_absmax, forward_quantized, quantize_from_batches,
+    quantize_network,
+)
 from modelcompression_tpu.compress.repack import (
     channel_masks_from_keep, propagate_keep_sets, repack,
     uniform_filter_fraction_keep_sets,
@@ -21,4 +25,6 @@ __all__ = [
     "magnitude_masks_global", "magnitude_masks_perlayer", "mask_sparsity",
     "channel_masks_from_keep", "propagate_keep_sets", "repack",
     "uniform_filter_fraction_keep_sets",
+    "collect_act_absmax", "forward_quantized", "quantize_from_batches",
+    "quantize_network",
 ]

@@ -1,0 +1,254 @@
+"""Post-training int8 quantization — the second compression axis.
+
+The reference project (SURVEY.md §1.1) compresses by pruning only; this
+module adds TPU-native int8 inference on top: v5e-class MXUs run int8
+matmuls at ~2x the bf16 rate and int8 activations halve HBM traffic —
+the two measured walls of the fused pipeline (docs/PERF.md: the deep
+conv stack is MXU-bound at ~100% bf16 MFU, the early convs HBM-bound).
+It composes with structured pruning: a repacked slim model quantizes
+exactly like the dense one.
+
+Scheme (standard symmetric PTQ, laid out for XLA fusion):
+
+* **Weights**: per-output-channel symmetric int8 (`s_w[c] =
+  max|w[...,c]| / 127`), quantized from the BN-folded weights so the
+  whole conv epilogue is one fused rescale.
+* **Activations**: per-tensor symmetric int8 with static scales from a
+  calibration pass. Activations FLOW as int8 between layers (that is
+  where the HBM halving comes from); each conv consumes its producer's
+  int8 tensor directly:
+
+      y32 = conv(x_q, w_q)                  # int8 x int8 -> int32 (MXU)
+      y   = y32 * (s_in * s_w[c]) + bias    # f32, fused epilogue
+      a   = leaky(y)
+      out = clip(round(a / s_out), -127, 127).astype(int8)
+
+  The final head conv skips requantization and returns the raw f32 map.
+* **Scale-preserving ops**: maxpool and reorg pass int8 through
+  untouched (max and layout commute with a positive scale). ``route``
+  concats require all inputs to share one scale — calibration merges the
+  scale groups of every route's inputs (max over the group), so concat
+  is exact rather than silently mixing scales.
+* **Calibration** runs the f32 folded forward over a few batches and
+  records per-layer output absmax (optionally a quantile, to shed
+  outliers). ~100 images is plenty for per-tensor absmax.
+
+Quantized inference is a distinct forward (``forward_quantized``) rather
+than a Precision policy: the dtype changes per edge (int8 tensors, int32
+accum, f32 epilogue), which doesn't fit the uniform-dtype Precision
+contract (core/precision.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.models.cfg import (
+    ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
+)
+from modelcompression_tpu.models.darknet import (
+    Params, _activate, conv_key, maxpool, reorg,
+)
+
+QParams = Dict[str, Dict[str, jnp.ndarray]]
+
+
+def _input_layer_of(spec: NetworkSpec, i: int) -> int:
+    """Index of the layer whose output feeds layer ``i`` sequentially
+    (-1 = the network input). Route layers name their inputs explicitly
+    and are handled separately."""
+    return i - 1
+
+
+def _scale_groups(spec: NetworkSpec) -> List[int]:
+    """Union-find over layer outputs that must share one activation scale.
+
+    Every layer starts in its own group; scale-preserving ops (maxpool,
+    reorg, single-input route) join their input's group, and multi-input
+    routes merge ALL their inputs' groups (concat must be single-scale
+    to stay exact). Returns group id per layer index."""
+    parent = list(range(len(spec.layers)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, (MaxPoolLayer, ReorgLayer)):
+            union(i, _input_layer_of(spec, i))
+        elif isinstance(l, RouteLayer):
+            for a in l.layers:
+                union(i, a)
+        elif isinstance(l, RegionLayer):
+            union(i, _input_layer_of(spec, i))
+    return [find(i) for i in range(len(spec.layers))]
+
+
+def collect_act_absmax(folded_params: Params, spec: NetworkSpec,
+                       batches: Sequence[np.ndarray],
+                       quantile: Optional[float] = None
+                       ) -> Tuple[np.ndarray, float]:
+    """Per-layer output absmax over calibration batches (f32 forward).
+
+    ``batches``: float images in [0, 1], NHWC (the post-letterbox canvas —
+    calibrate with the same preprocessing inference uses).
+    ``quantile``: optional in (0, 1) — use that quantile of |activation|
+    instead of the max to shed outliers (absmax is exact-range but one
+    hot pixel can cost the whole tensor resolution).
+
+    Returns (absmax per layer index, input absmax)."""
+    n_layers = len(spec.layers)
+
+    @jax.jit
+    def run(params, x):
+        stats = []
+        outputs: List[Optional[jnp.ndarray]] = []
+        y = x.astype(jnp.float32)
+
+        def stat(t):
+            a = jnp.abs(t.astype(jnp.float32)).ravel()
+            if quantile is not None:
+                return jnp.quantile(a, quantile)
+            return jnp.max(a)
+
+        for i in range(n_layers):
+            l = spec.layers[i]
+            if isinstance(l, ConvLayer):
+                p = params[conv_key(i)]
+                y = jax.lax.conv_general_dilated(
+                    y, p["w"].astype(jnp.float32),
+                    window_strides=(l.stride, l.stride),
+                    padding=((l.padding, l.padding),
+                             (l.padding, l.padding)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = y + p["bias"].astype(jnp.float32)
+                y = _activate(y, l.activation)
+            elif isinstance(l, MaxPoolLayer):
+                y = maxpool(y, l)
+            elif isinstance(l, RouteLayer):
+                y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+            elif isinstance(l, ReorgLayer):
+                y = reorg(y, l.stride)
+            outputs.append(y)
+            stats.append(stat(y))
+        return jnp.stack(stats), stat(x)
+
+    absmax = np.zeros(n_layers, np.float32)
+    in_max = 0.0
+    for b in batches:
+        s, im = jax.device_get(run(folded_params, jnp.asarray(b)))
+        absmax = np.maximum(absmax, s)
+        in_max = max(in_max, float(im))
+    return absmax, in_max
+
+
+def quantize_network(folded_params: Params, spec: NetworkSpec,
+                     act_absmax: np.ndarray,
+                     input_absmax: float = 1.0) -> QParams:
+    """Build the int8 parameter pytree from BN-folded f32 params.
+
+    ``act_absmax``: per-layer output absmax from ``collect_act_absmax``.
+    Scales are stored as arrays in the pytree (recalibration never
+    recompiles the forward). Layout per conv:
+      w_q (HWIO int8), s_w (Cout f32), bias (Cout f32),
+      in_scale (f32 scalar), out_scale (f32 scalar; final conv: absent).
+    """
+    groups = _scale_groups(spec)
+    group_max: Dict[int, float] = {}
+    for i, g in enumerate(groups):
+        group_max[g] = max(group_max.get(g, 0.0), float(act_absmax[i]))
+    # guard degenerate all-zero activations (untrained/pruned-to-death)
+    out_scale = [max(group_max[g], 1e-8) / 127.0 for g in groups]
+
+    last_conv = max(i for i, l in enumerate(spec.layers)
+                    if isinstance(l, ConvLayer))
+    qparams: QParams = {"__net__": {
+        "input_scale": jnp.float32(max(input_absmax, 1e-8) / 127.0)}}
+    for i, l in enumerate(spec.layers):
+        if not isinstance(l, ConvLayer):
+            continue
+        p = folded_params[conv_key(i)]
+        w = np.asarray(p["w"], np.float32)
+        s_w = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(axis=0),
+                         1e-12) / 127.0
+        w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+        j = _input_layer_of(spec, i)
+        in_scale = (float(qparams["__net__"]["input_scale"]) if j < 0
+                    else out_scale[j])
+        entry = {
+            "w_q": jnp.asarray(w_q),
+            "s_w": jnp.asarray(s_w),
+            "bias": jnp.asarray(np.asarray(p["bias"], np.float32)),
+            "in_scale": jnp.float32(in_scale),
+        }
+        if i != last_conv:
+            entry["out_scale"] = jnp.float32(out_scale[i])
+        qparams[conv_key(i)] = entry
+    return qparams
+
+
+def forward_quantized(qparams: QParams, x: jnp.ndarray,
+                      spec: NetworkSpec) -> jnp.ndarray:
+    """Int8 forward; ``x`` float images in [0, 1] (letterboxed canvas).
+
+    Returns the raw f32 detection map, same contract as
+    ``darknet.forward_folded``. Activations flow as int8 between layers;
+    the conv epilogue (rescale + bias + leaky + requant) is elementwise
+    and fuses into the conv, so each layer is one MXU int8 op plus a
+    fused VPU tail.
+    """
+    in_s = qparams["__net__"]["input_scale"]
+    y = jnp.clip(jnp.round(x.astype(jnp.float32) / in_s),
+                 -127, 127).astype(jnp.int8)
+    last_conv = max(i for i, l in enumerate(spec.layers)
+                    if isinstance(l, ConvLayer))
+    outputs: List[Optional[jnp.ndarray]] = []
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            p = qparams[conv_key(i)]
+            y32 = jax.lax.conv_general_dilated(
+                y, p["w_q"],
+                window_strides=(l.stride, l.stride),
+                padding=((l.padding, l.padding), (l.padding, l.padding)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            yf = (y32.astype(jnp.float32) * (p["in_scale"] * p["s_w"])
+                  + p["bias"])
+            yf = _activate(yf, l.activation)
+            if i == last_conv:
+                y = yf
+            else:
+                y = jnp.clip(jnp.round(yf / p["out_scale"]),
+                             -127, 127).astype(jnp.int8)
+        elif isinstance(l, MaxPoolLayer):
+            y = maxpool(y, l)  # int8-safe: pads with iinfo.min
+        elif isinstance(l, RouteLayer):
+            # exact: calibration merged all route inputs into one scale
+            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+        elif isinstance(l, ReorgLayer):
+            y = reorg(y, l.stride)
+        elif isinstance(l, RegionLayer):
+            pass
+        outputs.append(y)
+    return y.astype(jnp.float32)
+
+
+def quantize_from_batches(folded_params: Params, spec: NetworkSpec,
+                          batches: Sequence[np.ndarray],
+                          quantile: Optional[float] = None) -> QParams:
+    """Calibrate + quantize in one call (the common entry point)."""
+    absmax, in_max = collect_act_absmax(folded_params, spec, batches,
+                                        quantile=quantile)
+    return quantize_network(folded_params, spec, absmax,
+                            input_absmax=in_max)

@@ -106,6 +106,12 @@ class EvalConfig:
     # the XLA form materializes im2col in HBM. Kept as an explicit knob
     # for future toolchains.
     fuse_input_stage: bool = False
+    # Custom network forward: fn(params, x, spec) -> raw map, replacing
+    # the standard folded/unfolded forward inside the same fused program.
+    # The int8 inference path (compress/quantize.forward_quantized) plugs
+    # in here with its quantized pytree as ``params``; fold_bn/precision
+    # are ignored for the net when set (pre/post stages keep them).
+    forward_fn: Optional[object] = None
 
     def __post_init__(self):
         if not 0.0 < self.map_iou <= 1.0:
@@ -153,7 +159,10 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
     if fuse:
         from modelcompression_tpu.ops.input_stage import input_stage_match
         fuse = config.fold_bn and input_stage_match(spec)
-    if config.fold_bn:
+    if config.forward_fn is not None:
+        def fwd(p, x, s, prec):
+            return config.forward_fn(p, x, s)
+    elif config.fold_bn:
         def fwd(p, x, s, prec):
             return forward_folded(p, x, s, prec, fuse_input_stage=fuse)
     else:
@@ -266,7 +275,9 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     identical to single-device, tests/test_parallel_eval.py). The batch
     size must divide the data axis."""
     config = config or EvalConfig()
-    if config.fold_bn:
+    if config.fold_bn and config.forward_fn is None:
+        # a custom forward owns its params' layout (e.g. the int8 pytree
+        # is already BN-folded + quantized) — never re-fold it here
         params = fold_batchnorm(params, spec)
     step = make_eval_step(spec, config)
     net_h, net_w = spec.net.height, spec.net.width

@@ -143,7 +143,7 @@ def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
     # -inf (not finfo.min): JAX only recognizes the differentiable
     # reduce_window_max pattern with a -inf identity element
     neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-               else jnp.iinfo(x.dtype).min)
+               else np.asarray(jnp.iinfo(x.dtype).min, x.dtype))
     return jax.lax.reduce_window(
         x, neg_inf, jax.lax.max,
         window_dimensions=(1, k, k, 1),

@@ -89,3 +89,35 @@ def test_prune_finetune_recovers_map(trained):
     # fine-tune must recover most of the drop on the slimmed dense model
     assert recovered >= 0.8, (base, pruned_map, recovered)
     assert recovered >= pruned_map - 1e-9
+
+
+def test_int8_quantization_preserves_map(trained):
+    """Int8 PTQ (compress/quantize.py) on the TRAINED fixture model:
+    calibrate on the eval images, then the quantized fused pipeline must
+    hold mAP@50 close to the f32 model — the accuracy-retention evidence
+    for the quantization axis (per-tensor activation + per-channel
+    weight symmetric int8)."""
+    import dataclasses
+
+    import numpy as np
+
+    from modelcompression_tpu.compress import (
+        forward_quantized, quantize_from_batches,
+    )
+    from modelcompression_tpu.models.darknet import fold_batchnorm
+
+    spec, params, samples, _, _ = trained
+    base = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL_CFG).map50
+
+    folded = fold_batchnorm(params, spec)
+    # calibrate on host-letterboxed eval canvases (same preprocessing
+    # the quantized pipeline will see)
+    from modelcompression_tpu.evaluation.pipeline import _prep_batch
+    batch, _, _ = _prep_batch(samples[:8], 96, 96, letterbox=True)
+    calib = [batch.astype(np.float32) / 255.0]
+    q = quantize_from_batches(folded, spec, calib)
+
+    cfg = dataclasses.replace(
+        EVAL_CFG, forward_fn=lambda p, x, s: forward_quantized(p, x, s))
+    qmap = evaluate(q, spec, samples, FIXTURE_CLASSES, cfg).map50
+    assert qmap >= base - 0.05, (base, qmap)

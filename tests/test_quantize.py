@@ -1,0 +1,169 @@
+"""Int8 post-training quantization (compress/quantize.py).
+
+Covers: scale-group correctness (route concat must be single-scale),
+an exactness construction (grid-aligned weights/inputs -> quantized conv
+== f32 conv), closeness on the random tiny net, the pool/quant
+commutation property that makes int8 maxpool exact, and composition with
+structured repack. The accuracy-retention evidence on the TRAINED
+fixture lives in test_learnability.py (reuses its 600-step model).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from modelcompression_tpu.compress import (
+    repack, uniform_filter_fraction_keep_sets,
+)
+from modelcompression_tpu.compress.quantize import (
+    _scale_groups, collect_act_absmax, forward_quantized,
+    quantize_from_batches, quantize_network,
+)
+from modelcompression_tpu.data.fixtures import tiny_region_cfg
+from modelcompression_tpu.models import init_params, parse_cfg, yolov2_voc
+from modelcompression_tpu.models.cfg import RouteLayer
+from modelcompression_tpu.models.darknet import fold_batchnorm
+
+
+def test_scale_groups_merge_route_inputs():
+    """Every route's inputs (and the route itself) share one scale group
+    on the full YOLOv2 spec — the concat-exactness invariant."""
+    spec = yolov2_voc()
+    groups = _scale_groups(spec)
+    n_routes = 0
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, RouteLayer):
+            n_routes += 1
+            for a in l.layers:
+                assert groups[a] == groups[i], (i, l.layers, groups[a])
+    assert n_routes >= 2  # yolov2 has the passthrough routes
+
+
+def test_single_conv_exact_on_aligned_grid():
+    """Inputs and weights exactly representable on the int8 grid ->
+    the quantized conv equals the f32 conv to float tolerance."""
+    cfg = """
+[net]
+width=8
+height=8
+channels=3
+
+[convolutional]
+filters=4
+size=3
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=1.0,1.0
+num=1
+classes=1
+"""
+    spec = parse_cfg(cfg)
+    rng = np.random.default_rng(0)
+    # weights: integer multiples of 1/127 in [-1, 1]; EVERY output
+    # channel's absmax touches 1.0 so the per-channel scale is exactly
+    # 1/127 and w/s_w round-trips to the integer grid
+    w_int = rng.integers(-127, 128, (3, 3, 3, 4)).astype(np.float32)
+    w_int[0, 0, 0, :] = 127.0
+    params = {"conv0": {"w": jnp.asarray(w_int / 127.0),
+                        "bias": jnp.zeros(4, jnp.float32)}}
+    # inputs: integer multiples of 1/127 in [0, 1], max touching 1.0
+    x_int = rng.integers(0, 128, (1, 8, 8, 3)).astype(np.float32)
+    x_int.flat[0] = 127.0
+    x = jnp.asarray(x_int / 127.0)
+
+    absmax, in_max = collect_act_absmax(params, spec, [np.asarray(x)])
+    q = quantize_network(params, spec, absmax, input_absmax=in_max)
+    got = forward_quantized(q, x, spec)
+
+    ref = jax.lax.conv_general_dilated(
+        x, params["conv0"]["w"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_forward_close_to_f32():
+    """Random tiny net: the int8 raw map tracks the f32 raw map within
+    normal per-tensor-PTQ error (the net has convs, pools, and a region
+    tail; normalized RMSE is the right closeness metric for a raw map)."""
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = fold_batchnorm(init_params(spec, jax.random.key(0)), spec)
+    rng = np.random.default_rng(1)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+               for _ in range(2)]
+    q = quantize_from_batches(params, spec, batches)
+
+    x = jnp.asarray(batches[0])
+    from modelcompression_tpu.core import BITMATCH
+    from modelcompression_tpu.models.darknet import forward_folded
+    ref = np.asarray(forward_folded(params, x, spec, BITMATCH))
+    got = np.asarray(forward_quantized(q, x, spec))
+    assert got.shape == ref.shape
+    nrmse = np.sqrt(np.mean((got - ref) ** 2)) / (np.std(ref) + 1e-9)
+    assert nrmse < 0.15, nrmse
+
+
+def test_maxpool_commutes_with_quantization():
+    """max(round(x/s)) == round(max(x)/s) for s > 0 — the property that
+    lets int8 flow straight through maxpool with no extra error."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-3, 3, (1, 8, 8, 4)).astype(np.float32)
+    s = 3.0 / 127.0
+    from modelcompression_tpu.models.cfg import MaxPoolLayer
+    pool = MaxPoolLayer(size=2, stride=2)
+    from modelcompression_tpu.models.darknet import maxpool
+    q_then_pool = maxpool(
+        jnp.clip(jnp.round(jnp.asarray(x) / s), -127, 127
+                 ).astype(jnp.int8), pool)
+    pool_then_q = jnp.clip(
+        jnp.round(maxpool(jnp.asarray(x), pool) / s), -127, 127
+    ).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(q_then_pool),
+                                  np.asarray(pool_then_q))
+
+
+def test_quantize_composes_with_repack():
+    """A structurally repacked (slimmed) model quantizes and runs like
+    the dense one — pruning x quantization composition."""
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(3))
+    keep = uniform_filter_fraction_keep_sets(spec, params, 0.5)
+    slim_spec, slim_params = repack(spec, params, keep)
+    folded = fold_batchnorm(slim_params, slim_spec)
+    rng = np.random.default_rng(4)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+    q = quantize_from_batches(folded, slim_spec, batches)
+    out = forward_quantized(q, jnp.asarray(batches[0]), slim_spec)
+    assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
+
+
+def test_eval_pipeline_int8_smoke(tmp_path):
+    """EvalConfig.forward_fn routes the fused eval program through the
+    quantized forward end-to-end (letterbox -> int8 net -> decode -> NMS
+    -> AP)."""
+    import dataclasses
+    from modelcompression_tpu.data.fixtures import (
+        FIXTURE_CLASSES, make_fake_voc,
+    )
+    from modelcompression_tpu.data.voc import (
+        load_list_dataset, read_data_cfg,
+    )
+    from modelcompression_tpu.evaluation import EvalConfig, evaluate
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = fold_batchnorm(init_params(spec, jax.random.key(5)), spec)
+    data_cfg = make_fake_voc(str(tmp_path), n_images=4, image_size=96,
+                             seed=6)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    rng = np.random.default_rng(7)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+    q = quantize_from_batches(params, spec, batches)
+
+    cfg = EvalConfig(batch_size=2, max_detections=10,
+                     forward_fn=lambda p, x, s: forward_quantized(p, x, s))
+    res = evaluate(q, spec, samples, FIXTURE_CLASSES, cfg)
+    assert res.n_images == 4
+    assert 0.0 <= res.map50 <= 1.0
