@@ -9,10 +9,14 @@ Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": <pruned img/s/chip>, "unit": "img/s/chip",
    "vs_baseline": <pruned / unpruned speedup>, ...extra diagnostics}
 
-"vs_baseline" is the speedup over the unpruned YOLOv2 measured the same way
-in the same run (the de-facto baseline per SURVEY.md §6 — the reference
-published no numbers, BASELINE.json:13). The build target is >= 3.0
-(BASELINE.json:5).
+"vs_baseline" is the speedup over the unpruned bf16 YOLOv2 measured the
+same way in the same run (the de-facto baseline per SURVEY.md §6 — the
+reference published no numbers, BASELINE.json:13). The build target is
+>= 3.0 (BASELINE.json:5). "value" is the best COMPRESSED deployment
+config of the run — pruning alone, or pruning composed with the int8
+hybrid (compress/quantize.py) when that measures faster; both components
+are always reported separately (pruned_bf16_img_per_sec /
+pruned_int8_img_per_sec) so the axes stay comparable across rounds.
 
 Two measurements, both honest about what they are:
 
@@ -51,7 +55,8 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from modelcompression_tpu.compress import (
-        repack, uniform_filter_fraction_keep_sets,
+        forward_quantized, int8_layers_auto, quantize_from_batches, repack,
+        uniform_filter_fraction_keep_sets,
     )
     from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
     from modelcompression_tpu.models import (
@@ -106,9 +111,23 @@ def main() -> int:
 
     INNER = 10  # pipeline steps per dispatch (see note below)
 
-    def bench_chip(spec_, params_, name):
+    # int8 calibration batch (random weights — the scales just need to be
+    # sane; throughput does not depend on them)
+    calib = [rng.uniform(0, 1, (8, 416, 416, 3)).astype(np.float32)]
+
+    def bench_chip(spec_, params_, name, int8_layers="off"):
+        """int8_layers: 'off' = bf16 FAST path; None = every conv int8;
+        a list = hybrid (compress.quantize)."""
         folded = fold_batchnorm(params_, spec_)
-        step = make_eval_step(spec_, cfg, src_hw=(SRC_H, SRC_W))
+        if int8_layers == "off":
+            cfg_ = cfg
+        else:
+            folded = quantize_from_batches(folded, spec_, calib,
+                                           int8_layers=int8_layers)
+            import dataclasses
+            cfg_ = dataclasses.replace(
+                cfg, forward_fn=lambda q, x, s: forward_quantized(q, x, s))
+        step = make_eval_step(spec_, cfg_, src_hw=(SRC_H, SRC_W))
         t0 = time.time()
         jax.block_until_ready(step(folded, images, img_w, img_h))
         log(f"{name}: compile+first {time.time() - t0:.1f}s")
@@ -147,6 +166,21 @@ def main() -> int:
     pruned_ips, folded, step = bench_chip(slim_spec, slim_params,
                                           "75%-filter-pruned")
 
+    # the second compression axis (compress/quantize.py), measured in the
+    # same run: full int8 on the unpruned model (every conv — measured
+    # fastest end-to-end, docs/PERF.md "Int8 e2e"), hybrid auto:64 on the
+    # pruned model (early convs stay bf16: int8 loses where HBM is the
+    # wall). Best-effort: never fails the bench gate.
+    unpruned_int8_ips = pruned_int8_ips = None
+    try:
+        unpruned_int8_ips, _, _ = bench_chip(
+            spec, params, "unpruned+int8", int8_layers=None)
+        pruned_int8_ips, _, _ = bench_chip(
+            slim_spec, slim_params, "75%-pruned+int8(auto:64)",
+            int8_layers=int8_layers_auto(slim_spec, min_channels=64))
+    except Exception as e:
+        log(f"[warn] int8 measurement skipped: {e}")
+
     # optional: BENCH_TRACE_DIR=<path> captures a jax.profiler trace of the
     # pruned fused step (perfetto/tensorboard format) for MFU forensics
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
@@ -156,8 +190,20 @@ def main() -> int:
                 out = step(folded, images, img_w, img_h)
             jax.block_until_ready(out)
         log(f"profiler trace written to {trace_dir}")
-    speedup = pruned_ips / unpruned_ips
-    log(f"chip speedup: {speedup:.2f}x (target >= 3.0, BASELINE.json:5)")
+    # headline = the best COMPRESSED deployment config this framework
+    # offers (pruning alone, or pruning + the int8 hybrid when that
+    # measures faster in this run), against the unpruned bf16 baseline
+    # measured the same way. The pruning-only speedup is reported
+    # alongside so the two axes stay separable across rounds.
+    best_ips = pruned_ips
+    best_label = "75%-filter-pruned"
+    if pruned_int8_ips and pruned_int8_ips > best_ips:
+        best_ips = pruned_int8_ips
+        best_label = "75%-filter-pruned + int8 hybrid (auto:64)"
+    speedup = best_ips / unpruned_ips
+    log(f"chip speedup ({best_label}): {speedup:.2f}x "
+        f"(pruning alone: {pruned_ips / unpruned_ips:.2f}x; "
+        f"target >= 3.0, BASELINE.json:5)")
 
     # --- honest streaming: fresh host batches, transfer in the timed loop ---
     # probe batches and timed batches are DISJOINT so the tunnel's
@@ -263,12 +309,17 @@ def main() -> int:
         f"{sum(m.size for m in masks_pl.values()) / 1e6:.1f}M weights)")
 
     print(json.dumps({
-        "metric": "yolov2_416 75%-filter-pruned fused "
+        "metric": f"yolov2_416 {best_label} fused "
                   "letterbox+infer+decode+NMS, batch 64",
-        "value": round(pruned_ips, 1),
+        "value": round(best_ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(speedup, 3),
         "unpruned_img_per_sec": round(unpruned_ips, 1),
+        "pruned_bf16_img_per_sec": round(pruned_ips, 1),
+        "pruned_int8_img_per_sec":
+            round(pruned_int8_ips, 1) if pruned_int8_ips else None,
+        "unpruned_int8_img_per_sec":
+            round(unpruned_int8_ips, 1) if unpruned_int8_ips else None,
         "streaming_img_per_sec": round(stream_ips, 1),
         "feed_gbps": round(feed_gbps, 2),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),

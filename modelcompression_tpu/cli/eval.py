@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="calibrate activation scales at this quantile of "
                         "|activation| instead of the max (e.g. 0.9999 "
                         "sheds single-pixel outliers)")
+    p.add_argument("--int8-layers", default="all",
+                   help="which convs run int8 (hybrid mode): 'all', "
+                        "'auto' (min(Cin,Cout) >= 128 — the measured "
+                        "MXU-bound crossover, docs/PERF.md), 'auto:K' "
+                        "for another channel threshold, or explicit "
+                        "comma-separated layer indices; the rest run "
+                        "bf16")
     add_parallel_args(p)
     return p
 
@@ -112,12 +119,17 @@ def main(argv=None) -> int:
         from modelcompression_tpu.compress import (
             forward_quantized, quantize_from_batches,
         )
+        from modelcompression_tpu.compress.quantize import (
+            resolve_int8_layers,
+        )
         from modelcompression_tpu.evaluation.pipeline import _prep_batch
         from modelcompression_tpu.models.darknet import fold_batchnorm
 
+        int8_sel = resolve_int8_layers(spec, args.int8_layers)
         n = max(1, min(args.calib_images, len(samples)))
-        print(f"int8: calibrating activation scales on {n} images...",
-              file=sys.stderr)
+        n_sel = ("all" if int8_sel is None else str(len(int8_sel)))
+        print(f"int8: calibrating activation scales on {n} images "
+              f"({n_sel} convs quantized)...", file=sys.stderr)
         batch, _, _ = _prep_batch(samples[:n], spec.net.height,
                                   spec.net.width,
                                   letterbox=not args.no_letterbox)
@@ -127,7 +139,8 @@ def main(argv=None) -> int:
                   for i in range(0, len(batch) - len(batch) % 8, 8)] \
             or [batch.astype(np.float32) / 255.0]
         params = quantize_from_batches(
-            folded, spec, chunks, quantile=args.calib_quantile)
+            folded, spec, chunks, quantile=args.calib_quantile,
+            int8_layers=int8_sel)
         cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
     mesh, _ = build_mesh(args)
     if mesh is not None and args.batch % mesh.shape["data"]:

@@ -8,8 +8,8 @@ from modelcompression_tpu.compress.criteria import (
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
 from modelcompression_tpu.compress.quantize import (
-    collect_act_absmax, forward_quantized, quantize_from_batches,
-    quantize_network,
+    collect_act_absmax, forward_quantized, int8_layers_auto,
+    quantize_from_batches, quantize_network,
 )
 from modelcompression_tpu.compress.repack import (
     channel_masks_from_keep, propagate_keep_sets, repack,
@@ -25,6 +25,6 @@ __all__ = [
     "magnitude_masks_global", "magnitude_masks_perlayer", "mask_sparsity",
     "channel_masks_from_keep", "propagate_keep_sets", "repack",
     "uniform_filter_fraction_keep_sets",
-    "collect_act_absmax", "forward_quantized", "quantize_from_batches",
-    "quantize_network",
+    "collect_act_absmax", "forward_quantized", "int8_layers_auto",
+    "quantize_from_batches", "quantize_network",
 ]

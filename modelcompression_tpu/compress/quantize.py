@@ -37,16 +37,27 @@ Quantized inference is a distinct forward (``forward_quantized``) rather
 than a Precision policy: the dtype changes per edge (int8 tensors, int32
 accum, f32 epilogue), which doesn't fit the uniform-dtype Precision
 contract (core/precision.py).
+
+**Hybrid mode** (``int8_layers=``): the on-chip per-layer A/B
+(tools/experiment_int8.py, docs/PERF.md) shows int8 wins ~1.7x where the
+MXU is the wall but LOSES on the HBM-bound early convs, where the
+requant epilogue costs more than the MAC savings. ``quantize_network``
+therefore accepts a subset of conv indices to quantize; the rest run in
+the FAST bf16 path from the same pytree. The forward tracks each
+tensor's scale at trace time and inserts the (de)quantization exactly at
+the int8/float region boundaries — any subset is numerically valid,
+including int8 islands and mixed-dtype route concats.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from modelcompression_tpu.core.precision import FAST, Precision
 from modelcompression_tpu.models.cfg import (
     ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
 )
@@ -153,16 +164,74 @@ def collect_act_absmax(folded_params: Params, spec: NetworkSpec,
     return absmax, in_max
 
 
+def int8_layers_auto(spec: NetworkSpec,
+                     min_channels: int = 128) -> List[int]:
+    """Conv indices worth quantizing per the on-chip crossover: int8 wins
+    where the MXU is the wall, which needs both operand channel dims wide
+    enough to fill lanes (measured: 32->64 @208² loses, 128->256 @52²
+    onward wins ~1.7x — docs/PERF.md). Selects convs with
+    min(Cin, Cout) >= ``min_channels``."""
+    sel = []
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            cin = _conv_in_channels(spec, i)
+            if min(cin, l.filters) >= min_channels:
+                sel.append(i)
+    return sel
+
+
+def resolve_int8_layers(spec: NetworkSpec,
+                        selector: str) -> Optional[List[int]]:
+    """Parse a CLI layer selector into conv indices (None = all):
+    ``all`` | ``auto`` | ``auto:<min_channels>`` | ``3,7,12`` (explicit
+    layer indices)."""
+    s = selector.strip().lower()
+    if s == "all":
+        return None
+    if s == "auto":
+        return int8_layers_auto(spec)
+    if s.startswith("auto:"):
+        return int8_layers_auto(spec, min_channels=int(s.split(":", 1)[1]))
+    return [int(t) for t in s.split(",") if t.strip()]
+
+
+def _conv_in_channels(spec: NetworkSpec, i: int) -> int:
+    """Input channel count of conv ``i`` (walks producers through
+    pool/reorg/route like the forward does)."""
+    def out_channels(j: int) -> int:
+        if j < 0:
+            return spec.net.channels
+        l = spec.layers[j]
+        if isinstance(l, ConvLayer):
+            return l.filters
+        if isinstance(l, MaxPoolLayer):
+            return out_channels(j - 1)
+        if isinstance(l, ReorgLayer):
+            return out_channels(j - 1) * l.stride * l.stride
+        if isinstance(l, RouteLayer):
+            return sum(out_channels(a) for a in l.layers)
+        return out_channels(j - 1)
+    return out_channels(i - 1)
+
+
 def quantize_network(folded_params: Params, spec: NetworkSpec,
                      act_absmax: np.ndarray,
-                     input_absmax: float = 1.0) -> QParams:
-    """Build the int8 parameter pytree from BN-folded f32 params.
+                     input_absmax: float = 1.0,
+                     int8_layers: Optional[Iterable[int]] = None) -> QParams:
+    """Build the (possibly hybrid) quantized pytree from BN-folded f32
+    params.
 
     ``act_absmax``: per-layer output absmax from ``collect_act_absmax``.
+    ``int8_layers``: conv indices to quantize (None = every conv). Convs
+    not selected keep f32 weights and run the bf16 FAST path in
+    ``forward_quantized`` — see ``int8_layers_auto`` for the measured
+    selection rule.
+
     Scales are stored as arrays in the pytree (recalibration never
-    recompiles the forward). Layout per conv:
+    recompiles the forward). Layout per int8 conv:
       w_q (HWIO int8), s_w (Cout f32), bias (Cout f32),
-      in_scale (f32 scalar), out_scale (f32 scalar; final conv: absent).
+      in_scale (f32 scalar), out_scale (f32 scalar; final conv: absent);
+    per float conv: w (HWIO f32), bias (Cout f32).
     """
     groups = _scale_groups(spec)
     group_max: Dict[int, float] = {}
@@ -171,15 +240,23 @@ def quantize_network(folded_params: Params, spec: NetworkSpec,
     # guard degenerate all-zero activations (untrained/pruned-to-death)
     out_scale = [max(group_max[g], 1e-8) / 127.0 for g in groups]
 
-    last_conv = max(i for i, l in enumerate(spec.layers)
-                    if isinstance(l, ConvLayer))
+    conv_ids = [i for i, l in enumerate(spec.layers)
+                if isinstance(l, ConvLayer)]
+    last_conv = max(conv_ids)
+    int8_set = set(conv_ids) if int8_layers is None else set(int8_layers)
+    if not int8_set <= set(conv_ids):
+        raise ValueError(
+            f"int8_layers {sorted(int8_set - set(conv_ids))} are not conv "
+            f"layers of this spec")
     qparams: QParams = {"__net__": {
         "input_scale": jnp.float32(max(input_absmax, 1e-8) / 127.0)}}
-    for i, l in enumerate(spec.layers):
-        if not isinstance(l, ConvLayer):
-            continue
+    for i in conv_ids:
         p = folded_params[conv_key(i)]
         w = np.asarray(p["w"], np.float32)
+        bias = jnp.asarray(np.asarray(p["bias"], np.float32))
+        if i not in int8_set:
+            qparams[conv_key(i)] = {"w": jnp.asarray(w), "bias": bias}
+            continue
         s_w = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(axis=0),
                          1e-12) / 127.0
         w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
@@ -189,7 +266,7 @@ def quantize_network(folded_params: Params, spec: NetworkSpec,
         entry = {
             "w_q": jnp.asarray(w_q),
             "s_w": jnp.asarray(s_w),
-            "bias": jnp.asarray(np.asarray(p["bias"], np.float32)),
+            "bias": bias,
             "in_scale": jnp.float32(in_scale),
         }
         if i != last_conv:
@@ -199,56 +276,106 @@ def quantize_network(folded_params: Params, spec: NetworkSpec,
 
 
 def forward_quantized(qparams: QParams, x: jnp.ndarray,
-                      spec: NetworkSpec) -> jnp.ndarray:
-    """Int8 forward; ``x`` float images in [0, 1] (letterboxed canvas).
+                      spec: NetworkSpec,
+                      precision: Precision = FAST) -> jnp.ndarray:
+    """Quantized (possibly hybrid) forward; ``x`` float images in [0, 1]
+    (letterboxed canvas).
 
     Returns the raw f32 detection map, same contract as
-    ``darknet.forward_folded``. Activations flow as int8 between layers;
-    the conv epilogue (rescale + bias + leaky + requant) is elementwise
-    and fuses into the conv, so each layer is one MXU int8 op plus a
-    fused VPU tail.
+    ``darknet.forward_folded``. Within an int8 region activations flow
+    as int8 between layers; the conv epilogue (rescale + bias + leaky +
+    requant) is elementwise and fuses into the conv, so each layer is
+    one MXU int8 op plus a fused VPU tail. Convs whose pytree entry
+    holds f32 weights (hybrid mode, ``quantize_network(int8_layers=)``)
+    run in ``precision``'s compute dtype (bf16 under FAST); the forward
+    tracks each tensor's scale at trace time and (de)quantizes exactly
+    at region boundaries, so any int8 subset — islands, mixed routes —
+    is numerically valid.
     """
-    in_s = qparams["__net__"]["input_scale"]
-    y = jnp.clip(jnp.round(x.astype(jnp.float32) / in_s),
-                 -127, 127).astype(jnp.int8)
+    cdt = precision.compute_dtype
     last_conv = max(i for i, l in enumerate(spec.layers)
                     if isinstance(l, ConvLayer))
-    outputs: List[Optional[jnp.ndarray]] = []
+    # (tensor, scale): scale is the producer's quantization step for an
+    # int8 tensor, None for a float tensor — resolved at trace time
+    outputs: List[jnp.ndarray] = []
+    scales: List[Optional[jnp.ndarray]] = []
+    y, y_scale = x, None
+
+    def dequant(t, s):
+        return t.astype(cdt) * s.astype(cdt)
+
     for i, l in enumerate(spec.layers):
         if isinstance(l, ConvLayer):
             p = qparams[conv_key(i)]
-            y32 = jax.lax.conv_general_dilated(
-                y, p["w_q"],
-                window_strides=(l.stride, l.stride),
-                padding=((l.padding, l.padding), (l.padding, l.padding)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            yf = (y32.astype(jnp.float32) * (p["in_scale"] * p["s_w"])
-                  + p["bias"])
-            yf = _activate(yf, l.activation)
-            if i == last_conv:
-                y = yf
-            else:
-                y = jnp.clip(jnp.round(yf / p["out_scale"]),
-                             -127, 127).astype(jnp.int8)
+            if "w_q" in p:  # int8 conv
+                if y_scale is None:
+                    q_in = jnp.clip(
+                        jnp.round(y.astype(jnp.float32) / p["in_scale"]),
+                        -127, 127).astype(jnp.int8)
+                else:
+                    q_in = y  # producer already on this grid (shared group)
+                y32 = jax.lax.conv_general_dilated(
+                    q_in, p["w_q"],
+                    window_strides=(l.stride, l.stride),
+                    padding=((l.padding, l.padding),
+                             (l.padding, l.padding)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                yf = (y32.astype(jnp.float32) * (p["in_scale"] * p["s_w"])
+                      + p["bias"])
+                yf = _activate(yf, l.activation)
+                if i == last_conv or "out_scale" not in p:
+                    y, y_scale = yf, None
+                else:
+                    y = jnp.clip(jnp.round(yf / p["out_scale"]),
+                                 -127, 127).astype(jnp.int8)
+                    y_scale = p["out_scale"]
+            else:  # float conv, FAST-path semantics
+                xin = (dequant(y, y_scale) if y_scale is not None
+                       else y.astype(cdt))
+                yf = jax.lax.conv_general_dilated(
+                    xin, p["w"].astype(cdt),
+                    window_strides=(l.stride, l.stride),
+                    padding=((l.padding, l.padding),
+                             (l.padding, l.padding)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=precision.conv_precision,
+                    preferred_element_type=precision.accum_dtype)
+                y = _activate(yf + p["bias"].astype(cdt), l.activation)
+                y_scale = None
         elif isinstance(l, MaxPoolLayer):
-            y = maxpool(y, l)  # int8-safe: pads with iinfo.min
+            y = maxpool(y, l)  # int8-safe: pads with typed iinfo.min
         elif isinstance(l, RouteLayer):
-            # exact: calibration merged all route inputs into one scale
-            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+            parts = [outputs[a] for a in l.layers]
+            part_scales = [scales[a] for a in l.layers]
+            if all(s is not None for s in part_scales):
+                # exact: calibration merged the route's inputs into one
+                # scale group, so the int8 concat is scale-consistent
+                y = jnp.concatenate(parts, axis=-1)
+                y_scale = part_scales[0]
+            else:
+                parts = [dequant(t, s) if s is not None else t.astype(cdt)
+                         for t, s in zip(parts, part_scales)]
+                y = jnp.concatenate(parts, axis=-1)
+                y_scale = None
         elif isinstance(l, ReorgLayer):
             y = reorg(y, l.stride)
         elif isinstance(l, RegionLayer):
             pass
         outputs.append(y)
+        scales.append(y_scale)
+    if y_scale is not None:  # head ended inside an int8 region
+        y = dequant(y, y_scale)
     return y.astype(jnp.float32)
 
 
 def quantize_from_batches(folded_params: Params, spec: NetworkSpec,
                           batches: Sequence[np.ndarray],
-                          quantile: Optional[float] = None) -> QParams:
+                          quantile: Optional[float] = None,
+                          int8_layers: Optional[Iterable[int]] = None,
+                          ) -> QParams:
     """Calibrate + quantize in one call (the common entry point)."""
     absmax, in_max = collect_act_absmax(folded_params, spec, batches,
                                         quantile=quantile)
     return quantize_network(folded_params, spec, absmax,
-                            input_absmax=in_max)
+                            input_absmax=in_max, int8_layers=int8_layers)

@@ -278,6 +278,24 @@ def test_eval_cli_nms_switches(tmp_path):
     assert rc == 0
 
 
+def test_eval_cli_int8(tmp_path):
+    """eval --int8 through the public CLI surface: full-int8 and hybrid
+    (--int8-layers) runs complete; the bitmatch combination is rejected
+    up front (a quantized path cannot bit-match)."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=21)
+    base = ["--cfg", cfg_path, "--weights", wpath, "--data", data_cfg,
+            "--batch", "2"]
+    assert eval_cli.main(base + ["--int8", "--calib-images", "2"]) == 0
+    assert eval_cli.main(base + ["--int8", "--calib-images", "2",
+                                 "--int8-layers", "auto:16",
+                                 "--calib-quantile", "0.9999"]) == 0
+    assert eval_cli.main(base + ["--int8",
+                                 "--precision", "bitmatch"]) == 2
+
+
 def test_eval_cli_dp_sharded(tmp_path):
     """eval --dp 4: DP inference over the virtual CPU mesh through the
     public CLI surface (SURVEY.md §2.3; numeric equality of the sharded

@@ -16,8 +16,9 @@ from modelcompression_tpu.compress import (
     repack, uniform_filter_fraction_keep_sets,
 )
 from modelcompression_tpu.compress.quantize import (
-    _scale_groups, collect_act_absmax, forward_quantized,
-    quantize_from_batches, quantize_network,
+    _conv_in_channels, _scale_groups, collect_act_absmax,
+    forward_quantized, int8_layers_auto, quantize_from_batches,
+    quantize_network,
 )
 from modelcompression_tpu.data.fixtures import tiny_region_cfg
 from modelcompression_tpu.models import init_params, parse_cfg, yolov2_voc
@@ -138,6 +139,91 @@ def test_quantize_composes_with_repack():
     q = quantize_from_batches(folded, slim_spec, batches)
     out = forward_quantized(q, jnp.asarray(batches[0]), slim_spec)
     assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
+
+
+def test_hybrid_subsets_track_f32():
+    """Hybrid quantization (int8_layers=): every contiguous-suffix
+    subset and an int8 ISLAND (boundary on both sides) produce a raw map
+    close to f32, and the empty subset IS the bf16 FAST forward."""
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = fold_batchnorm(init_params(spec, jax.random.key(0)), spec)
+    rng = np.random.default_rng(1)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+    x = jnp.asarray(batches[0])
+
+    from modelcompression_tpu.core import BITMATCH
+    from modelcompression_tpu.models.darknet import forward_folded
+    ref = np.asarray(forward_folded(params, x, spec, BITMATCH))
+
+    conv_ids = [i for i, l in enumerate(spec.layers)
+                if type(l).__name__ == "ConvLayer"]
+    subsets = ([conv_ids[k:] for k in range(len(conv_ids) + 1)]
+               + [conv_ids[1:2]])  # island: conv in the middle
+    for sel in subsets:
+        q = quantize_from_batches(params, spec, batches, int8_layers=sel)
+        got = np.asarray(forward_quantized(q, x, spec))
+        nrmse = np.sqrt(np.mean((got - ref) ** 2)) / (np.std(ref) + 1e-9)
+        # bf16-only path still carries bf16 rounding; int8 adds PTQ error
+        assert nrmse < 0.15, (sel, nrmse)
+
+
+def test_int8_layers_auto_rule():
+    """The auto rule selects exactly the convs with both channel dims >=
+    the threshold, walking Cin through pool/route/reorg correctly."""
+    spec = yolov2_voc()
+    sel = set(int8_layers_auto(spec, min_channels=128))
+    for i, l in enumerate(spec.layers):
+        if type(l).__name__ != "ConvLayer":
+            assert i not in sel
+            continue
+        cin = _conv_in_channels(spec, i)
+        assert (i in sel) == (min(cin, l.filters) >= 128), (i, cin)
+    # yolov2: conv1 (3->32) and conv2 (32->64) must be excluded, the
+    # 26x26/13x13 512/1024 blocks included
+    assert 0 not in sel
+    names = [(i, _conv_in_channels(spec, i), spec.layers[i].filters)
+             for i in sorted(sel)]
+    assert all(min(c, f) >= 128 for _, c, f in names)
+    assert len(sel) >= 10
+
+
+def test_dp_sharded_int8_eval_matches_single_device():
+    """The int8 fused eval step under an 8-device DP mesh (batch sharded,
+    quantized pytree replicated) equals the single-device int8 step
+    exactly — quantization x data-parallel composition (SURVEY.md §2.3;
+    int8 convs are deterministic integer ops, so this is bit-equality)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
+    from tests.conftest import cpu_devices
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    folded = fold_batchnorm(init_params(spec, jax.random.key(9)), spec)
+    rng = np.random.default_rng(10)
+    q = quantize_from_batches(
+        folded, spec, [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)])
+    cfg = EvalConfig(batch_size=8, conf_thresh=1e-4, max_detections=8,
+                     forward_fn=lambda p, x, s: forward_quantized(p, x, s))
+    images = jnp.asarray(rng.integers(0, 255, (8, 64, 64, 3), np.uint8))
+    img_w = jnp.full((8,), 96.0)
+    img_h = jnp.full((8,), 80.0)
+
+    step = make_eval_step(spec, cfg)
+    b1, s1, v1, _, _ = step(q, images, img_w, img_h)
+
+    mesh = Mesh(np.array(cpu_devices()), ("data",))
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    b2, s2, v2, _, _ = step(
+        jax.device_put(q, rep),
+        jax.device_put(images, NamedSharding(mesh, P("data", None,
+                                                     None, None))),
+        jax.device_put(img_w, dp), jax.device_put(img_h, dp))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-6, atol=1e-4)
 
 
 def test_eval_pipeline_int8_smoke(tmp_path):
