@@ -28,20 +28,36 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="detect", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    add_model_args(p)
+    add_model_args(p, weights_required=False)
     p.add_argument("--image", required=True)
     p.add_argument("--out", default="prediction.png")
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--nms", type=float, default=0.45)
     p.add_argument("--names", default=None, help=".names file")
+    p.add_argument("--qmodel", default=None, metavar="PATH",
+                   help="serve a saved int8 deployment artifact "
+                        "(eval --int8 --save-qmodel) instead of --weights")
     return p
 
 
 def main(argv=None) -> int:
     import cv2
     args = build_parser().parse_args(argv)
+    if not args.weights and not args.qmodel:
+        print("error: one of --weights or --qmodel is required",
+              file=sys.stderr)
+        return 2
     enable_compilation_cache()
-    spec, params, _ = load_model(args)
+    if args.qmodel:
+        from modelcompression_tpu.compress import load_qmodel
+        from modelcompression_tpu.models import load_cfg
+        try:
+            params, spec = load_qmodel(args.qmodel, spec=load_cfg(args.cfg))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    else:
+        spec, params, _ = load_model(args)
     names = read_names(args.names) if args.names else list(VOC_CLASSES)
     region = spec.region
     if len(names) != region.classes:
@@ -59,9 +75,14 @@ def main(argv=None) -> int:
     # ONE jitted program — the same fused eval step the pipeline uses
     # (normalize -> forward -> decode -> NMS -> source-pixel mapping);
     # eager per-op dispatch over the device link is never on a hot path.
-    folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
                      max_detections=50)
+    if args.qmodel:  # already BN-folded + quantized at save time
+        from modelcompression_tpu.compress import forward_quantized
+        folded = jax.tree.map(jnp.asarray, params)
+        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
+    else:
+        folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
     step = make_eval_step(spec, cfg)
     sel, out_scores, valid, _, _ = step(
         folded, jnp.asarray(canvas[None]),

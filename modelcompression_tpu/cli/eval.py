@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="eval", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    add_model_args(p)
+    add_model_args(p, weights_required=False)
     add_data_args(p)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--conf", type=float, default=0.005,
@@ -82,6 +82,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "for another channel threshold, or explicit "
                         "comma-separated layer indices; the rest run "
                         "bf16")
+    p.add_argument("--save-qmodel", default=None, metavar="PATH",
+                   help="with --int8: save the calibrated+quantized model "
+                        "as ONE standalone deployment artifact (.npz with "
+                        "the arch cfg embedded; ~4x smaller than the f32 "
+                        ".weights). A later `eval --qmodel PATH` serves "
+                        "it without the original weights or calibration "
+                        "data")
+    p.add_argument("--qmodel", default=None, metavar="PATH",
+                   help="serve a saved int8 deployment artifact "
+                        "(--save-qmodel) instead of --weights; bit-"
+                        "identical to the run that saved it (no "
+                        "recalibration)")
     add_parallel_args(p)
     return p
 
@@ -94,16 +106,38 @@ def main(argv=None) -> int:
               "candidates, so a prefilter would silently not apply",
               file=sys.stderr)
         return 2
+    if args.qmodel and (args.int8 or args.save_qmodel):
+        print("error: --qmodel serves an already-quantized artifact; "
+              "--int8/--save-qmodel (re)quantize from --weights — pick "
+              "one direction", file=sys.stderr)
+        return 2
+    if args.save_qmodel and not args.int8:
+        print("error: --save-qmodel requires --int8 (it saves the "
+              "calibrated+quantized model)", file=sys.stderr)
+        return 2
+    if not args.weights and not args.qmodel:
+        print("error: one of --weights or --qmodel is required",
+              file=sys.stderr)
+        return 2
     enable_compilation_cache()
-    spec, params, _ = load_model(args)
+    if args.qmodel:
+        from modelcompression_tpu.compress import load_qmodel
+        from modelcompression_tpu.models import load_cfg
+        try:
+            params, spec = load_qmodel(args.qmodel, spec=load_cfg(args.cfg))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    else:
+        spec, params, _ = load_model(args)
     samples, names = load_dataset(args)
     if not samples:
         print("error: dataset is empty", file=sys.stderr)
         return 2
     precision = get_precision(args.precision)
-    if args.int8 and precision.name == "bitmatch":
-        print("error: --int8 is a quantized path; it cannot bit-match "
-              "(--precision bitmatch)", file=sys.stderr)
+    if (args.int8 or args.qmodel) and precision.name == "bitmatch":
+        print("error: --int8/--qmodel is a quantized path; it cannot "
+              "bit-match (--precision bitmatch)", file=sys.stderr)
         return 2
     cfg = EvalConfig(
         batch_size=args.batch, conf_thresh=args.conf, nms_thresh=args.nms,
@@ -141,6 +175,14 @@ def main(argv=None) -> int:
         params = quantize_from_batches(
             folded, spec, chunks, quantile=args.calib_quantile,
             int8_layers=int8_sel)
+        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
+        if args.save_qmodel:
+            from modelcompression_tpu.compress import save_qmodel
+            save_qmodel(args.save_qmodel, params, spec)
+            print(f"wrote int8 deployment artifact to {args.save_qmodel}",
+                  file=sys.stderr)
+    elif args.qmodel:
+        from modelcompression_tpu.compress import forward_quantized
         cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
     mesh, _ = build_mesh(args)
     if mesh is not None and args.batch % mesh.shape["data"]:

@@ -66,6 +66,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "pass 0 to disable")
     p.add_argument("--preserve-sparsity", action="store_true",
                    help="freeze the zero pattern of the loaded weights")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware fine-tune: train with the "
+                        "deployed int8 grids simulated in the forward "
+                        "(straight-through fake-quant; compress/qat.py), "
+                        "then report the exported int8 model's mAP next "
+                        "to the f32 one")
+    p.add_argument("--qat-layers", default="all",
+                   help="which convs train+deploy int8 under --qat: "
+                        "'all', 'auto[:K]' (min(Cin,Cout) >= K, default "
+                        "128 — the measured MXU crossover), or explicit "
+                        "comma-separated layer indices")
+    p.add_argument("--qat-calib-images", type=int, default=8,
+                   help="images used to calibrate the static activation "
+                        "grids before QAT training")
+    p.add_argument("--qat-quantile", type=float, default=None,
+                   help="calibrate activation grids at this quantile of "
+                        "|activation| instead of the max")
+    p.add_argument("--save-qmodel", default=None, metavar="PATH",
+                   help="with --qat: also export the trained int8 "
+                        "deployment artifact (the exact grids training "
+                        "rehearsed; serve with eval/detect --qmodel)")
     p.add_argument("--iterate", default=None,
                    help="comma list of cumulative prune fractions for the "
                         "iterative loop, e.g. 0.25,0.5,0.75")
@@ -112,6 +133,17 @@ def main(argv=None) -> int:
               "--iterate (the iterative loop re-derives its own masks/"
               "keep-sets each round)", file=sys.stderr)
         return 2
+    if args.qat and args.iterate:
+        print("error: --qat cannot be combined with --iterate (each "
+              "repack round changes the architecture, so the calibrated "
+              "activation grids would go stale; run the iterative prune "
+              "loop first, then QAT the slimmed model)", file=sys.stderr)
+        return 2
+    if args.save_qmodel and not args.qat:
+        print("error: --save-qmodel requires --qat (it exports the "
+              "trained int8 deployment; for PTQ use eval --int8 "
+              "--save-qmodel)", file=sys.stderr)
+        return 2
 
     overrides = {}
     if args.lr is not None:
@@ -130,10 +162,31 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    qat_spec = None
+    if args.qat:
+        from modelcompression_tpu.compress import qat_spec_from_batches
+        from modelcompression_tpu.compress.quantize import (
+            resolve_int8_layers,
+        )
+        from modelcompression_tpu.evaluation.pipeline import _prep_batch
+        int8_sel = resolve_int8_layers(spec, args.qat_layers)
+        n = max(1, min(args.qat_calib_images, len(samples)))
+        n_sel = "all" if int8_sel is None else str(len(int8_sel))
+        print(f"qat: calibrating activation grids on {n} images "
+              f"({n_sel} convs int8)...", file=sys.stderr)
+        canvas, _, _ = _prep_batch(samples[:n], spec.net.height,
+                                   spec.net.width, letterbox=True)
+        chunks = [canvas[i:i + 8].astype(np.float32) / 255.0
+                  for i in range(0, len(canvas) - len(canvas) % 8, 8)] \
+            or [canvas.astype(np.float32) / 255.0]
+        qat_spec = qat_spec_from_batches(params, spec, chunks,
+                                         int8_layers=int8_sel,
+                                         quantile=args.qat_quantile)
     config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
                                    augment_mosaic=args.mosaic,
                                    augment_hsv=args.hsv,
-                                   subdivisions=subdiv, **overrides)
+                                   subdivisions=subdiv, qat=qat_spec,
+                                   **overrides)
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,
                          max_boxes=args.max_boxes, seed=args.seed)
@@ -207,6 +260,25 @@ def main(argv=None) -> int:
     res = evaluate(state["params"], spec, eval_samples, eval_names,
                    EvalConfig(batch_size=batch))
     print(res.summary())
+    if qat_spec is not None:
+        # the number QAT exists for: the DEPLOYED int8 model's accuracy
+        # (same grids training rehearsed; eval --int8 reproduces it from
+        # the saved .weights by recalibrating)
+        from modelcompression_tpu.compress import (
+            forward_quantized, quantize_qat,
+        )
+        qparams = quantize_qat(state["params"], spec, qat_spec)
+        qres = evaluate(qparams, spec, eval_samples, eval_names,
+                        EvalConfig(batch_size=batch,
+                                   forward_fn=lambda p, x, s:
+                                   forward_quantized(p, x, s)))
+        print("int8 deployment (QAT grids):")
+        print(qres.summary())
+        if args.save_qmodel:
+            from modelcompression_tpu.compress import save_qmodel
+            save_qmodel(args.save_qmodel, qparams, spec)
+            print(f"wrote int8 deployment artifact to {args.save_qmodel} "
+                  f"(serve with eval/detect --qmodel)")
     return 0
 
 

@@ -7,9 +7,13 @@ from modelcompression_tpu.compress.criteria import (
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
+from modelcompression_tpu.compress.qat import (
+    QATSpec, fake_quant, fake_quant_weight, qat_spec_from_batches,
+    quantize_qat,
+)
 from modelcompression_tpu.compress.quantize import (
-    collect_act_absmax, forward_quantized, int8_layers_auto,
-    quantize_from_batches, quantize_network,
+    collect_act_absmax, forward_quantized, int8_layers_auto, load_qmodel,
+    quantize_from_batches, quantize_network, save_qmodel,
 )
 from modelcompression_tpu.compress.repack import (
     channel_masks_from_keep, propagate_keep_sets, repack,
@@ -26,5 +30,8 @@ __all__ = [
     "channel_masks_from_keep", "propagate_keep_sets", "repack",
     "uniform_filter_fraction_keep_sets",
     "collect_act_absmax", "forward_quantized", "int8_layers_auto",
-    "quantize_from_batches", "quantize_network",
+    "load_qmodel", "quantize_from_batches", "quantize_network",
+    "save_qmodel",
+    "QATSpec", "fake_quant", "fake_quant_weight", "qat_spec_from_batches",
+    "quantize_qat",
 ]

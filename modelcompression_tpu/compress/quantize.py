@@ -60,6 +60,7 @@ import numpy as np
 from modelcompression_tpu.core.precision import FAST, Precision
 from modelcompression_tpu.models.cfg import (
     ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
+    dump_cfg, parse_cfg,
 )
 from modelcompression_tpu.models.darknet import (
     Params, _activate, conv_key, maxpool, reorg,
@@ -214,6 +215,35 @@ def _conv_in_channels(spec: NetworkSpec, i: int) -> int:
     return out_channels(i - 1)
 
 
+def _layer_out_scales(spec: NetworkSpec, act_absmax: Sequence[float],
+                      input_absmax: float) -> Tuple[List[float], float]:
+    """Per-LAYER-index activation quantization step (scale-group-merged,
+    see ``_scale_groups``) plus the input scale — the single source of
+    the deployed activation grids, shared by PTQ (``quantize_network``)
+    and QAT (``qat.qat_spec_from_absmax``)."""
+    groups = _scale_groups(spec)
+    group_max: Dict[int, float] = {}
+    for i, g in enumerate(groups):
+        group_max[g] = max(group_max.get(g, 0.0), float(act_absmax[i]))
+    # guard degenerate all-zero activations (untrained/pruned-to-death)
+    out_scale = [max(group_max[g], 1e-8) / 127.0 for g in groups]
+    return out_scale, max(float(input_absmax), 1e-8) / 127.0
+
+
+def _resolve_int8_set(spec: NetworkSpec,
+                      int8_layers: Optional[Iterable[int]]
+                      ) -> Tuple[List[int], set]:
+    """(all conv ids, validated int8 subset — all of them when None)."""
+    conv_ids = [i for i, l in enumerate(spec.layers)
+                if isinstance(l, ConvLayer)]
+    int8_set = set(conv_ids) if int8_layers is None else set(int8_layers)
+    if not int8_set <= set(conv_ids):
+        raise ValueError(
+            f"int8_layers {sorted(int8_set - set(conv_ids))} are not conv "
+            f"layers of this spec")
+    return conv_ids, int8_set
+
+
 def quantize_network(folded_params: Params, spec: NetworkSpec,
                      act_absmax: np.ndarray,
                      input_absmax: float = 1.0,
@@ -233,23 +263,12 @@ def quantize_network(folded_params: Params, spec: NetworkSpec,
       in_scale (f32 scalar), out_scale (f32 scalar; final conv: absent);
     per float conv: w (HWIO f32), bias (Cout f32).
     """
-    groups = _scale_groups(spec)
-    group_max: Dict[int, float] = {}
-    for i, g in enumerate(groups):
-        group_max[g] = max(group_max.get(g, 0.0), float(act_absmax[i]))
-    # guard degenerate all-zero activations (untrained/pruned-to-death)
-    out_scale = [max(group_max[g], 1e-8) / 127.0 for g in groups]
-
-    conv_ids = [i for i, l in enumerate(spec.layers)
-                if isinstance(l, ConvLayer)]
+    out_scale, input_scale = _layer_out_scales(spec, act_absmax,
+                                               input_absmax)
+    conv_ids, int8_set = _resolve_int8_set(spec, int8_layers)
     last_conv = max(conv_ids)
-    int8_set = set(conv_ids) if int8_layers is None else set(int8_layers)
-    if not int8_set <= set(conv_ids):
-        raise ValueError(
-            f"int8_layers {sorted(int8_set - set(conv_ids))} are not conv "
-            f"layers of this spec")
     qparams: QParams = {"__net__": {
-        "input_scale": jnp.float32(max(input_absmax, 1e-8) / 127.0)}}
+        "input_scale": jnp.float32(input_scale)}}
     for i in conv_ids:
         p = folded_params[conv_key(i)]
         w = np.asarray(p["w"], np.float32)
@@ -367,6 +386,75 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
     if y_scale is not None:  # head ended inside an int8 region
         y = dequant(y, y_scale)
     return y.astype(jnp.float32)
+
+
+def save_qmodel(path: str, qparams: QParams, spec: NetworkSpec) -> None:
+    """Save the deployed int8 model as ONE standalone artifact (.npz):
+    the quantized pytree (int8 weights, f32 scales/biases) plus the
+    architecture cfg text, so serving needs neither the original
+    ``.weights`` nor calibration data. int8 weight bytes compress well;
+    a full YOLOv2 artifact is ~4x smaller than its f32 ``.weights``.
+
+    The reference interchanges f32 ``.weights`` only (SURVEY.md §A.2);
+    this is the deployment-artifact counterpart for the quantization
+    axis, mirroring how checkpoints carry ``arch.cfg``
+    (utils/checkpoint.py)."""
+    flat = {"__cfg__": np.array(dump_cfg(spec))}
+    for key, entry in qparams.items():
+        for field, v in entry.items():
+            flat[f"{key}/{field}"] = np.asarray(v)
+    with open(path, "wb") as f:  # exact path (np would append .npz)
+        np.savez_compressed(f, **flat)
+
+
+def _arch_mismatch(a: NetworkSpec, b: NetworkSpec) -> Optional[str]:
+    """First architectural difference between two specs (None if they
+    describe the same network shape). Train hyperparameters (lr, batch,
+    augment knobs) are deliberately NOT compared — a serving cfg may
+    legitimately differ there."""
+    if (a.net.height, a.net.width, a.net.channels) != \
+            (b.net.height, b.net.width, b.net.channels):
+        return (f"net {a.net.height}x{a.net.width}x{a.net.channels} != "
+                f"{b.net.height}x{b.net.width}x{b.net.channels}")
+    if len(a.layers) != len(b.layers):
+        return f"{len(a.layers)} layers != {len(b.layers)}"
+    for i, (la, lb) in enumerate(zip(a.layers, b.layers)):
+        if isinstance(la, RegionLayer) and isinstance(lb, RegionLayer):
+            # only the decode-relevant fields; loss scales / jitter are
+            # train knobs a serving cfg may legitimately change
+            def decode_key(l):
+                return (l.anchors, l.classes, l.num, l.coords, l.softmax)
+            if decode_key(la) != decode_key(lb):
+                return f"layer {i}: {la!r} != {lb!r}"
+        elif la != lb:
+            return f"layer {i}: {la!r} != {lb!r}"
+    return None
+
+
+def load_qmodel(path: str, spec: Optional[NetworkSpec] = None
+                ) -> Tuple[QParams, NetworkSpec]:
+    """Load a ``save_qmodel`` artifact. Returns (qparams, spec).
+
+    When ``spec`` is given, the artifact's embedded architecture must
+    match it (layer-by-layer; train hyperparameters are not compared) —
+    the same guard checkpoint restore applies. The loaded pytree drives
+    ``forward_quantized`` bit-identically to the pytree that was saved
+    (int8/f32 arrays round-trip exactly through npz)."""
+    with np.load(path, allow_pickle=False) as z:
+        loaded_spec = parse_cfg(str(z["__cfg__"][()]))
+        if spec is not None:
+            diff = _arch_mismatch(spec, loaded_spec)
+            if diff is not None:
+                raise ValueError(
+                    f"qmodel {path} was saved for a different "
+                    f"architecture: {diff}")
+        qparams: QParams = {}
+        for k in z.files:
+            if k == "__cfg__":
+                continue
+            key, field = k.rsplit("/", 1)
+            qparams.setdefault(key, {})[field] = jnp.asarray(z[k])
+    return qparams, (spec if spec is not None else loaded_spec)
 
 
 def quantize_from_batches(folded_params: Params, spec: NetworkSpec,

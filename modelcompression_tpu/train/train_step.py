@@ -43,6 +43,9 @@ from modelcompression_tpu.train.region_loss import region_loss
 from modelcompression_tpu.data.preprocess import (
     distort_hsv, mosaic4, random_flip, random_jitter,
 )
+from modelcompression_tpu.compress.qat import (
+    QATSpec, fake_quant, fake_quant_weight,
+)
 
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default (reference repo class)
 
@@ -92,6 +95,12 @@ class TrainConfig:
     # Off by default — full YOLOv2 at batch 64/416 fits a v5 lite without
     # it (measured); enable for larger batch/resolution configs.
     remat: bool = False
+    # quantization-aware fine-tune plan (compress/qat.py): when set, the
+    # selected convs train with the deployed int8 grids simulated in the
+    # forward (fake-quant weights per channel, activations on the static
+    # calibrated scales, straight-through gradients). Still ONE jitted
+    # program — the spec only adds compile-time scalar constants.
+    qat: Optional["QATSpec"] = None
 
     @classmethod
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
@@ -252,27 +261,40 @@ def _conv_block_train(y: jnp.ndarray, p: Dict[str, jnp.ndarray],
 def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
                    precision: Precision,
                    channel_masks: Dict[int, jnp.ndarray],
-                   remat: bool = False
+                   remat: bool = False,
+                   qat: Optional[QATSpec] = None
                    ) -> Tuple[jnp.ndarray, Dict[str, Dict[str, jnp.ndarray]]]:
     """Training forward with batch statistics; also returns the per-layer
     batch (mean, var) so the step can update running stats. With ``remat``
     every conv block is rematerialized in the backward pass
     (jax.checkpoint): one extra forward of FLOPs for O(layers) less
-    activation HBM."""
+    activation HBM. With ``qat`` the selected convs simulate the deployed
+    int8 grids (compress/qat.py): input fake-quanted on the conv's
+    in_scale, weight per-channel, post-activation output on its
+    out_scale — the boundary placement of ``forward_quantized``."""
     outputs = []
     batch_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
     y = precision.cast_in(x)
     for i, l in enumerate(spec.layers):
         if isinstance(l, ConvLayer):
+            p = params[conv_key(i)]
+            q_out = None
+            if qat is not None and i in qat.int8:
+                p = dict(p, w=fake_quant_weight(p["w"]))
+                y = fake_quant(y, qat.in_scale[i])
+                q_out = qat.out_scale.get(i)
+
             def blk(y_, p_, l_=l):
                 return _conv_block_train(y_, p_, l_, precision)
             if remat:
                 blk = jax.checkpoint(blk)
-            y, stats = blk(y, params[conv_key(i)])
+            y, stats = blk(y, p)
             if stats is not None:
                 batch_stats[conv_key(i)] = stats
             if i in channel_masks:
                 y = y * channel_masks[i].astype(y.dtype)[None, None, None, :]
+            if q_out is not None:
+                y = fake_quant(y, q_out)
         elif isinstance(l, MaxPoolLayer):
             y = maxpool(y, l)
         elif isinstance(l, RouteLayer):
@@ -318,7 +340,7 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
                 for k, p in params.items()}
         raw, batch_stats = _forward_train(
             params, images_f32, spec, config.precision, channel_masks,
-            remat=config.remat)
+            remat=config.remat, qat=config.qat)
         metrics = region_loss(raw, targets, region, seen)
         # aux must be a pytree: return the metrics as a plain dict
         return metrics.loss, (metrics.as_dict(), batch_stats)

@@ -5,6 +5,7 @@ fixture, using the shipped tiny-yolo-coco.cfg layer stack.
 """
 
 import os
+import re
 
 import jax
 import numpy as np
@@ -217,6 +218,35 @@ def test_finetune_cli_full_augment_smoke(tmp_path):
     assert rc == 2
 
 
+def test_finetune_cli_qat(tmp_path):
+    """finetune --qat: quantization-aware fine-tune through the public
+    CLI (calibrate grids, STE train, print the exported int8 model's
+    mAP); hybrid --qat-layers works; --qat + --iterate is rejected
+    (repack rounds would stale the calibrated grids)."""
+    from modelcompression_tpu.cli import finetune
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=9)
+    out = str(tmp_path / "qat.weights")
+    base = ["--cfg", cfg_path, "--weights", wpath, "--data", data_cfg,
+            "--steps", "1", "--batch", "2", "--max-boxes", "8",
+            "--out", out]
+    qm = str(tmp_path / "qat.qz")
+    rc = finetune.main(base + ["--qat", "--qat-calib-images", "2",
+                               "--qat-layers", "auto:16",
+                               "--save-qmodel", qm])
+    assert rc == 0
+    assert os.path.exists(out)
+    # the exported artifact serves through eval --qmodel
+    assert os.path.exists(qm)
+    from modelcompression_tpu.cli import eval as eval_cli
+    assert eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
+                          "--batch", "2", "--qmodel", qm]) == 0
+    rc = finetune.main(base + ["--qat", "--iterate", "0.5"])
+    assert rc == 2
+    assert finetune.main(base + ["--save-qmodel", qm]) == 2
+
+
 def test_eval_cli_smoke(tmp_path):
     """eval CLI: fixture dataset -> per-class AP table + detection dump,
     bitmatch precision path included."""
@@ -231,6 +261,51 @@ def test_eval_cli_smoke(tmp_path):
     assert rc == 0
     import glob
     assert len(glob.glob(dump + "/*.txt")) == 3  # one file per class
+
+
+def test_eval_cli_qmodel_roundtrip(tmp_path, capsys):
+    """The int8 deployment-artifact loop through the public CLI:
+    `eval --int8 --save-qmodel` writes one standalone .npz, a later
+    `eval --qmodel` (no --weights, no calibration data) reproduces the
+    mAP table exactly; the flag-combination guards reject misuse."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=11)
+    qm = str(tmp_path / "model.qz")
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2", "--int8",
+                        "--calib-images", "2", "--save-qmodel", qm])
+    assert rc == 0
+    assert os.path.exists(qm)
+    saved_out = capsys.readouterr().out
+
+    rc = eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
+                        "--batch", "2", "--qmodel", qm])
+    assert rc == 0
+    served_out = capsys.readouterr().out
+
+    # identical quantized pytree -> identical detections -> identical AP
+    # table (only the wall-clock img/s differs between runs)
+    def norm(out):
+        return re.sub(r"[\d.]+ img/s", "_ img/s", out)
+    assert norm(served_out) == norm(saved_out)
+
+    # guards: conflicting directions / missing prerequisites
+    assert eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
+                          "--qmodel", qm, "--int8"]) == 2
+    assert eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                          "--data", data_cfg, "--save-qmodel", qm]) == 2
+    assert eval_cli.main(["--cfg", cfg_path, "--data", data_cfg]) == 2
+    assert eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
+                          "--qmodel", qm, "--precision",
+                          "bitmatch"]) == 2
+    # arch guard: a different-head cfg must be rejected at load
+    other_dir = tmp_path / "other"
+    other_dir.mkdir()
+    cfg2, _, _ = _write_model(other_dir, num_classes=2)
+    assert eval_cli.main(["--cfg", cfg2, "--data", data_cfg,
+                          "--qmodel", qm]) == 2
 
 
 def test_detect_cli_smoke(tmp_path):
@@ -259,6 +334,25 @@ def test_detect_cli_smoke(tmp_path):
                       "--conf", "0.001", "--names", names])
     assert rc == 0
     assert os.path.exists(out)
+
+    # int8 deployment artifact through the demo path (--qmodel)
+    from modelcompression_tpu.compress import (
+        quantize_from_batches, save_qmodel,
+    )
+    from modelcompression_tpu.models import fold_batchnorm
+    rng = np.random.default_rng(4)
+    q = quantize_from_batches(
+        fold_batchnorm(params, spec), spec,
+        [rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)])
+    qm = str(tmp_path / "model.qz")
+    save_qmodel(qm, q, spec)
+    out_q = str(tmp_path / "pred_q.png")
+    rc = detect.main(["--cfg", cfg_path, "--qmodel", qm,
+                      "--image", img_path, "--out", out_q,
+                      "--conf", "0.001", "--names", names])
+    assert rc == 0
+    assert os.path.exists(out_q)
+    assert detect.main(["--cfg", cfg_path, "--image", img_path]) == 2
 
 
 def test_eval_cli_nms_switches(tmp_path):

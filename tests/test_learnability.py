@@ -33,9 +33,10 @@ from modelcompression_tpu.train import (
 EVAL_CFG = EvalConfig(batch_size=8, conf_thresh=0.005, max_detections=20)
 
 
-def _train(spec, params, samples, n_steps, seed=1):
+def _train(spec, params, samples, n_steps, seed=1, **cfg_overrides):
     config = TrainConfig.from_spec(spec, augment_flip=False,
-                                   augment_jitter=0.0, max_boxes=8)
+                                   augment_jitter=0.0, max_boxes=8,
+                                   **cfg_overrides)
     loader = BatchLoader(samples, batch_size=8, net_h=96, net_w=96,
                          max_boxes=8, seed=seed)
     tx = make_optimizer(config)
@@ -121,3 +122,37 @@ def test_int8_quantization_preserves_map(trained):
         EVAL_CFG, forward_fn=lambda p, x, s: forward_quantized(p, x, s))
     qmap = evaluate(q, spec, samples, FIXTURE_CLASSES, cfg).map50
     assert qmap >= base - 0.05, (base, qmap)
+
+
+def test_qat_finetune_int8_deployment(trained):
+    """The quantization axis's recovery workflow (compress/qat.py):
+    calibrate grids -> QAT fine-tune (deployed int8 simulated with
+    straight-through fake-quant) -> export with quantize_qat -> evaluate
+    the DEPLOYED int8 model. The exported model must hold mAP@50 at the
+    PTQ level or better — QAT trains on the very grids deployment uses,
+    so it can only tighten the fit."""
+    import dataclasses
+
+    import numpy as np
+
+    from modelcompression_tpu.compress import (
+        forward_quantized, qat_spec_from_batches, quantize_qat,
+    )
+    from modelcompression_tpu.evaluation.pipeline import _prep_batch
+
+    spec, params, samples, _, _ = trained
+    batch, _, _ = _prep_batch(samples[:8], 96, 96, letterbox=True)
+    calib = [batch.astype(np.float32) / 255.0]
+    qat = qat_spec_from_batches(params, spec, calib)
+
+    cfg = dataclasses.replace(
+        EVAL_CFG, forward_fn=lambda p, x, s: forward_quantized(p, x, s))
+    ptq_map = evaluate(quantize_qat(params, spec, qat), spec, samples,
+                       FIXTURE_CLASSES, cfg).map50
+
+    tuned, _, _ = _train(spec, params, samples, 150, seed=3, qat=qat)
+    qat_map = evaluate(quantize_qat(tuned, spec, qat), spec, samples,
+                       FIXTURE_CLASSES, cfg).map50
+
+    assert qat_map >= 0.8, (ptq_map, qat_map)
+    assert qat_map >= ptq_map - 0.02, (ptq_map, qat_map)

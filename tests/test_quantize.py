@@ -226,6 +226,55 @@ def test_dp_sharded_int8_eval_matches_single_device():
                                rtol=1e-6, atol=1e-4)
 
 
+def test_qmodel_save_load_roundtrip(tmp_path):
+    """save_qmodel -> load_qmodel: the loaded pytree is field-for-field
+    identical (int8 weights and f32 scales round-trip exactly through
+    npz, hybrid float-conv entries included), forward_quantized output is
+    BIT-identical, standalone load rebuilds the spec from the embedded
+    cfg, and the architecture guard rejects a mismatched spec."""
+    import pytest
+
+    from modelcompression_tpu.compress import load_qmodel, save_qmodel
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = fold_batchnorm(init_params(spec, jax.random.key(11)), spec)
+    rng = np.random.default_rng(12)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+    conv_ids = [i for i, l in enumerate(spec.layers)
+                if type(l).__name__ == "ConvLayer"]
+    # hybrid subset: conv0 stays a float {w, bias} entry, the rest int8
+    q = quantize_from_batches(params, spec, batches,
+                              int8_layers=conv_ids[1:])
+
+    path = str(tmp_path / "model.qz")
+    save_qmodel(path, q, spec)
+    q2, spec2 = load_qmodel(path, spec=spec)
+    assert spec2 is spec
+    assert set(q2) == set(q)
+    for key in q:
+        assert set(q2[key]) == set(q[key]), key
+        for field, v in q[key].items():
+            got = np.asarray(q2[key][field])
+            assert got.dtype == np.asarray(v).dtype, (key, field)
+            np.testing.assert_array_equal(got, np.asarray(v), err_msg=key)
+
+    x = jnp.asarray(batches[0])
+    np.testing.assert_array_equal(
+        np.asarray(forward_quantized(q, x, spec)),
+        np.asarray(forward_quantized(q2, x, spec)))
+
+    # standalone: the embedded cfg rebuilds the architecture
+    q3, spec3 = load_qmodel(path)
+    assert len(spec3.layers) == len(spec.layers)
+    out = forward_quantized(q3, x, spec3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # guard: a different head (classes=2 changes the final conv) rejects
+    other = parse_cfg(tiny_region_cfg(num_classes=2, width=64, height=64))
+    with pytest.raises(ValueError, match="different architecture"):
+        load_qmodel(path, spec=other)
+
+
 def test_eval_pipeline_int8_smoke(tmp_path):
     """EvalConfig.forward_fn routes the fused eval program through the
     quantized forward end-to-end (letterbox -> int8 net -> decode -> NMS
