@@ -37,15 +37,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qmodel", default=None, metavar="PATH",
                    help="serve a saved int8 deployment artifact "
                         "(eval --int8 --save-qmodel) instead of --weights")
+    p.add_argument("--cmodel", default=None, metavar="PATH",
+                   help="serve a saved weight-sharing artifact "
+                        "(eval --cluster-bits N --save-cmodel) instead "
+                        "of --weights")
     return p
 
 
 def main(argv=None) -> int:
     import cv2
     args = build_parser().parse_args(argv)
-    if not args.weights and not args.qmodel:
-        print("error: one of --weights or --qmodel is required",
-              file=sys.stderr)
+    if sum(map(bool, (args.weights, args.qmodel, args.cmodel))) != 1:
+        print("error: exactly one of --weights, --qmodel or --cmodel is "
+              "required", file=sys.stderr)
         return 2
     enable_compilation_cache()
     if args.qmodel:
@@ -53,6 +57,15 @@ def main(argv=None) -> int:
         from modelcompression_tpu.models import load_cfg
         try:
             params, spec = load_qmodel(args.qmodel, spec=load_cfg(args.cfg))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    elif args.cmodel:
+        from modelcompression_tpu.compress import load_cmodel
+        from modelcompression_tpu.models import load_cfg
+        try:
+            params, spec = load_cmodel(args.cmodel,
+                                       spec=load_cfg(args.cfg))
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2

@@ -94,6 +94,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "(--save-qmodel) instead of --weights; bit-"
                         "identical to the run that saved it (no "
                         "recalibration)")
+    p.add_argument("--cluster-bits", type=int, default=None,
+                   metavar="BITS",
+                   help="weight sharing (Deep Compression stage 2, "
+                        "compress/codebook.py): k-means each conv's "
+                        "weights into 2^BITS shared values before eval; "
+                        "pruned zeros stay exact. Composes with --int8 "
+                        "(cluster first, then quantize)")
+    p.add_argument("--save-cmodel", default=None, metavar="PATH",
+                   help="with --cluster-bits: save the clustered model "
+                        "as ONE standalone artifact (codes + codebooks + "
+                        "arch cfg; ~5x smaller than the f32 .weights). "
+                        "Serve with eval/detect --cmodel")
+    p.add_argument("--cmodel", default=None, metavar="PATH",
+                   help="serve a saved weight-sharing artifact "
+                        "(--save-cmodel) instead of --weights; "
+                        "reconstruction is exact, so detections match "
+                        "the saving run bit-for-bit")
     add_parallel_args(p)
     return p
 
@@ -115,8 +132,22 @@ def main(argv=None) -> int:
         print("error: --save-qmodel requires --int8 (it saves the "
               "calibrated+quantized model)", file=sys.stderr)
         return 2
-    if not args.weights and not args.qmodel:
-        print("error: one of --weights or --qmodel is required",
+    if args.save_cmodel and args.cluster_bits is None:
+        print("error: --save-cmodel requires --cluster-bits (it saves "
+              "the clustered model)", file=sys.stderr)
+        return 2
+    if args.cmodel and (args.cluster_bits is not None or args.qmodel):
+        print("error: --cmodel serves an already-clustered artifact; "
+              "it cannot combine with --cluster-bits or --qmodel",
+              file=sys.stderr)
+        return 2
+    if args.qmodel and args.cluster_bits is not None:
+        print("error: --cluster-bits re-clusters f32 weights; a --qmodel "
+              "artifact is already int8 — cluster before/instead of "
+              "quantizing", file=sys.stderr)
+        return 2
+    if not args.weights and not args.qmodel and not args.cmodel:
+        print("error: one of --weights, --qmodel or --cmodel is required",
               file=sys.stderr)
         return 2
     enable_compilation_cache()
@@ -128,8 +159,38 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
+    elif args.cmodel:
+        from modelcompression_tpu.compress import load_cmodel
+        from modelcompression_tpu.models import load_cfg
+        try:
+            params, spec = load_cmodel(args.cmodel,
+                                       spec=load_cfg(args.cfg))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     else:
         spec, params, _ = load_model(args)
+    if args.cluster_bits is not None:
+        import jax
+        import numpy as np
+
+        from modelcompression_tpu.compress import (
+            cluster_network, reconstruct, save_cmodel,
+        )
+        try:
+            cmodel = cluster_network(jax.tree.map(np.asarray, params),
+                                     spec, bits=args.cluster_bits)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        params = reconstruct(cmodel)
+        print(f"weight sharing: {args.cluster_bits}-bit codebooks "
+              f"(<= {1 << args.cluster_bits} shared values per conv)",
+              file=sys.stderr)
+        if args.save_cmodel:
+            save_cmodel(args.save_cmodel, cmodel, spec)
+            print(f"wrote weight-sharing artifact to {args.save_cmodel}",
+                  file=sys.stderr)
     samples, names = load_dataset(args)
     if not samples:
         print("error: dataset is empty", file=sys.stderr)

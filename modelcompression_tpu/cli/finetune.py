@@ -64,8 +64,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Darknet crop-jitter fraction in [0, 0.5); "
                         "default: the cfg's [region] jitter value; "
                         "pass 0 to disable")
+    p.add_argument("--bn-l1", type=float, default=0.0,
+                   help="network-slimming sparsity training (Liu et al. "
+                        "2017): add this L1 penalty on all BN gammas to "
+                        "polarize channel importances before a "
+                        "--mode/--iterate-mode bn_gamma prune; 0 = off")
     p.add_argument("--preserve-sparsity", action="store_true",
                    help="freeze the zero pattern of the loaded weights")
+    p.add_argument("--distill", default=None, metavar="WEIGHTS",
+                   help="knowledge-distillation fine-tune: train against "
+                        "this TEACHER model's outputs in addition to the "
+                        "ground truth (train/distill.py) — typically the "
+                        "original unpruned .weights; with --iterate every "
+                        "round's slimmed student distills from it")
+    p.add_argument("--distill-cfg", default=None,
+                   help="teacher architecture cfg (default: --cfg; must "
+                        "share the student's anchors/classes head)")
+    p.add_argument("--distill-weight", type=float, default=1.0,
+                   help="blend of the distillation loss into the total "
+                        "(total = region + W * distill)")
+    p.add_argument("--distill-temp", type=float, default=1.0,
+                   help="softmax temperature for the class soft targets")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware fine-tune: train with the "
                         "deployed int8 grids simulated in the forward "
@@ -91,7 +110,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list of cumulative prune fractions for the "
                         "iterative loop, e.g. 0.25,0.5,0.75")
     p.add_argument("--iterate-mode", default="l1_filter",
-                   choices=("l1_filter", "magnitude", "global"))
+                   choices=("l1_filter", "bn_gamma", "magnitude", "global"))
     p.add_argument("--mask-backend", default=DEFAULT_MASK_BACKEND,
                    choices=MASK_BACKENDS,
                    help="magnitude/global mask implementation for "
@@ -182,11 +201,27 @@ def main(argv=None) -> int:
         qat_spec = qat_spec_from_batches(params, spec, chunks,
                                          int8_layers=int8_sel,
                                          quantile=args.qat_quantile)
+    distill_plan = None
+    if args.distill:
+        from modelcompression_tpu.models import load_cfg, load_weights
+        from modelcompression_tpu.train import make_distill_plan
+        t_spec = load_cfg(args.distill_cfg) if args.distill_cfg else spec
+        t_params, _ = load_weights(args.distill, t_spec)
+        try:
+            distill_plan = make_distill_plan(
+                t_params, t_spec, spec, weight=args.distill_weight,
+                temp=args.distill_temp)
+        except ValueError as e:
+            print(f"error: --distill: {e}", file=sys.stderr)
+            return 2
+        print(f"distilling from teacher {args.distill} "
+              f"(weight {args.distill_weight:g}, T {args.distill_temp:g})",
+              file=sys.stderr)
     config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
                                    augment_mosaic=args.mosaic,
                                    augment_hsv=args.hsv,
                                    subdivisions=subdiv, qat=qat_spec,
-                                   **overrides)
+                                   bn_l1=args.bn_l1, **overrides)
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,
                          max_boxes=args.max_boxes, seed=args.seed)
@@ -213,7 +248,7 @@ def main(argv=None) -> int:
             mode=args.iterate_mode, rng=jax.random.key(args.seed),
             logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume,
             initial_seen=seen, mesh=mesh, tp=tp,
-            mask_backend=args.mask_backend)
+            mask_backend=args.mask_backend, distill=distill_plan)
         if not rounds:
             print("nothing to do: all rounds already checkpointed")
             return 0
@@ -222,7 +257,7 @@ def main(argv=None) -> int:
                      jax.tree.map(np.asarray, final.params),
                      seen=final.seen)
         print(f"wrote {args.out}")
-        if args.iterate_mode == "l1_filter":
+        if args.iterate_mode in ("l1_filter", "bn_gamma"):
             from modelcompression_tpu.models import dump_cfg
             out_cfg = args.out_cfg or os.path.splitext(args.out)[0] + ".cfg"
             with open(out_cfg, "w") as f:
@@ -252,7 +287,7 @@ def main(argv=None) -> int:
     state = TrainState.create(params, tx, jax.random.key(args.seed),
                               weight_masks=weight_masks, seen=seen)
     state = train(state, spec, config, loader, n_steps=args.steps,
-                  logger=logger, mesh=mesh, tp=tp)
+                  logger=logger, mesh=mesh, tp=tp, distill=distill_plan)
     save_weights(args.out, spec,
                  jax.tree.map(np.asarray, state["params"]),
                  seen=int(state["seen"]))

@@ -39,11 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.RawDescriptionHelpFormatter)
     add_model_args(p)
     p.add_argument("--mode", default="magnitude",
-                   choices=("magnitude", "global", "l1_filter"))
+                   choices=("magnitude", "global", "l1_filter", "bn_gamma"))
     p.add_argument("--sparsity", type=float, default=None,
                    help="target weight sparsity (magnitude/global modes)")
     p.add_argument("--fraction", type=float, default=None,
-                   help="filter drop fraction (l1_filter mode)")
+                   help="filter drop fraction (l1_filter/bn_gamma modes)")
     p.add_argument("--fractions", default=None,
                    help="PER-LAYER drop fractions for l1_filter mode as "
                         "'convidx:frac,convidx:frac' (e.g. '0:0.25,2:0.5')"
@@ -91,8 +91,10 @@ def _sweep(args, spec, params, seen) -> int:
     stem = os.path.splitext(args.out)[0]
     rows = []
     for v in points:
-        if args.mode == "l1_filter":
-            keep = uniform_filter_fraction_keep_sets(spec, params, v)
+        if args.mode in ("l1_filter", "bn_gamma"):
+            crit = "bn_gamma" if args.mode == "bn_gamma" else "l1"
+            keep = uniform_filter_fraction_keep_sets(spec, params, v,
+                                                     criterion=crit)
             out_spec, out_params = repack(spec, params, keep)
             achieved = 1.0 - num_params(out_params) / num_params(params)
         else:
@@ -104,7 +106,7 @@ def _sweep(args, spec, params, seen) -> int:
         out = f"{stem}_{int(round(v * 100))}.weights"
         save_weights(out, out_spec, out_params, seen=seen)
         row = {"point": v, "achieved": achieved, "weights": out}
-        if args.mode == "l1_filter":
+        if args.mode in ("l1_filter", "bn_gamma"):
             out_cfg = f"{stem}_{int(round(v * 100))}.cfg"
             with open(out_cfg, "w") as f:
                 f.write(dump_cfg(out_spec))
@@ -156,10 +158,11 @@ def main(argv=None) -> int:
             with open(args.out_cfg, "w") as f:
                 f.write(dump_cfg(spec))
             print(f"wrote {args.out_cfg} (architecture unchanged)")
-    else:  # l1_filter
+    else:  # l1_filter / bn_gamma (structured; Liu et al. 2017 slimming)
+        criterion = "bn_gamma" if args.mode == "bn_gamma" else "l1"
         if args.fraction is None and args.fractions is None:
-            print("error: --fraction or --fractions is required for "
-                  "l1_filter mode", file=sys.stderr)
+            print(f"error: --fraction or --fractions is required for "
+                  f"{args.mode} mode", file=sys.stderr)
             return 2
         if args.fraction is not None and not (0.0 <= args.fraction < 1.0):
             print(f"error: --fraction must be in [0, 1), got "
@@ -180,21 +183,23 @@ def main(argv=None) -> int:
                         raise ValueError(f"fraction {f} out of [0, 1)")
                     sched[int(idx)] = f
                 keep = l1_filter_keep_sets_scheduled(
-                    params, spec, sched, default=args.fraction or 0.0)
+                    params, spec, sched, default=args.fraction or 0.0,
+                    criterion=criterion)
                 keep = {i: np.asarray(k) for i, k in keep.items()}
             except ValueError as e:
                 print(f"error: bad --fractions: {e}", file=sys.stderr)
                 return 2
         else:
             keep = uniform_filter_fraction_keep_sets(spec, params,
-                                                     args.fraction)
+                                                     args.fraction,
+                                                     criterion=criterion)
         slim_spec, slim_params = repack(spec, params, keep)
         slim_params = jax.tree.map(np.asarray, slim_params)
         save_weights(args.out, slim_spec, slim_params, seen=seen)
         what = (f"per-layer schedule {args.fractions}"
                 if args.fractions is not None
                 else f"{args.fraction:.0%} of filters per prunable conv")
-        print(f"l1_filter prune: dropped {what}; "
+        print(f"{args.mode} prune: dropped {what}; "
               f"params {n0 / 1e6:.1f}M -> "
               f"{num_params(slim_params) / 1e6:.1f}M")
         print(f"wrote {args.out}")

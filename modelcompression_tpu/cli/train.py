@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(fastest on TPU when memory allows)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--max-boxes", type=int, default=30)
+    p.add_argument("--bn-l1", type=float, default=0.0,
+                   help="network-slimming sparsity training (Liu et al. "
+                        "2017): L1 penalty on all BN gammas, polarizing "
+                        "channel importances for a later prune "
+                        "--mode bn_gamma; 0 = off")
     p.add_argument("--mosaic", action="store_true")
     p.add_argument("--hsv", action="store_true")
     p.add_argument("--jitter", type=float, default=None,
@@ -102,7 +107,7 @@ def main(argv=None) -> int:
     config = TrainConfig.from_spec(
         spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
         augment_jitter=jitter, subdivisions=subdiv,
-        max_boxes=args.max_boxes, **overrides)
+        max_boxes=args.max_boxes, bn_l1=args.bn_l1, **overrides)
     # default: the cfg's [region] random flag (Darknet trains multi-scale
     # whenever random=1)
     use_ms = (args.multi_scale if args.multi_scale is not None

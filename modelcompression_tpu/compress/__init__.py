@@ -2,10 +2,14 @@ from modelcompression_tpu.compress.backend import (
     DEFAULT_MASK_BACKEND, MASK_BACKENDS, magnitude_mask_fn,
 )
 from modelcompression_tpu.compress.criteria import (
-    apply_masks, global_threshold, l1_filter_keep, l1_filter_keep_sets,
-    l1_filter_keep_sets_scheduled,
+    FILTER_CRITERIA, apply_masks, bn_gamma_scores_device,
+    filter_scores_device, global_threshold, l1_filter_keep,
+    l1_filter_keep_sets, l1_filter_keep_sets_scheduled,
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
+)
+from modelcompression_tpu.compress.codebook import (
+    cluster_layer, cluster_network, load_cmodel, reconstruct, save_cmodel,
 )
 from modelcompression_tpu.compress.qat import (
     QATSpec, fake_quant, fake_quant_weight, qat_spec_from_batches,
@@ -21,6 +25,9 @@ from modelcompression_tpu.compress.repack import (
 )
 
 __all__ = [
+    "FILTER_CRITERIA", "bn_gamma_scores_device", "filter_scores_device",
+    "cluster_layer", "cluster_network", "load_cmodel", "reconstruct",
+    "save_cmodel",
     "DEFAULT_MASK_BACKEND", "MASK_BACKENDS", "magnitude_mask_fn",
     "apply_masks", "global_threshold", "l1_filter_keep",
     "l1_filter_keep_sets", "l1_filter_keep_sets_scheduled",

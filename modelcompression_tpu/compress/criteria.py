@@ -119,6 +119,65 @@ def l1_filter_scores_device(params: Params, spec: NetworkSpec,
             for i in conv_idx if i not in protected}
 
 
+def bn_gamma_scores_device(params: Params, spec: NetworkSpec,
+                           skip: Sequence[int] = ()
+                           ) -> Dict[int, "np.ndarray"]:
+    """Network-slimming filter scores (Liu et al. 2017): |gamma| of each
+    conv's BN scale — the learned per-channel importance the slimming
+    recipe trains toward zero with an L1 penalty (TrainConfig.bn_l1).
+
+    Same one-device-program + one-readback shape as
+    ``l1_filter_scores_device``. Convs WITHOUT batch-norm have no gamma;
+    they fall back to their (normalized) L1 filter score so mixed cfgs
+    still produce a full keep-set map — in the YOLOv2 family only the
+    protected detection conv is BN-free, so the fallback is normally
+    unused. The detection conv is always protected (decode contract).
+    """
+    import numpy as np
+    conv_idx = spec.conv_indices()
+    protected = set(skip) | {conv_idx[-1]}
+    gs, ws = {}, {}
+    for i in conv_idx:
+        if i in protected:
+            continue
+        k = conv_key(i)
+        if spec.layers[i].batch_normalize:
+            gs[k] = params[k]["gamma"]
+        else:
+            ws[k] = params[k]["w"]
+
+    @jax.jit
+    def score(gs, ws):
+        out = {k: jnp.abs(g.astype(jnp.float32)) for k, g in gs.items()}
+        for k, w in ws.items():
+            l1 = jnp.sum(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+            # scale-normalize so the fallback is comparable per layer
+            out[k] = l1 / jnp.maximum(jnp.max(l1), 1e-12)
+        return out
+
+    scores = jax.device_get(score(gs, ws))
+    return {i: np.asarray(scores[conv_key(i)])
+            for i in conv_idx if i not in protected}
+
+
+FILTER_CRITERIA = ("l1", "bn_gamma")
+
+
+def filter_scores_device(params: Params, spec: NetworkSpec,
+                         criterion: str = "l1",
+                         skip: Sequence[int] = ()
+                         ) -> Dict[int, "np.ndarray"]:
+    """Structured filter scores under the chosen criterion: ``l1``
+    (Li et al. 2017 weight norms) or ``bn_gamma`` (Liu et al. 2017
+    network slimming)."""
+    if criterion == "l1":
+        return l1_filter_scores_device(params, spec, skip=skip)
+    if criterion == "bn_gamma":
+        return bn_gamma_scores_device(params, spec, skip=skip)
+    raise ValueError(
+        f"unknown filter criterion {criterion!r} (one of {FILTER_CRITERIA})")
+
+
 def _keep_from_scores(scores: "np.ndarray", fraction: float) -> "np.ndarray":
     """Drop the floor(fraction*O) lowest-score filters; ties: lower index
     pruned first (the rank rule above). Returns sorted kept indices."""
@@ -135,18 +194,22 @@ def l1_filter_keep(w_hwio, fraction: float) -> "np.ndarray":
 
 
 def l1_filter_keep_sets(params: Params, spec: NetworkSpec, fraction: float,
-                        skip: Sequence[int] = ()) -> Dict[int, "np.ndarray"]:
+                        skip: Sequence[int] = (),
+                        criterion: str = "l1") -> Dict[int, "np.ndarray"]:
     """Keep-sets for all prunable convs: device scores (one program), then
     the tiny (O,) rank selections on host — keep indices must materialize
-    as Python ints anyway to define the repacked static shapes."""
-    scores = l1_filter_scores_device(params, spec, skip=skip)
+    as Python ints anyway to define the repacked static shapes.
+    ``criterion`` selects the score (``l1`` | ``bn_gamma``)."""
+    scores = filter_scores_device(params, spec, criterion=criterion,
+                                  skip=skip)
     return {i: _keep_from_scores(s, fraction) for i, s in scores.items()}
 
 
 def l1_filter_keep_sets_scheduled(params: Params, spec: NetworkSpec,
                                   fractions: Dict[int, float],
                                   default: float = 0.0,
-                                  skip: Sequence[int] = ()
+                                  skip: Sequence[int] = (),
+                                  criterion: str = "l1"
                                   ) -> Dict[int, "np.ndarray"]:
     """PER-LAYER drop fractions (Li et al. 2017 §4: layers differ wildly
     in pruning sensitivity, so the paper prunes each layer by its own
@@ -164,7 +227,8 @@ def l1_filter_keep_sets_scheduled(params: Params, spec: NetworkSpec,
                 f"conv index {i} out of range [0, {len(spec.layers) - 1}]")
         if not isinstance(spec.layers[i], ConvLayer):
             raise ValueError(f"layer {i} is not a conv layer")
-    scores = l1_filter_scores_device(params, spec, skip=skip)
+    scores = filter_scores_device(params, spec, criterion=criterion,
+                                  skip=skip)
     unknown = set(fractions) - set(scores)
     if unknown:
         raise ValueError(

@@ -142,10 +142,14 @@ def channel_masks_from_keep(spec: NetworkSpec,
 
 
 def uniform_filter_fraction_keep_sets(spec: NetworkSpec, params: Params,
-                                      fraction: float,
-                                      skip=()) -> Dict[int, np.ndarray]:
-    """Convenience: L1 keep-sets at one drop fraction for all prunable
-    convs (detection conv protected)."""
+                                      fraction: float, skip=(),
+                                      criterion: str = "l1"
+                                      ) -> Dict[int, np.ndarray]:
+    """Convenience: filter keep-sets at one drop fraction for all
+    prunable convs (detection conv protected). ``criterion``: ``l1``
+    (Li et al. 2017) or ``bn_gamma`` (Liu et al. 2017 network
+    slimming)."""
     from modelcompression_tpu.compress.criteria import l1_filter_keep_sets
-    sets = l1_filter_keep_sets(params, spec, fraction, skip=skip)
+    sets = l1_filter_keep_sets(params, spec, fraction, skip=skip,
+                               criterion=criterion)
     return {i: np.asarray(k) for i, k in sets.items()}

@@ -1,3 +1,6 @@
+from modelcompression_tpu.train.distill import (
+    DistillPlan, distill_loss, make_distill_plan,
+)
 from modelcompression_tpu.train.region_loss import (
     RegionLossMetrics, region_loss,
 )
@@ -11,6 +14,7 @@ from modelcompression_tpu.train.loop import (
 )
 
 __all__ = [
+    "DistillPlan", "distill_loss", "make_distill_plan",
     "RegionLossMetrics", "region_loss", "TrainConfig", "TrainState",
     "darknet_lr_schedule", "make_optimizer", "make_train_step",
     "merge_params", "split_trainable", "BatchLoader", "load_sample",

@@ -21,6 +21,7 @@ from modelcompression_tpu.compress import (
 from modelcompression_tpu.models.cfg import NetworkSpec
 from modelcompression_tpu.models.darknet import Params
 from modelcompression_tpu.train.loader import BatchLoader
+from modelcompression_tpu.train.distill import DistillPlan
 from modelcompression_tpu.train.train_step import (
     TrainConfig, TrainState, make_optimizer, make_train_step,
 )
@@ -37,7 +38,8 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
           checkpoint_every: int = 0,
           metrics_every: int = 10,
           initial_step: int = 0,
-          mesh=None, tp: bool = False) -> TrainState:
+          mesh=None, tp: bool = False,
+          distill: Optional[DistillPlan] = None) -> TrainState:
     """Run ``n_steps`` train steps. Returns the final state.
 
     Metrics stay on device and are only materialized every
@@ -66,7 +68,7 @@ def train(state: TrainState, spec: NetworkSpec, config: TrainConfig,
                 f"batch {loader.batch_size} not divisible by data-parallel "
                 f"size {dp}")
         state = place_train_state(state, mesh, spec, tp=tp)
-    step_fn = make_train_step(spec, config)
+    step_fn = make_train_step(spec, config, distill=distill)
     logger = logger or MetricsLogger()
     timer = StepTimer()
     it = iter(loader)
@@ -127,7 +129,8 @@ def iterative_prune_finetune(
         resume: bool = False,
         initial_seen: int = 0,
         mesh=None, tp: bool = False,
-        mask_backend: str = DEFAULT_MASK_BACKEND) -> List[IterativeRound]:
+        mask_backend: str = DEFAULT_MASK_BACKEND,
+        distill: Optional[DistillPlan] = None) -> List[IterativeRound]:
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
@@ -180,11 +183,12 @@ def iterative_prune_finetune(
         rng, round_key = jax.random.split(rng)
         if ridx < start_round:
             continue
-        if mode == "l1_filter":
+        if mode in ("l1_filter", "bn_gamma"):
             # incremental fraction relative to remaining filters
             inc = 1.0 - (1.0 - frac) / (1.0 - prev_frac)
             keep_sets = uniform_filter_fraction_keep_sets(
-                spec, params, inc)
+                spec, params, inc,
+                criterion="bn_gamma" if mode == "bn_gamma" else "l1")
             if repack_each_round:
                 spec, params = repack(spec, params, keep_sets)
                 channel_masks = {}
@@ -206,7 +210,7 @@ def iterative_prune_finetune(
                                   channel_masks=channel_masks,
                                   seen=seen_running)
         state = train(state, spec, config, loader, steps_per_round,
-                      logger=logger, mesh=mesh, tp=tp)
+                      logger=logger, mesh=mesh, tp=tp, distill=distill)
         params = state["params"]
         seen_running = int(state["seen"])
         metrics = eval_fn(spec, params)

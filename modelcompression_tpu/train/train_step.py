@@ -46,6 +46,9 @@ from modelcompression_tpu.data.preprocess import (
 from modelcompression_tpu.compress.qat import (
     QATSpec, fake_quant, fake_quant_weight,
 )
+from modelcompression_tpu.train.distill import (
+    DistillPlan, distill_loss, teacher_forward,
+)
 
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default (reference repo class)
 
@@ -101,6 +104,11 @@ class TrainConfig:
     # calibrated scales, straight-through gradients). Still ONE jitted
     # program — the spec only adds compile-time scalar constants.
     qat: Optional["QATSpec"] = None
+    # network-slimming sparsity training (Liu et al. 2017): L1 penalty
+    # bn_l1 * sum|gamma| over all BN scales, polarizing channel
+    # importances toward zero before a bn_gamma structured prune
+    # (compress/criteria.bn_gamma_scores_device). 0 disables.
+    bn_l1: float = 0.0
 
     @classmethod
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
@@ -308,10 +316,19 @@ def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
 
 
 def make_train_step(spec: NetworkSpec, config: TrainConfig,
-                    tx: Optional[optax.GradientTransformation] = None):
+                    tx: Optional[optax.GradientTransformation] = None,
+                    distill: Optional[DistillPlan] = None):
     """Build the jitted train step.
 
     step(state, images_uint8 (B,H,W,3), targets (B,M,5)) -> (state, metrics)
+
+    With ``distill`` (train/distill.py) the teacher's inference forward
+    runs inside the same program on the augmented batch, and
+    ``weight * distill_loss`` joins the region loss in the gradient
+    (metrics gain ``loss_distill``; ``loss`` stays the region loss).
+    Teacher params enter as runtime args via a host-side wrapper — they
+    are not compile-time constants — and autodiff never traverses the
+    teacher (its output is data to the loss).
 
     With ``config.subdivisions = S > 1``, B is the EFFECTIVE batch: the
     step augments the whole batch once, then scans S micro-batches of
@@ -331,7 +348,7 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
     subdivisions = max(int(config.subdivisions), 1)
 
     def loss_fn(trainable, stats, images_f32, targets, seen, channel_masks,
-                weight_masks):
+                weight_masks, t_raw=None):
         params = merge_params(trainable, stats)
         if weight_masks:
             params = {
@@ -343,9 +360,28 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
             remat=config.remat, qat=config.qat)
         metrics = region_loss(raw, targets, region, seen)
         # aux must be a pytree: return the metrics as a plain dict
-        return metrics.loss, (metrics.as_dict(), batch_stats)
+        md = metrics.as_dict()
+        loss = metrics.loss
+        if t_raw is not None:
+            d = distill_loss(raw, t_raw, region, temp=distill.temp,
+                             coord_scale=distill.coord_scale,
+                             obj_scale=distill.obj_scale,
+                             class_scale=distill.class_scale)
+            md["loss_distill"] = d
+            loss = loss + distill.weight * d
+        if config.bn_l1 > 0:
+            # slimming sparsity penalty; gamma_l1 (the MEAN |gamma|) is
+            # reported so training logs show the polarization progress
+            gammas = [p["gamma"].astype(jnp.float32)
+                      for p in params.values() if "gamma" in p]
+            total_abs = sum(jnp.sum(jnp.abs(g)) for g in gammas)
+            n = sum(g.size for g in gammas)
+            md["gamma_l1"] = total_abs / max(n, 1)
+            loss = loss + config.bn_l1 * total_abs
+        return loss, (md, batch_stats)
 
-    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray):
+    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray,
+             t_params: Optional[Params] = None):
         rng, k_aug1, k_aug2, k_aug3, k_aug4 = jax.random.split(
             state["rng"], 5)
         x = images.astype(jnp.float32)
@@ -365,12 +401,18 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
             x = distort_hsv(x, k_aug2, hue=config.hue,
                             sat=config.saturation, expo=config.exposure)
 
+        # teacher inference on the SAME augmented batch (full effective
+        # batch — no grads, so its activation memory is one live layer)
+        t_raw = None
+        if distill is not None:
+            t_raw = teacher_forward(distill, t_params, x, config.precision)
+
         trainable, stats = split_trainable(state["params"])
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if subdivisions == 1:
             (_, (metrics, batch_stats)), grads = grad_fn(
                 trainable, stats, x, targets, state["seen"],
-                state["channel_masks"], state["weight_masks"])
+                state["channel_masks"], state["weight_masks"], t_raw)
             stats_updates = jax.tree.map(
                 lambda bs: bs[None], batch_stats)  # (1, C) fold below
         else:
@@ -388,15 +430,16 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
                                  *a.shape[1:]).swapaxes(0, 1)
 
             def body(g_acc, xt):
-                xi, ti = xt
+                xi, ti, tri = xt
                 (_, (met_i, bs_i)), g_i = grad_fn(
                     trainable, stats, xi, ti, state["seen"],
-                    state["channel_masks"], state["weight_masks"])
+                    state["channel_masks"], state["weight_masks"], tri)
                 return jax.tree.map(jnp.add, g_acc, g_i), (met_i, bs_i)
 
+            xs = (to_micro(x), to_micro(targets),
+                  None if t_raw is None else to_micro(t_raw))
             g0 = jax.tree.map(jnp.zeros_like, trainable)
-            g_sum, (mets, stats_updates) = jax.lax.scan(
-                body, g0, (to_micro(x), to_micro(targets)))
+            g_sum, (mets, stats_updates) = jax.lax.scan(body, g0, xs)
             inv_s = 1.0 / subdivisions
             grads = jax.tree.map(lambda g: g * inv_s, g_sum)
             metrics = jax.tree.map(lambda a: jnp.mean(a, axis=0), mets)
@@ -433,7 +476,17 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
         out["lr"] = darknet_lr_schedule(config)(state["step"])
         return new_state, out
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+    if distill is None:
+        return jitted
+    # thread the teacher as a RUNTIME argument (a closure constant would
+    # bake the full teacher — 200 MB for YOLOv2 — into the executable)
+    t_params = jax.tree.map(jnp.asarray, distill.teacher_params)
+
+    def step_with_teacher(state, images, targets):
+        return jitted(state, images, targets, t_params)
+
+    return step_with_teacher
 
 
 def _ts_flatten(s: TrainState):

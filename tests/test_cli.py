@@ -218,6 +218,99 @@ def test_finetune_cli_full_augment_smoke(tmp_path):
     assert rc == 2
 
 
+def test_eval_cli_cluster_roundtrip(tmp_path, capsys):
+    """Weight sharing on the public surface: eval --cluster-bits saves a
+    standalone artifact; eval/detect --cmodel serve it with identical
+    results (reconstruction is exact)."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=13)
+    cm = str(tmp_path / "m.cz")
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2",
+                        "--cluster-bits", "6", "--save-cmodel", cm])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert os.path.exists(cm)
+    rc = eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
+                        "--batch", "2", "--cmodel", cm])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert out1.splitlines()[-1] == out2.splitlines()[-1]  # same mAP line
+    # invalid combinations are rejected up front
+    assert eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
+                          "--cmodel", cm, "--cluster-bits", "4"]) == 2
+    assert eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                          "--data", data_cfg, "--save-cmodel", cm]) == 2
+
+
+def test_prune_cli_bn_gamma_and_slim_train(tmp_path):
+    """Network slimming surface: prune --mode bn_gamma rewrites the cfg
+    like l1_filter; finetune --bn-l1 trains with the gamma penalty and
+    --iterate-mode bn_gamma drives the structured loop."""
+    from modelcompression_tpu.cli import finetune, prune
+    from modelcompression_tpu.models import load_cfg
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    out = str(tmp_path / "slim.weights")
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "bn_gamma", "--fraction", "0.25",
+                     "--out", out])
+    assert rc == 0
+    slim = load_cfg(str(tmp_path / "slim.cfg"))
+    orig_convs = [l for l in spec.layers if hasattr(l, "filters")]
+    slim_convs = [l for l in slim.layers if hasattr(l, "filters")]
+    assert slim_convs[0].filters == orig_convs[0].filters * 3 // 4
+    assert slim_convs[-1].filters == orig_convs[-1].filters  # protected
+
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=12)
+    out2 = str(tmp_path / "slimft.weights")
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "1", "--batch", "2",
+                        "--max-boxes", "8", "--bn-l1", "0.01",
+                        "--iterate", "0.5", "--iterate-mode", "bn_gamma",
+                        "--out", out2])
+    assert rc == 0
+    assert os.path.exists(out2)
+
+
+def test_finetune_cli_distill(tmp_path):
+    """finetune --distill: knowledge-distillation fine-tune through the
+    public CLI (teacher = a separate .weights, here the initial model);
+    mismatched teacher heads are rejected up front."""
+    from modelcompression_tpu.cli import finetune
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=11)
+    out = str(tmp_path / "kd.weights")
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "2", "--batch", "2",
+                        "--max-boxes", "8", "--distill", wpath,
+                        "--distill-weight", "2.0", "--distill-temp", "2.0",
+                        "--out", out])
+    assert rc == 0
+    assert os.path.exists(out)
+    # distillation composes with the iterative loop (teacher stays the
+    # original while the student is repacked per round)
+    out2 = str(tmp_path / "kd_it.weights")
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "1", "--batch", "2",
+                        "--max-boxes", "8", "--distill", wpath,
+                        "--iterate", "0.5", "--out", out2])
+    assert rc == 0
+    assert os.path.exists(out2)
+    # a teacher with a different head is rejected before training
+    t4 = tmp_path / "t4"
+    t4.mkdir()
+    cfg4, w4, _ = _write_model(t4, num_classes=4)
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "1", "--batch", "2",
+                        "--distill", w4, "--distill-cfg", cfg4,
+                        "--out", out])
+    assert rc == 2
+
+
 def test_finetune_cli_qat(tmp_path):
     """finetune --qat: quantization-aware fine-tune through the public
     CLI (calibrate grids, STE train, print the exported int8 model's

@@ -1,0 +1,161 @@
+"""Knowledge-distillation fine-tune (train/distill.py): loss semantics,
+STE/stop-gradient behavior, plan validation, and the one-program train
+step with a teacher inside (subdivision-consistent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modelcompression_tpu.data.fixtures import tiny_region_cfg
+from modelcompression_tpu.models import init_params, parse_cfg
+from modelcompression_tpu.train import (
+    TrainConfig, TrainState, distill_loss, make_distill_plan,
+    make_optimizer, make_train_step,
+)
+
+
+def _spec(num_classes=3, net=64):
+    return parse_cfg(tiny_region_cfg(num_classes=num_classes, width=net,
+                                     height=net))
+
+
+def _raw(key, b=2, hw=2, a=5, c=3):
+    return jax.random.normal(key, (b, hw, hw, a * (5 + c)), jnp.float32)
+
+
+def test_distill_loss_zero_when_equal():
+    spec = _spec()
+    raw = _raw(jax.random.key(0))
+    val = distill_loss(raw, raw, spec.region, temp=2.0)
+    assert float(val) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_distill_loss_positive_and_gradient_direction():
+    spec = _spec()
+    rs = _raw(jax.random.key(1))
+    rt = _raw(jax.random.key(2))
+    val = distill_loss(rs, rt, spec.region)
+    assert float(val) > 0
+
+    # gradient flows to the STUDENT map only; the teacher side is data
+    g_s = jax.grad(lambda r: distill_loss(r, rt, spec.region))(rs)
+    g_t = jax.grad(lambda r: distill_loss(rs, r, spec.region))(rt)
+    assert float(jnp.max(jnp.abs(g_s))) > 0
+    assert float(jnp.max(jnp.abs(g_t))) == 0.0
+
+    # a gradient step on the student map must reduce the loss
+    stepped = rs - 0.1 * g_s
+    assert float(distill_loss(stepped, rt, spec.region)) < float(val)
+
+
+def test_distill_loss_temperature_scaling_is_bounded():
+    # T^2-scaled KL keeps the class term the same order of magnitude
+    # across temperatures (Hinton's convention), so the blend weight does
+    # not need retuning per T
+    spec = _spec()
+    rs, rt = _raw(jax.random.key(3)), _raw(jax.random.key(4))
+    v1 = float(distill_loss(rs, rt, spec.region, temp=1.0))
+    v4 = float(distill_loss(rs, rt, spec.region, temp=4.0))
+    assert 0.1 < v4 / v1 < 10.0
+
+
+def test_make_distill_plan_validates_head():
+    spec3 = _spec(num_classes=3)
+    spec4 = _spec(num_classes=4)
+    t_params = init_params(spec4, jax.random.key(0))
+    with pytest.raises(ValueError, match="classes"):
+        make_distill_plan(t_params, spec4, spec3)
+
+    # same classes but different anchor priors
+    import re
+    txt = tiny_region_cfg(num_classes=3, width=64, height=64)
+    spec_a = parse_cfg(txt)
+    m = re.search(r"anchors *= *([^\n]+)", txt)
+    assert m, "fixture cfg must declare anchors"
+    vals = [float(v) for v in m.group(1).split(",")]
+    vals[0] += 1.0
+    txt_b = txt.replace(m.group(1), ",".join(f"{v:g}" for v in vals))
+    spec_b = parse_cfg(txt_b)
+    t_params = init_params(spec_b, jax.random.key(0))
+    with pytest.raises(ValueError, match="anchor"):
+        make_distill_plan(t_params, spec_b, spec_a)
+
+
+def _batch(key, b=4, net=64, m=8):
+    kx, kt = jax.random.split(key)
+    imgs = jax.random.randint(kx, (b, net, net, 3), 0, 256, jnp.uint8)
+    # one valid GT box per image
+    tgts = np.zeros((b, m, 5), np.float32)
+    tgts[:, 0] = [1.0, 0.5, 0.5, 0.4, 0.4]
+    return imgs, jnp.asarray(tgts)
+
+
+def test_train_step_with_distill_runs_and_reports():
+    spec = _spec()
+    s_params = init_params(spec, jax.random.key(0))
+    t_params = init_params(spec, jax.random.key(7))
+    plan = make_distill_plan(t_params, spec, spec, weight=0.5)
+
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, subdivisions=1)
+    tx = make_optimizer(config)
+    state = TrainState.create(s_params, tx, jax.random.key(1))
+    step = make_train_step(spec, config, tx, distill=plan)
+    imgs, tgts = _batch(jax.random.key(2))
+    state, m = step(state, imgs, tgts)
+    assert "loss_distill" in m
+    assert np.isfinite(float(m["loss_distill"]))
+    assert float(m["loss_distill"]) > 0
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_distill_metric_subdivision_consistent():
+    # distill_loss sums/B, so the mean over S micro-batches equals the
+    # big-batch value up to BN BATCH statistics (the student's training
+    # forward normalizes per micro-batch — the usual subdivision
+    # residual, same as the region loss)
+    spec = _spec()
+    s_params = init_params(spec, jax.random.key(0))
+    t_params = init_params(spec, jax.random.key(7))
+    plan = make_distill_plan(t_params, spec, spec, weight=1.0)
+    imgs, tgts = _batch(jax.random.key(3), b=4)
+
+    vals = {}
+    for subdiv in (1, 2):
+        config = TrainConfig.from_spec(spec, augment_flip=False,
+                                       augment_jitter=0.0,
+                                       subdivisions=subdiv)
+        tx = make_optimizer(config)
+        state = TrainState.create(s_params, tx, jax.random.key(1))
+        step = make_train_step(spec, config, tx, distill=plan)
+        _, m = step(state, imgs, tgts)
+        vals[subdiv] = float(m["loss_distill"])
+    assert vals[1] == pytest.approx(vals[2], rel=5e-2)
+
+
+def test_distill_pulls_student_toward_teacher():
+    # with ONLY the distillation signal dominating (weight >> 1, no GT
+    # beyond the mandatory row), short training must shrink the
+    # student-teacher output gap
+    spec = _spec()
+    s_params = init_params(spec, jax.random.key(0))
+    t_params = init_params(spec, jax.random.key(7))
+    plan = make_distill_plan(t_params, spec, spec, weight=5.0)
+
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, subdivisions=1,
+                                   learning_rate=1e-4, burn_in=0,
+                                   policy="constant")
+    tx = make_optimizer(config)
+    state = TrainState.create(s_params, tx, jax.random.key(1))
+    step = make_train_step(spec, config, tx, distill=plan)
+    imgs, tgts = _batch(jax.random.key(4), b=8)
+    first = last = None
+    for i in range(40):
+        state, m = step(state, imgs, tgts)
+        if i == 0:
+            first = float(m["loss_distill"])
+    last = float(m["loss_distill"])
+    # observed on CPU: 87.7 -> ~1.0 over 40 steps
+    assert last < first * 0.2, (first, last)

@@ -124,6 +124,23 @@ def test_int8_quantization_preserves_map(trained):
     assert qmap >= base - 0.05, (base, qmap)
 
 
+def test_weight_sharing_preserves_map(trained):
+    """6-bit weight sharing (compress/codebook.py) on the TRAINED fixture
+    model: <= 64 shared values per conv must hold mAP@50 — the
+    accuracy-retention evidence for the weight-sharing axis."""
+    import jax
+    import numpy as np
+
+    from modelcompression_tpu.compress import cluster_network, reconstruct
+
+    spec, params, samples, _, _ = trained
+    base = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL_CFG).map50
+    rec = reconstruct(cluster_network(jax.tree.map(np.asarray, params),
+                                      spec, bits=6))
+    cmap = evaluate(rec, spec, samples, FIXTURE_CLASSES, EVAL_CFG).map50
+    assert cmap >= base - 0.05, (base, cmap)
+
+
 def test_qat_finetune_int8_deployment(trained):
     """The quantization axis's recovery workflow (compress/qat.py):
     calibrate grids -> QAT fine-tune (deployed int8 simulated with
