@@ -106,6 +106,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "as ONE standalone artifact (codes + codebooks + "
                         "arch cfg; ~5x smaller than the f32 .weights). "
                         "Serve with eval/detect --cmodel")
+    p.add_argument("--pack", nargs="?", const="huffman", default=None,
+                   choices=("huffman", "fixed"), metavar="METHOD",
+                   help="with --save-cmodel: entropy-code the artifact "
+                        "(Deep Compression stage 3, compress/packing.py)."
+                        " 'huffman' (default) canonical-Huffman-codes "
+                        "each layer's codes — a pruned+shared YOLOv2 "
+                        "lands at ~2-3 bits/weight; 'fixed' bit-packs "
+                        "to ceil(log2 K) bits. Loading is transparent")
     p.add_argument("--cmodel", default=None, metavar="PATH",
                    help="serve a saved weight-sharing artifact "
                         "(--save-cmodel) instead of --weights; "
@@ -135,6 +143,10 @@ def main(argv=None) -> int:
     if args.save_cmodel and args.cluster_bits is None:
         print("error: --save-cmodel requires --cluster-bits (it saves "
               "the clustered model)", file=sys.stderr)
+        return 2
+    if args.pack and not args.save_cmodel:
+        print("error: --pack entropy-codes a saved artifact; it requires "
+              "--save-cmodel", file=sys.stderr)
         return 2
     if args.cmodel and (args.cluster_bits is not None or args.qmodel):
         print("error: --cmodel serves an already-clustered artifact; "
@@ -188,8 +200,16 @@ def main(argv=None) -> int:
               f"(<= {1 << args.cluster_bits} shared values per conv)",
               file=sys.stderr)
         if args.save_cmodel:
-            save_cmodel(args.save_cmodel, cmodel, spec)
-            print(f"wrote weight-sharing artifact to {args.save_cmodel}",
+            import os
+            save_cmodel(args.save_cmodel, cmodel, spec, pack=args.pack)
+            n_w = sum(int(np.asarray(e["codes"]).size)
+                      for e in cmodel.values() if "codes" in e)
+            size = os.path.getsize(args.save_cmodel)
+            print(f"wrote weight-sharing artifact to {args.save_cmodel} "
+                  f"({size / 1e6:.2f} MB"
+                  + (f", {size * 8 / max(n_w, 1):.2f} bits/weight "
+                     f"incl. f32 vectors+container; pack={args.pack}"
+                     if args.pack else "") + ")",
                   file=sys.stderr)
     samples, names = load_dataset(args)
     if not samples:

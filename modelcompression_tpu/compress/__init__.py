@@ -11,6 +11,9 @@ from modelcompression_tpu.compress.criteria import (
 from modelcompression_tpu.compress.codebook import (
     cluster_layer, cluster_network, load_cmodel, reconstruct, save_cmodel,
 )
+from modelcompression_tpu.compress.packing import (
+    huffman_decode, huffman_encode, pack_codes, unpack_codes,
+)
 from modelcompression_tpu.compress.qat import (
     QATSpec, fake_quant, fake_quant_weight, qat_spec_from_batches,
     quantize_qat,
@@ -41,4 +44,5 @@ __all__ = [
     "save_qmodel",
     "QATSpec", "fake_quant", "fake_quant_weight", "qat_spec_from_batches",
     "quantize_qat",
+    "huffman_decode", "huffman_encode", "pack_codes", "unpack_codes",
 ]

@@ -137,19 +137,34 @@ def reconstruct(cmodel: CModel) -> Params:
     return params
 
 
-def save_cmodel(path: str, cmodel: CModel, spec: NetworkSpec) -> None:
+def save_cmodel(path: str, cmodel: CModel, spec: NetworkSpec,
+                pack: Optional[str] = None) -> None:
     """One standalone .npz artifact: codes + codebooks + f32 vectors +
     the architecture cfg (the save_qmodel convention). At 6 bits a
     YOLOv2 artifact is ~4-5x smaller than its f32 ``.weights`` before
     npz's own compression; pruned models compress further (zero codes
-    are runs)."""
+    are runs).
+
+    ``pack='huffman'`` (or ``'fixed'``) additionally entropy-codes each
+    code tensor — Deep Compression's stage 3 (`compress/packing.py`).
+    Packed artifacts use an UNcompressed npz container so the on-disk
+    size is the entropy code's own (zlib can no longer shrink a Huffman
+    payload, and the remaining f32 vectors are a rounding error);
+    ``load_cmodel`` detects and unpacks either format transparently.
+    """
+    from modelcompression_tpu.compress.packing import pack_codes
     from modelcompression_tpu.models.cfg import dump_cfg
     flat = {"__cfg__": np.array(dump_cfg(spec))}
     for key, e in cmodel.items():
         for field, v in e.items():
-            flat[f"{key}/{field}"] = np.asarray(v)
+            if pack is not None and field == "codes":
+                k = int(np.asarray(e["codebook"]).size)
+                for pf, pv in pack_codes(np.asarray(v), k, pack).items():
+                    flat[f"{key}/{pf}"] = pv
+            else:
+                flat[f"{key}/{field}"] = np.asarray(v)
     with open(path, "wb") as f:  # exact path (np would append .npz)
-        np.savez_compressed(f, **flat)
+        (np.savez if pack is not None else np.savez_compressed)(f, **flat)
 
 
 def load_cmodel(path: str, spec: Optional[NetworkSpec] = None
@@ -157,7 +172,10 @@ def load_cmodel(path: str, spec: Optional[NetworkSpec] = None
     """Load a ``save_cmodel`` artifact and reconstruct the f32 pytree.
     With ``spec`` given, the embedded architecture must match (same
     guard as load_qmodel). Reconstruction is exact: codebook gathers
-    round-trip bit-identically through npz."""
+    round-trip bit-identically through npz, and the entropy codec
+    (packed artifacts, `compress/packing.py`) is lossless by
+    construction."""
+    from modelcompression_tpu.compress.packing import unpack_codes
     from modelcompression_tpu.compress.quantize import _arch_mismatch
     with np.load(path, allow_pickle=False) as z:
         loaded_spec = parse_cfg(str(z["__cfg__"][()]))
@@ -173,4 +191,10 @@ def load_cmodel(path: str, spec: Optional[NetworkSpec] = None
                 continue
             key, field = k.rsplit("/", 1)
             cmodel.setdefault(key, {})[field] = z[k]
+    pack_fields = ("payload", "huff_lengths", "fixed_bits", "pack_shape")
+    for key, e in cmodel.items():
+        if "payload" in e:
+            e["codes"] = unpack_codes(e)
+            for pf in pack_fields:
+                e.pop(pf, None)
     return reconstruct(cmodel), (spec if spec is not None else loaded_spec)

@@ -1,0 +1,189 @@
+"""Entropy-coded artifact packing (compress/packing.py + the native C++
+codec): losslessness, canonical-code semantics, native==python==numpy
+cross-checks, size wins on skewed codes, packed-cmodel transparency."""
+
+import numpy as np
+import pytest
+
+from modelcompression_tpu.compress.packing import (
+    canonical_codes, huffman_decode, huffman_encode,
+    huffman_encode_native, huffman_lengths, pack_codes, pack_fixed,
+    unpack_codes, unpack_fixed,
+)
+from modelcompression_tpu.native import load_huffcodec
+
+
+def test_native_codec_builds():
+    # g++ is in the environment; the native tier must actually build.
+    assert load_huffcodec() is not None
+
+
+def test_huffman_lengths_kraft_and_optimality():
+    rng = np.random.default_rng(0)
+    freqs = rng.integers(1, 1000, size=64)
+    lengths = huffman_lengths(freqs)
+    assert (lengths > 0).all()
+    # Kraft equality (Huffman trees are complete)
+    assert np.isclose(np.sum(2.0 ** -lengths.astype(float)), 1.0)
+    # within 1 bit/symbol of entropy (Huffman's guarantee)
+    p = freqs / freqs.sum()
+    entropy = -(p * np.log2(p)).sum()
+    avg = (p * lengths).sum()
+    assert entropy <= avg + 1e-9 <= entropy + 1
+
+
+def test_canonical_codes_are_prefix_free_and_ordered():
+    lengths = np.array([3, 1, 3, 3, 3], np.uint8)
+    codes = canonical_codes(lengths)
+    # shortest symbol gets code 0; equal lengths get consecutive codes
+    # in symbol order (RFC 1951 convention)
+    assert codes[1] == 0
+    assert list(codes[[0, 2, 3, 4]]) == [0b100, 0b101, 0b110, 0b111]
+
+
+@pytest.mark.parametrize("k,n", [(4, 0), (4, 1), (16, 1000), (256, 5000),
+                                 (512, 3000)])
+def test_huffman_roundtrip_random(k, n):
+    rng = np.random.default_rng(k + n)
+    # skewed distribution (zipf-ish) exercises varied code lengths
+    sym = (rng.zipf(1.5, size=n) - 1).clip(0, k - 1).astype(np.uint16)
+    payload, lengths = huffman_encode(sym, k)
+    out = huffman_decode(payload, lengths, n)
+    np.testing.assert_array_equal(out, sym)
+    # python fallback decodes identically
+    out_py = huffman_decode(payload, lengths, n, force_python=True)
+    np.testing.assert_array_equal(out_py, sym)
+
+
+def test_native_encode_matches_numpy_encode():
+    if load_huffcodec() is None:
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(7)
+    sym = rng.integers(0, 40, size=4096).astype(np.uint16)
+    payload, lengths = huffman_encode(sym, 40)
+    native = huffman_encode_native(sym, 40, lengths)
+    np.testing.assert_array_equal(native, payload)
+
+
+def test_single_symbol_stream():
+    sym = np.full(100, 3, np.uint16)
+    payload, lengths = huffman_encode(sym, 8)
+    assert lengths[3] == 1 and (np.delete(lengths, 3) == 0).all()
+    np.testing.assert_array_equal(huffman_decode(payload, lengths, 100),
+                                  sym)
+
+
+def test_decode_rejects_malformed_stream():
+    sym = np.array([0, 1, 2, 3], np.uint16)
+    payload, lengths = huffman_encode(sym, 4)
+    with pytest.raises(ValueError):
+        huffman_decode(payload, lengths, 4096)  # more symbols than bits
+    with pytest.raises(ValueError):
+        huffman_decode(payload, lengths, 4096, force_python=True)
+
+
+@pytest.mark.parametrize("k", [2, 5, 256, 1024])
+def test_fixed_roundtrip(k):
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, k, size=777).astype(np.uint16)
+    payload, bits = pack_fixed(codes, k)
+    assert bits == max(1, int(np.ceil(np.log2(k))))
+    np.testing.assert_array_equal(unpack_fixed(payload, bits, 777), codes)
+
+
+def test_pack_codes_roundtrip_and_sparse_win():
+    rng = np.random.default_rng(1)
+    # a 75%-pruned 6-bit layer: slot 0 dominates
+    codes = rng.integers(1, 64, size=(3, 3, 32, 64)).astype(np.uint8)
+    codes[rng.random(codes.shape) < 0.75] = 0
+    fields = pack_codes(codes, 64, "huffman")
+    np.testing.assert_array_equal(unpack_codes(fields), codes)
+    fixed = pack_codes(codes, 64, "fixed")
+    np.testing.assert_array_equal(unpack_codes(fixed), codes)
+    # Huffman beats 6-bit fixed decisively on 75% zeros: empirical
+    # entropy ~2.3 bits/weight
+    assert fields["payload"].size < 0.55 * fixed["payload"].size
+    # and respects Huffman's bound: entropy <= avg < entropy + 1 bit/sym
+    freqs = np.bincount(codes.ravel(), minlength=64)
+    p = freqs[freqs > 0] / codes.size
+    entropy_bits = -(p * np.log2(p)).sum() * codes.size
+    assert entropy_bits <= fields["payload"].size * 8 \
+        < entropy_bits + codes.size + 8
+
+
+def test_pack_codes_uniform_never_expands():
+    # uniform power-of-two codes: Huffman degenerates to exactly the
+    # fixed width — pack_codes must never emit MORE than fixed-width
+    codes = np.tile(np.arange(16, dtype=np.uint8), 256)
+    fields = pack_codes(codes, 16, "huffman")
+    fixed = pack_codes(codes, 16, "fixed")
+    assert fields["payload"].size <= fixed["payload"].size
+    np.testing.assert_array_equal(unpack_codes(fields), codes)
+    np.testing.assert_array_equal(unpack_codes(fixed), codes)
+
+
+def test_packed_cmodel_roundtrips_exactly(tmp_path):
+    import jax
+
+    from modelcompression_tpu.compress import (
+        apply_masks, cluster_network, load_cmodel, magnitude_masks_perlayer,
+        reconstruct, save_cmodel,
+    )
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+    from modelcompression_tpu.models import init_params, parse_cfg
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(0))
+    pruned = apply_masks(params,
+                         magnitude_masks_perlayer(params, spec, 0.7))
+    cmodel = cluster_network(jax.tree.map(np.asarray, pruned), spec,
+                             bits=5)
+    plain, packed = tmp_path / "a.npz", tmp_path / "b.npz"
+    save_cmodel(str(plain), cmodel, spec)
+    save_cmodel(str(packed), cmodel, spec, pack="huffman")
+    p0, _ = load_cmodel(str(plain))
+    p1, spec1 = load_cmodel(str(packed), spec=spec)
+    ref = reconstruct(cmodel)
+    for key in ref:
+        for f in ref[key]:
+            np.testing.assert_array_equal(np.asarray(p1[key][f]),
+                                          np.asarray(ref[key][f]))
+            np.testing.assert_array_equal(np.asarray(p0[key][f]),
+                                          np.asarray(ref[key][f]))
+
+
+def test_eval_cli_pack_flag(tmp_path):
+    import jax
+
+    from modelcompression_tpu.cli import eval as eval_cli
+    from modelcompression_tpu.data.fixtures import (
+        make_fake_voc, tiny_region_cfg,
+    )
+    from modelcompression_tpu.models import (
+        init_params, parse_cfg, save_weights,
+    )
+
+    cfg_path = tmp_path / "net.cfg"
+    cfg_path.write_text(tiny_region_cfg(num_classes=3, width=64,
+                                        height=64))
+    spec = parse_cfg(cfg_path.read_text())
+    params = init_params(spec, jax.random.key(0))
+    wpath = tmp_path / "w.weights"
+    save_weights(str(wpath), spec,
+                 jax.tree.map(np.asarray, params), seen=0)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4,
+                             image_size=96, seed=3)
+    art = tmp_path / "packed.npz"
+    rc = eval_cli.main([
+        "--cfg", str(cfg_path), "--weights", str(wpath),
+        "--data", data_cfg, "--batch", "2",
+        "--cluster-bits", "4", "--save-cmodel", str(art), "--pack"])
+    assert rc == 0 and art.exists()
+    # pack without save-cmodel is a usage error
+    assert eval_cli.main([
+        "--cfg", str(cfg_path), "--weights", str(wpath),
+        "--data", data_cfg, "--pack"]) == 2
+    # serving the packed artifact works transparently
+    rc = eval_cli.main(["--cfg", str(cfg_path), "--data", data_cfg,
+                        "--batch", "2", "--cmodel", str(art)])
+    assert rc == 0
