@@ -101,14 +101,21 @@ def _ctypes_ptr(a: np.ndarray, ctype):
 
 
 def huffman_encode(symbols: np.ndarray, k: int,
-                   lengths: Optional[np.ndarray] = None
+                   lengths: Optional[np.ndarray] = None,
+                   force_numpy: bool = False
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode a symbol array (values < k) → (payload uint8, lengths
-    uint8). Vectorized: one scatter pass per bit position of the longest
-    code."""
+    uint8). Prefers the native codec (a serial bit-writer beats the
+    numpy scatter ~30x: 150 s → ~5 s on a 50M-code YOLOv2); the numpy
+    path — one scatter pass per bit position of the longest code — is
+    the vectorized reference implementation and fallback."""
     flat = np.ascontiguousarray(symbols, np.uint16).ravel()
     if lengths is None:
         lengths = huffman_lengths(np.bincount(flat, minlength=k))
+    if not force_numpy:
+        native = huffman_encode_native(symbols, k, lengths)
+        if native is not None:
+            return native, lengths
     codes = canonical_codes(lengths)
     if flat.size == 0:
         return np.zeros(0, np.uint8), lengths

@@ -53,6 +53,9 @@ def test_huffman_roundtrip_random(k, n):
     # python fallback decodes identically
     out_py = huffman_decode(payload, lengths, n, force_python=True)
     np.testing.assert_array_equal(out_py, sym)
+    # the numpy reference encoder produces the identical bitstream
+    payload_np, _ = huffman_encode(sym, k, force_numpy=True)
+    np.testing.assert_array_equal(payload_np, payload)
 
 
 def test_native_encode_matches_numpy_encode():
@@ -60,7 +63,7 @@ def test_native_encode_matches_numpy_encode():
         pytest.skip("native codec unavailable")
     rng = np.random.default_rng(7)
     sym = rng.integers(0, 40, size=4096).astype(np.uint16)
-    payload, lengths = huffman_encode(sym, 40)
+    payload, lengths = huffman_encode(sym, 40, force_numpy=True)
     native = huffman_encode_native(sym, 40, lengths)
     np.testing.assert_array_equal(native, payload)
 
