@@ -13,8 +13,12 @@ models      Darknet .cfg importer, functional Darknet-19/YOLOv2/Tiny-YOLOv2
 ops         Pallas TPU kernels (fused top-k/mask; plus the parked input-stage
             fusion) + one-program pure-XLA twins — NMS is deliberately XLA
             (top-k + IoU-matrix + scan; measured fastest, docs/PERF.md)
-compress    pruning criteria (per-layer magnitude, global threshold, L1 filter),
-            mask state, structured channel repack + cfg rewrite
+compress    pruning criteria (per-layer magnitude, global threshold, L1
+            filter, BN-gamma slimming), mask state, structured channel
+            repack + cfg rewrite; int8 PTQ/QAT, k-means weight sharing,
+            entropy-coded artifacts, low-rank SVD factorization
+native      host-side C++ tier (canonical-Huffman bitstream codec for
+            packed artifacts; built on demand, loaded via ctypes)
 train       region loss, optax train/fine-tune steps (pjit), iterative loop
 evaluation  on-device anchor decode + padded NMS, VOC mAP (11pt + all-point)
 data        VOC / COCO-subset pipelines, jittable letterbox/augment, fixtures

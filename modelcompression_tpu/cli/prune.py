@@ -5,6 +5,11 @@ Modes:
   global      one global |w| threshold at --sparsity
   l1_filter   L1-norm filter ranking at --fraction + physical channel
               repack; writes a rewritten cfg alongside the slimmed weights
+  bn_gamma    network slimming (learned BN |gamma| filter ranking) —
+              same repack machinery as l1_filter
+  lowrank     SVD-factor each conv into kxk->r linear + 1x1 (r chosen by
+              --energy or --rank); writes a rewritten cfg whose factored
+              layers are PLAIN convs (every surface consumes them)
 
 Examples:
   prune --cfg yolov2-voc.cfg --weights yolov2.weights \
@@ -39,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.RawDescriptionHelpFormatter)
     add_model_args(p)
     p.add_argument("--mode", default="magnitude",
-                   choices=("magnitude", "global", "l1_filter", "bn_gamma"))
+                   choices=("magnitude", "global", "l1_filter", "bn_gamma",
+                            "lowrank"))
     p.add_argument("--sparsity", type=float, default=None,
                    help="target weight sparsity (magnitude/global modes)")
     p.add_argument("--fraction", type=float, default=None,
@@ -50,6 +56,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "; unlisted prunable convs use --fraction (or 0). "
                         "The Li et al. sensitivity-scheduled workflow — "
                         "measure with tools/sensitivity_scan.py first")
+    p.add_argument("--energy", type=float, default=0.9,
+                   help="lowrank mode: per-layer rank = smallest r whose "
+                        "singular values keep this fraction of the "
+                        "spectral energy (Eckart-Young truncation)")
+    p.add_argument("--rank", default=None,
+                   help="lowrank mode: surgical factoring — factor ONLY "
+                        "the listed layers, as 'convidx:r,convidx:r' "
+                        "(--energy is ignored; combine with --max-cost "
+                        "to lift the FLOPs guard)")
+    p.add_argument("--max-cost", type=float, default=1.0,
+                   help="lowrank mode: factor a conv only when the "
+                        "factored FLOPs are below this fraction of the "
+                        "original (guard against rank-heavy layers)")
     p.add_argument("--out", required=True, help="output .weights path")
     p.add_argument("--out-cfg", default=None,
                    help="rewritten .cfg path (l1_filter mode)")
@@ -134,6 +153,11 @@ def main(argv=None) -> int:
     n0 = num_params(params)
 
     if args.sweep:
+        if args.mode == "lowrank":
+            print("error: --sweep sweeps sparsities/fractions; lowrank "
+                  "mode selects ranks by --energy/--rank (run per energy "
+                  "point instead)", file=sys.stderr)
+            return 2
         return _sweep(args, spec, params, seen)
 
     if args.mode in ("magnitude", "global"):
@@ -158,6 +182,44 @@ def main(argv=None) -> int:
             with open(args.out_cfg, "w") as f:
                 f.write(dump_cfg(spec))
             print(f"wrote {args.out_cfg} (architecture unchanged)")
+    elif args.mode == "lowrank":  # SVD factorization (compress/lowrank.py)
+        from modelcompression_tpu.compress.lowrank import factor_network
+        ranks = {}
+        if args.rank:
+            try:
+                for tok in args.rank.split(","):
+                    if not tok.strip():
+                        continue
+                    idx, _, val = tok.partition(":")
+                    ranks[int(idx)] = int(val)
+            except ValueError as e:
+                print(f"error: bad --rank: {e}", file=sys.stderr)
+                return 2
+        if not (0.0 < args.energy <= 1.0):
+            print(f"error: --energy must be in (0, 1], got {args.energy}",
+                  file=sys.stderr)
+            return 2
+        try:
+            fac_spec, fac_params, report = factor_network(
+                jax.tree.map(np.asarray, params), spec,
+                energy=args.energy, ranks=ranks, max_cost=args.max_cost)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        save_weights(args.out, fac_spec, fac_params, seen=seen)
+        for e in report:
+            print(f"  conv{e.layer_idx}: rank {e.rank}/{e.full_rank} "
+                  f"(energy {e.energy_kept:.4f}, cost x{e.cost_ratio:.2f})")
+        print(f"lowrank: factored {len(report)} convs at energy>="
+              f"{args.energy:g}; params {n0 / 1e6:.1f}M -> "
+              f"{num_params(fac_params) / 1e6:.1f}M")
+        print(f"wrote {args.out}")
+        import os
+        out_cfg = args.out_cfg or os.path.splitext(args.out)[0] + ".cfg"
+        with open(out_cfg, "w") as f:
+            f.write(dump_cfg(fac_spec))
+        print(f"wrote {out_cfg} (factored architecture — use it for "
+              "eval/fine-tune)")
     else:  # l1_filter / bn_gamma (structured; Liu et al. 2017 slimming)
         criterion = "bn_gamma" if args.mode == "bn_gamma" else "l1"
         if args.fraction is None and args.fractions is None:

@@ -11,6 +11,10 @@ from modelcompression_tpu.compress.criteria import (
 from modelcompression_tpu.compress.codebook import (
     cluster_layer, cluster_network, load_cmodel, reconstruct, save_cmodel,
 )
+from modelcompression_tpu.compress.lowrank import (
+    FactorEntry, breakeven_rank, factor_conv_weight, factor_network,
+    rank_for_energy,
+)
 from modelcompression_tpu.compress.packing import (
     huffman_decode, huffman_encode, pack_codes, unpack_codes,
 )
@@ -45,4 +49,6 @@ __all__ = [
     "QATSpec", "fake_quant", "fake_quant_weight", "qat_spec_from_batches",
     "quantize_qat",
     "huffman_decode", "huffman_encode", "pack_codes", "unpack_codes",
+    "FactorEntry", "breakeven_rank", "factor_conv_weight",
+    "factor_network", "rank_for_energy",
 ]
