@@ -108,12 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "Serve with eval/detect --cmodel")
     p.add_argument("--pack", nargs="?", const="huffman", default=None,
                    choices=("huffman", "fixed"), metavar="METHOD",
-                   help="with --save-cmodel: entropy-code the artifact "
-                        "(Deep Compression stage 3, compress/packing.py)."
-                        " 'huffman' (default) canonical-Huffman-codes "
-                        "each layer's codes — a pruned+shared YOLOv2 "
-                        "lands at ~2-3 bits/weight; 'fixed' bit-packs "
-                        "to ceil(log2 K) bits. Loading is transparent")
+                   help="with --save-cmodel or --save-qmodel: entropy-"
+                        "code the artifact's code/int8 tensors (Deep "
+                        "Compression stage 3, compress/packing.py). "
+                        "'huffman' (default) canonical-Huffman-codes "
+                        "them — a pruned+shared YOLOv2 lands at ~2 "
+                        "bits/weight; 'fixed' bit-packs to ceil(log2 K) "
+                        "bits. Loading is transparent")
     p.add_argument("--cmodel", default=None, metavar="PATH",
                    help="serve a saved weight-sharing artifact "
                         "(--save-cmodel) instead of --weights; "
@@ -144,9 +145,9 @@ def main(argv=None) -> int:
         print("error: --save-cmodel requires --cluster-bits (it saves "
               "the clustered model)", file=sys.stderr)
         return 2
-    if args.pack and not args.save_cmodel:
+    if args.pack and not (args.save_cmodel or args.save_qmodel):
         print("error: --pack entropy-codes a saved artifact; it requires "
-              "--save-cmodel", file=sys.stderr)
+              "--save-cmodel or --save-qmodel", file=sys.stderr)
         return 2
     if args.cmodel and (args.cluster_bits is not None or args.qmodel):
         print("error: --cmodel serves an already-clustered artifact; "
@@ -259,7 +260,7 @@ def main(argv=None) -> int:
         cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
         if args.save_qmodel:
             from modelcompression_tpu.compress import save_qmodel
-            save_qmodel(args.save_qmodel, params, spec)
+            save_qmodel(args.save_qmodel, params, spec, pack=args.pack)
             print(f"wrote int8 deployment artifact to {args.save_qmodel}",
                   file=sys.stderr)
     elif args.qmodel:

@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --qat: also export the trained int8 "
                         "deployment artifact (the exact grids training "
                         "rehearsed; serve with eval/detect --qmodel)")
+    p.add_argument("--pack", nargs="?", const="huffman", default=None,
+                   choices=("huffman", "fixed"), metavar="METHOD",
+                   help="with --save-qmodel: entropy-code the int8 "
+                        "weight tensors (compress/packing.py; loading "
+                        "is transparent)")
     p.add_argument("--iterate", default=None,
                    help="comma list of cumulative prune fractions for the "
                         "iterative loop, e.g. 0.25,0.5,0.75")
@@ -162,6 +167,10 @@ def main(argv=None) -> int:
         print("error: --save-qmodel requires --qat (it exports the "
               "trained int8 deployment; for PTQ use eval --int8 "
               "--save-qmodel)", file=sys.stderr)
+        return 2
+    if args.pack and not args.save_qmodel:
+        print("error: --pack entropy-codes a saved artifact; it "
+              "requires --save-qmodel", file=sys.stderr)
         return 2
 
     overrides = {}
@@ -311,7 +320,7 @@ def main(argv=None) -> int:
         print(qres.summary())
         if args.save_qmodel:
             from modelcompression_tpu.compress import save_qmodel
-            save_qmodel(args.save_qmodel, qparams, spec)
+            save_qmodel(args.save_qmodel, qparams, spec, pack=args.pack)
             print(f"wrote int8 deployment artifact to {args.save_qmodel} "
                   f"(serve with eval/detect --qmodel)")
     return 0

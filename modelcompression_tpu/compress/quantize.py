@@ -388,21 +388,36 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
     return y.astype(jnp.float32)
 
 
-def save_qmodel(path: str, qparams: QParams, spec: NetworkSpec) -> None:
+def save_qmodel(path: str, qparams: QParams, spec: NetworkSpec,
+                pack: Optional[str] = None) -> None:
     """Save the deployed int8 model as ONE standalone artifact (.npz):
     the quantized pytree (int8 weights, f32 scales/biases) plus the
     architecture cfg text, so serving needs neither the original
     ``.weights`` nor calibration data. int8 weight bytes compress well;
     a full YOLOv2 artifact is ~4x smaller than its f32 ``.weights``.
 
+    ``pack='huffman'`` (or ``'fixed'``) entropy-codes each int8 weight
+    tensor via `compress/packing.py` (symbols = w_q + 128, K = 256) —
+    on a PRUNED int8 model the dominant zero symbol takes the artifact
+    well under 8 bits/weight; unpacked by ``load_qmodel``
+    transparently. f32 tensors (scales/biases, and any bf16-kept convs
+    of a hybrid subset) stay raw and ride the npz container's zlib.
+
     The reference interchanges f32 ``.weights`` only (SURVEY.md §A.2);
     this is the deployment-artifact counterpart for the quantization
     axis, mirroring how checkpoints carry ``arch.cfg``
     (utils/checkpoint.py)."""
+    from modelcompression_tpu.compress.packing import pack_codes
     flat = {"__cfg__": np.array(dump_cfg(spec))}
     for key, entry in qparams.items():
         for field, v in entry.items():
-            flat[f"{key}/{field}"] = np.asarray(v)
+            v = np.asarray(v)
+            if pack is not None and field == "w_q":
+                sym = (v.astype(np.int16) + 128).astype(np.uint16)
+                for pf, pv in pack_codes(sym, 256, pack).items():
+                    flat[f"{key}/wq_{pf}"] = pv
+            else:
+                flat[f"{key}/{field}"] = v
     with open(path, "wb") as f:  # exact path (np would append .npz)
         np.savez_compressed(f, **flat)
 
@@ -449,11 +464,21 @@ def load_qmodel(path: str, spec: Optional[NetworkSpec] = None
                     f"qmodel {path} was saved for a different "
                     f"architecture: {diff}")
         qparams: QParams = {}
+        packed: dict = {}
         for k in z.files:
             if k == "__cfg__":
                 continue
             key, field = k.rsplit("/", 1)
-            qparams.setdefault(key, {})[field] = jnp.asarray(z[k])
+            if field.startswith("wq_"):
+                packed.setdefault(key, {})[field[3:]] = z[k]
+            else:
+                qparams.setdefault(key, {})[field] = jnp.asarray(z[k])
+    if packed:
+        from modelcompression_tpu.compress.packing import unpack_codes
+        for key, fields in packed.items():
+            w_q = (unpack_codes(fields).astype(np.int16) - 128
+                   ).astype(np.int8)
+            qparams.setdefault(key, {})["w_q"] = jnp.asarray(w_q)
     return qparams, (spec if spec is not None else loaded_spec)
 
 

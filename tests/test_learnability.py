@@ -173,3 +173,36 @@ def test_qat_finetune_int8_deployment(trained):
 
     assert qat_map >= 0.8, (ptq_map, qat_map)
     assert qat_map >= ptq_map - 0.02, (ptq_map, qat_map)
+
+
+def test_lowrank_factor_finetune_recovers_map(trained):
+    """Low-rank factoring (compress/lowrank.py) on the TRAINED fixture
+    model: force a half-rank split of a mid conv (cost ~0.6x), then
+    fine-tune the factored model — which is a PLAIN cfg, so the ordinary
+    train step consumes it — back to accuracy. The fifth axis's recovery
+    evidence, independent of how fast this particular task's spectra
+    decay."""
+    import numpy as np
+
+    from modelcompression_tpu.compress import factor_network
+    from modelcompression_tpu.models.cfg import ConvLayer
+
+    spec, params, samples, _, _ = trained
+    np_params = jax.tree.map(np.asarray, params)
+    cidx = [i for i in spec.conv_indices()
+            if isinstance(spec.layers[i], ConvLayer)
+            and spec.layers[i].size == 3][2]
+    layer = spec.layers[cidx]
+    full = min(layer.size * layer.size * layer.in_channels, layer.filters)
+    fac_spec, fac_params, report = factor_network(
+        np_params, spec, ranks={cidx: max(1, full // 2)}, max_cost=1.0)
+    assert len(report) == 1 and report[0].cost_ratio < 1.0
+    assert num_params(fac_params) < num_params(params)
+
+    fac_map = evaluate(fac_params, fac_spec, samples, FIXTURE_CLASSES,
+                       EVAL_CFG).map50
+    tuned, _, _ = _train(fac_spec, fac_params, samples, 200, seed=4)
+    recovered = evaluate(tuned, fac_spec, samples, FIXTURE_CLASSES,
+                         EVAL_CFG).map50
+    assert recovered >= 0.8, (fac_map, recovered)
+    assert recovered >= fac_map - 1e-9

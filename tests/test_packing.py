@@ -190,3 +190,48 @@ def test_eval_cli_pack_flag(tmp_path):
     rc = eval_cli.main(["--cfg", str(cfg_path), "--data", data_cfg,
                         "--batch", "2", "--cmodel", str(art)])
     assert rc == 0
+
+
+def test_packed_qmodel_roundtrips_exactly(tmp_path):
+    """save_qmodel(pack=) -> load_qmodel: packed int8 tensors round-trip
+    bit-exactly (hybrid float entries untouched), and a pruned model's
+    packed artifact is decisively smaller than the unpacked one."""
+    import jax
+
+    from modelcompression_tpu.compress import (
+        apply_masks, load_qmodel, magnitude_masks_perlayer,
+        quantize_from_batches, save_qmodel,
+    )
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+    from modelcompression_tpu.models import init_params, parse_cfg
+    from modelcompression_tpu.models.darknet import fold_batchnorm
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(4))
+    pruned = apply_masks(params,
+                         magnitude_masks_perlayer(params, spec, 0.75))
+    folded = fold_batchnorm(pruned, spec)
+    rng = np.random.default_rng(5)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+    conv_ids = spec.conv_indices()
+    # hybrid: first conv stays float (its entry must pass through raw)
+    q = quantize_from_batches(folded, spec, batches,
+                              int8_layers=conv_ids[1:])
+    plain, packed = str(tmp_path / "a.qz"), str(tmp_path / "b.qz")
+    save_qmodel(plain, q, spec)
+    save_qmodel(packed, q, spec, pack="huffman")
+    q1, _ = load_qmodel(plain)
+    q2, _ = load_qmodel(packed, spec=spec)
+    assert set(q2) == set(q1)
+    for key in q1:
+        assert set(q2[key]) == set(q1[key]), key
+        for field in q1[key]:
+            np.testing.assert_array_equal(np.asarray(q2[key][field]),
+                                          np.asarray(q1[key][field]))
+    import os
+    # int8 symbols are byte-aligned, so the plain artifact's zlib is
+    # already an entropy code; canonical Huffman still wins (per-tensor
+    # adaptive, no dictionary overhead) but the margin is modest
+    # (measured ~13% on this fixture, vs ~10x for sub-byte codebook
+    # codes where zlib cannot cross byte boundaries)
+    assert os.path.getsize(packed) < 0.95 * os.path.getsize(plain)
