@@ -197,3 +197,44 @@ def test_prune_cli_lowrank(tmp_path):
         "--cfg", str(cfg_path), "--weights", str(wpath),
         "--mode", "lowrank", "--rank", "999:2",
         "--out", str(out_w)]) == 2
+
+
+def test_lowrank_composes_with_repack_and_int8():
+    """The factored model is a plain spec, so the OTHER axes must
+    consume it unchanged: uniform L1 repack slims it (keep-set walk
+    through the inserted 1x1), and int8 PTQ quantizes it (generic conv
+    walk) — both forwards stay finite and correctly shaped."""
+    import numpy as np
+
+    from modelcompression_tpu.compress import (
+        factor_network, quantize_from_batches, forward_quantized, repack,
+        uniform_filter_fraction_keep_sets,
+    )
+    from modelcompression_tpu.models import num_params
+    from modelcompression_tpu.models.darknet import fold_batchnorm
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(6))
+    cidx = spec.conv_indices()[2]
+    fac_spec, fac_params, rep = factor_network(
+        jax.tree.map(np.asarray, params), spec, ranks={cidx: 4},
+        max_cost=10.0)
+    assert len(rep) == 1
+
+    # structured repack ON the factored spec
+    keep = uniform_filter_fraction_keep_sets(fac_spec, fac_params, 0.5)
+    slim_spec, slim_params = repack(fac_spec, fac_params, keep)
+    assert num_params(slim_params) < num_params(fac_params)
+    x = jnp.asarray(np.random.default_rng(7).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32))
+    y = forward(slim_params, x, slim_spec, BITMATCH)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # int8 PTQ ON the factored spec
+    folded = fold_batchnorm(fac_params, fac_spec)
+    q = quantize_from_batches(folded, fac_spec,
+                              [np.asarray(x, np.float32)])
+    yq = forward_quantized(q, x, fac_spec)
+    assert np.asarray(yq).shape == np.asarray(
+        forward(fac_params, x, fac_spec, BITMATCH)).shape
+    assert np.isfinite(np.asarray(yq)).all()
