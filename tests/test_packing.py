@@ -235,3 +235,27 @@ def test_packed_qmodel_roundtrips_exactly(tmp_path):
     # (measured ~13% on this fixture, vs ~10x for sub-byte codebook
     # codes where zlib cannot cross byte boundaries)
     assert os.path.getsize(packed) < 0.95 * os.path.getsize(plain)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.integers(2, 512), st.integers(0, 3000),
+       st.floats(0.0, 0.98), st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_huffman_roundtrip_property(k, n, zero_frac, seed):
+    """Any symbol stream (any K, any length incl. 0/1, any zero skew)
+    round-trips bit-exactly through encode -> native decode AND the
+    pure-Python reference decoder."""
+    rng = np.random.default_rng(seed)
+    sym = rng.integers(0, k, size=n).astype(np.uint16)
+    if n:
+        sym[rng.random(n) < zero_frac] = 0
+    payload, lengths = huffman_encode(sym, k)
+    np.testing.assert_array_equal(huffman_decode(payload, lengths, n),
+                                  sym)
+    np.testing.assert_array_equal(
+        huffman_decode(payload, lengths, n, force_python=True), sym)
+    # prefix-code invariant: total payload bits match the length table
+    used_bits = int(lengths[sym].astype(np.int64).sum())
+    assert used_bits <= payload.size * 8 < used_bits + 8 + (n == 0)
