@@ -26,14 +26,26 @@ _CACHE: dict = {}
 
 
 def _build(so_path: str) -> bool:
+    # build to a unique temp name, then atomically rename: concurrent
+    # processes (pytest + a CLI) must never observe a half-written .so
+    tmp = f"{so_path}.{os.getpid()}.tmp"
     try:
         r = subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", so_path, _SRC],
+             "-o", tmp, _SRC],
             capture_output=True, timeout=120)
-        return r.returncode == 0 and os.path.exists(so_path)
+        if r.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, so_path)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
