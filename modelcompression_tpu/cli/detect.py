@@ -1,9 +1,13 @@
-"""Detect CLI — single-image inference with drawn boxes (the reference-class
-demo script, SURVEY.md §2.1 'detect / demo', §3.5).
+"""Detect CLI — inference with drawn boxes (the reference-class demo
+script, SURVEY.md §2.1 'detect / demo', §3.5): one image (--image) or a
+whole directory (--dir) batched through the same ONE fused program the
+eval pipeline uses.
 
-Example:
+Examples:
   detect --cfg yolov2-voc.cfg --weights yolov2.weights \
          --image dog.jpg --out prediction.png --conf 0.25
+  detect --cfg yolov2-voc.cfg --weights yolov2.weights \
+         --dir frames/ --out-dir detections/ --batch 16
 """
 
 from __future__ import annotations
@@ -29,8 +33,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="detect", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
     add_model_args(p, weights_required=False)
-    p.add_argument("--image", required=True)
+    p.add_argument("--image", default=None)
     p.add_argument("--out", default="prediction.png")
+    p.add_argument("--dir", default=None,
+                   help="detect on every image in a directory, batched "
+                        "through one fused program (pads the final "
+                        "partial batch; annotated copies go to --out-dir)")
+    p.add_argument("--out-dir", default="detections",
+                   help="with --dir: output directory for drawn images")
+    p.add_argument("--batch", type=int, default=16,
+                   help="with --dir: device batch size (one compile)")
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--nms", type=float, default=0.45)
     p.add_argument("--names", default=None, help=".names file")
@@ -44,12 +56,95 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _draw_detections(img_bgr, sel, scores, valid, names, w, h,
+                     quiet=False) -> int:
+    """Draw one image's (C, K, 4) source-pixel boxes in place; returns
+    the number drawn."""
+    import cv2
+    n_drawn = 0
+    for ci in range(sel.shape[0]):
+        for k in np.nonzero(valid[ci])[0]:
+            x1, y1, x2, y2 = (int(np.clip(v, 0, lim - 1)) for v, lim in
+                              zip(sel[ci, k], (w, h, w, h)))
+            color = tuple(int(c) for c in np.random.default_rng(ci)
+                          .integers(60, 255, 3))
+            cv2.rectangle(img_bgr, (x1, y1), (x2, y2), color, 2)
+            label = f"{names[ci]} {scores[ci, k]:.2f}"
+            cv2.putText(img_bgr, label, (x1, max(y1 - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+            if not quiet:
+                print(f"{names[ci]}: {scores[ci, k]:.3f} "
+                      f"[{x1}, {y1}, {x2}, {y2}]")
+            n_drawn += 1
+    return n_drawn
+
+
+def _detect_dir(args, spec, folded, cfg, names) -> int:
+    """Directory mode: letterbox on host, run the fused eval step at a
+    fixed batch (final partial batch padded by repetition — padded rows'
+    outputs are simply not read back per image)."""
+    import glob
+    import os
+
+    import cv2
+
+    paths = sorted(p for ext in ("*.jpg", "*.jpeg", "*.png", "*.bmp")
+                   for p in glob.glob(os.path.join(args.dir, ext)))
+    if not paths:
+        print(f"error: no images in {args.dir}", file=sys.stderr)
+        return 2
+    os.makedirs(args.out_dir, exist_ok=True)
+    net_h, net_w = spec.net.height, spec.net.width
+    step = make_eval_step(spec, cfg)
+    b = max(1, args.batch)
+    total = n_images = 0
+    for i in range(0, len(paths), b):
+        chunk = paths[i:i + b]
+        imgs, canvases, ws, hs, kept = [], [], [], [], []
+        for pth in chunk:
+            im = cv2.imread(pth, cv2.IMREAD_COLOR)
+            if im is None:
+                print(f"warning: cannot read {pth}, skipped",
+                      file=sys.stderr)
+                continue
+            canvas, _, _, _ = letterbox_host(im[:, :, ::-1], net_h, net_w)
+            imgs.append(im)
+            canvases.append(canvas)
+            hs.append(float(im.shape[0]))
+            ws.append(float(im.shape[1]))
+            kept.append(pth)
+        if not kept:
+            continue
+        while len(canvases) < b:  # pad to the compiled batch
+            canvases.append(canvases[-1])
+            ws.append(ws[-1])
+            hs.append(hs[-1])
+        sel, sc, valid, _, _ = step(
+            folded, jnp.asarray(np.stack(canvases)),
+            jnp.asarray(ws), jnp.asarray(hs))
+        sel, sc, valid = (np.asarray(a) for a in (sel, sc, valid))
+        for j, (pth, im) in enumerate(zip(kept, imgs)):
+            n = _draw_detections(im, sel[j], sc[j], valid[j], names,
+                                 int(ws[j]), int(hs[j]), quiet=True)
+            out = os.path.join(args.out_dir, os.path.basename(pth))
+            cv2.imwrite(out, im)
+            print(f"{pth}: {n} detections -> {out}")
+            total += n
+            n_images += 1
+    print(f"{total} detections over {n_images} images -> {args.out_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     import cv2
     args = build_parser().parse_args(argv)
     if sum(map(bool, (args.weights, args.qmodel, args.cmodel))) != 1:
         print("error: exactly one of --weights, --qmodel or --cmodel is "
               "required", file=sys.stderr)
+        return 2
+    if sum(map(bool, (args.image, args.dir))) != 1:
+        print("error: exactly one of --image or --dir is required",
+              file=sys.stderr)
         return 2
     enable_compilation_cache()
     if args.qmodel:
@@ -76,6 +171,18 @@ def main(argv=None) -> int:
     if len(names) != region.classes:
         names = [f"class{i}" for i in range(region.classes)]
 
+    cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
+                     max_detections=50)
+    if args.qmodel:  # already BN-folded + quantized at save time
+        from modelcompression_tpu.compress import forward_quantized
+        folded = jax.tree.map(jnp.asarray, params)
+        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
+    else:
+        folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
+
+    if args.dir:
+        return _detect_dir(args, spec, folded, cfg, names)
+
     img = cv2.imread(args.image, cv2.IMREAD_COLOR)
     if img is None:
         print(f"error: cannot read image {args.image}", file=sys.stderr)
@@ -88,14 +195,6 @@ def main(argv=None) -> int:
     # ONE jitted program — the same fused eval step the pipeline uses
     # (normalize -> forward -> decode -> NMS -> source-pixel mapping);
     # eager per-op dispatch over the device link is never on a hot path.
-    cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
-                     max_detections=50)
-    if args.qmodel:  # already BN-folded + quantized at save time
-        from modelcompression_tpu.compress import forward_quantized
-        folded = jax.tree.map(jnp.asarray, params)
-        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
-    else:
-        folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
     step = make_eval_step(spec, cfg)
     sel, out_scores, valid, _, _ = step(
         folded, jnp.asarray(canvas[None]),
@@ -104,20 +203,7 @@ def main(argv=None) -> int:
     out_scores = np.asarray(out_scores)[0]
     valid = np.asarray(valid)[0]
 
-    n_drawn = 0
-    for ci in range(region.classes):
-        for k in np.nonzero(valid[ci])[0]:
-            x1, y1, x2, y2 = (int(np.clip(v, 0, lim - 1)) for v, lim in
-                              zip(sel[ci, k], (w, h, w, h)))
-            color = tuple(int(c) for c in np.random.default_rng(ci)
-                          .integers(60, 255, 3))
-            cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
-            label = f"{names[ci]} {out_scores[ci, k]:.2f}"
-            cv2.putText(img, label, (x1, max(y1 - 4, 10)),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
-            print(f"{names[ci]}: {out_scores[ci, k]:.3f} "
-                  f"[{x1}, {y1}, {x2}, {y2}]")
-            n_drawn += 1
+    n_drawn = _draw_detections(img, sel, out_scores, valid, names, w, h)
     cv2.imwrite(args.out, img)
     print(f"{n_drawn} detections -> {args.out}")
     return 0

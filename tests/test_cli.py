@@ -527,3 +527,38 @@ def test_cli_help_surfaces():
         with pytest.raises(SystemExit) as e:
             m.main(["--help"])
         assert e.value.code == 0
+
+
+def test_detect_cli_dir_mode(tmp_path):
+    """detect --dir: a directory of variously-usable images runs batched
+    through one fused program (batch 2 over 3 images exercises the
+    padded final batch) and writes one annotated copy per image."""
+    from modelcompression_tpu.cli import detect
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+
+    root = str(tmp_path / "data")
+    make_fake_voc(root, n_images=3, image_size=160, seed=6)
+    img_dir = root + "/images"
+
+    spec_txt = tiny_region_cfg(num_classes=3, width=128, height=128)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(spec_txt)
+    spec = parse_cfg(spec_txt)
+    params = init_params(spec, jax.random.key(0))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    names = str(tmp_path / "f.names")
+    open(names, "w").write("redbox\ngreenbox\nbluebox\n")
+
+    out_dir = str(tmp_path / "det")
+    rc = detect.main(["--cfg", cfg_path, "--weights", wpath,
+                      "--dir", img_dir, "--out-dir", out_dir,
+                      "--batch", "2", "--conf", "0.001",
+                      "--names", names])
+    assert rc == 0
+    written = sorted(os.listdir(out_dir))
+    assert written == ["img0000.png", "img0001.png", "img0002.png"]
+    # --image and --dir are mutually exclusive; neither is an error
+    assert detect.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--image", "x.png", "--dir", img_dir]) == 2
+    assert detect.main(["--cfg", cfg_path, "--weights", wpath]) == 2
