@@ -160,3 +160,22 @@ def load_train_dataset(args):
     names = read_names(cfg["names"]) if "names" in cfg else list(VOC_CLASSES)
     key = "train" if "train" in cfg else "valid"
     return load_list_dataset(cfg[key]), names
+
+
+def load_serving_model(args):
+    """Resolve the serving-source trio --weights / --qmodel / --cmodel
+    into ``(spec, params, quantized)`` — the one place eval and detect
+    share artifact loading, so a format/guard change lands in both CLIs
+    at once. ``quantized`` means params is an int8 QParams pytree whose
+    forward is ``compress.forward_quantized`` (already BN-folded at save
+    time). Raises ValueError on an architecture-guard mismatch."""
+    if getattr(args, "qmodel", None):
+        from modelcompression_tpu.compress import load_qmodel
+        params, spec = load_qmodel(args.qmodel, spec=load_cfg(args.cfg))
+        return spec, params, True
+    if getattr(args, "cmodel", None):
+        from modelcompression_tpu.compress import load_cmodel
+        params, spec = load_cmodel(args.cmodel, spec=load_cfg(args.cfg))
+        return spec, params, False
+    spec, params, _ = load_model(args)
+    return spec, params, False

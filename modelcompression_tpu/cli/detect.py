@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.cli.common import (
-    add_model_args, enable_compilation_cache, load_model,
+    add_model_args, enable_compilation_cache, load_serving_model,
 )
 from modelcompression_tpu.data.preprocess import letterbox_host
 from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
@@ -83,13 +83,14 @@ def _detect_dir(args, spec, folded, cfg, names) -> int:
     """Directory mode: letterbox on host, run the fused eval step at a
     fixed batch (final partial batch padded by repetition — padded rows'
     outputs are simply not read back per image)."""
-    import glob
     import os
 
     import cv2
 
-    paths = sorted(p for ext in ("*.jpg", "*.jpeg", "*.png", "*.bmp")
-                   for p in glob.glob(os.path.join(args.dir, ext)))
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    paths = sorted(
+        os.path.join(args.dir, f) for f in os.listdir(args.dir)
+        if f.lower().endswith(exts))  # case-insensitive (IMG_0001.JPG)
     if not paths:
         print(f"error: no images in {args.dir}", file=sys.stderr)
         return 2
@@ -147,25 +148,11 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     enable_compilation_cache()
-    if args.qmodel:
-        from modelcompression_tpu.compress import load_qmodel
-        from modelcompression_tpu.models import load_cfg
-        try:
-            params, spec = load_qmodel(args.qmodel, spec=load_cfg(args.cfg))
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
-    elif args.cmodel:
-        from modelcompression_tpu.compress import load_cmodel
-        from modelcompression_tpu.models import load_cfg
-        try:
-            params, spec = load_cmodel(args.cmodel,
-                                       spec=load_cfg(args.cfg))
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
-    else:
-        spec, params, _ = load_model(args)
+    try:
+        spec, params, quantized = load_serving_model(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     names = read_names(args.names) if args.names else list(VOC_CLASSES)
     region = spec.region
     if len(names) != region.classes:
@@ -173,7 +160,7 @@ def main(argv=None) -> int:
 
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
                      max_detections=50)
-    if args.qmodel:  # already BN-folded + quantized at save time
+    if quantized:  # already BN-folded + quantized at save time
         from modelcompression_tpu.compress import forward_quantized
         folded = jax.tree.map(jnp.asarray, params)
         cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)

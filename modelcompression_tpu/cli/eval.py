@@ -14,7 +14,7 @@ import sys
 
 from modelcompression_tpu.cli.common import (
     add_data_args, add_model_args, add_parallel_args, build_mesh,
-    enable_compilation_cache, load_dataset, load_model,
+    enable_compilation_cache, load_dataset, load_serving_model,
 )
 from modelcompression_tpu.core.precision import get_precision
 from modelcompression_tpu.evaluation import (
@@ -164,25 +164,11 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     enable_compilation_cache()
-    if args.qmodel:
-        from modelcompression_tpu.compress import load_qmodel
-        from modelcompression_tpu.models import load_cfg
-        try:
-            params, spec = load_qmodel(args.qmodel, spec=load_cfg(args.cfg))
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
-    elif args.cmodel:
-        from modelcompression_tpu.compress import load_cmodel
-        from modelcompression_tpu.models import load_cfg
-        try:
-            params, spec = load_cmodel(args.cmodel,
-                                       spec=load_cfg(args.cfg))
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
-    else:
-        spec, params, _ = load_model(args)
+    try:
+        spec, params, _ = load_serving_model(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if args.cluster_bits is not None:
         import jax
         import numpy as np

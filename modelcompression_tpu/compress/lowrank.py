@@ -49,6 +49,19 @@ __all__ = [
 ]
 
 
+def _split_from_svd(u: np.ndarray, s: np.ndarray, vt: np.ndarray,
+                    rank: int, shape: Tuple[int, int, int, int]
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    kh, kw, ci, co = shape
+    if not 1 <= rank <= s.size:
+        raise ValueError(f"rank {rank} out of [1, {s.size}]")
+    sq = np.sqrt(s[:rank])
+    w1 = (u[:, :rank] * sq).reshape(kh, kw, ci, rank).astype(np.float32)
+    w2 = (sq[:, None] * vt[:rank]).reshape(1, 1, rank, co).astype(
+        np.float32)
+    return w1, w2
+
+
 def factor_conv_weight(w: np.ndarray, rank: int
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """SVD-split one HWIO weight (kh,kw,ci,co) into (kh,kw,ci,r) and
@@ -57,13 +70,7 @@ def factor_conv_weight(w: np.ndarray, rank: int
     kh, kw, ci, co = w.shape
     m = np.asarray(w, np.float64).reshape(kh * kw * ci, co)
     u, s, vt = np.linalg.svd(m, full_matrices=False)
-    if not 1 <= rank <= s.size:
-        raise ValueError(f"rank {rank} out of [1, {s.size}]")
-    sq = np.sqrt(s[:rank])
-    w1 = (u[:, :rank] * sq).reshape(kh, kw, ci, rank).astype(np.float32)
-    w2 = (sq[:, None] * vt[:rank]).reshape(1, 1, rank, co).astype(
-        np.float32)
-    return w1, w2
+    return _split_from_svd(u, s, vt, rank, (kh, kw, ci, co))
 
 
 def rank_for_energy(singular_values: np.ndarray, energy: float) -> int:
@@ -116,24 +123,6 @@ def factor_network(params: Params, spec: NetworkSpec,
                 and isinstance(spec.layers[idx], ConvLayer)):
             raise ValueError(f"--rank index {idx} is not a conv layer")
 
-    plan: Dict[int, Tuple[int, float]] = {}  # idx -> (rank, energy_kept)
-    for idx, layer in enumerate(spec.layers):
-        if not isinstance(layer, ConvLayer):
-            continue
-        if ranks and idx not in ranks:
-            continue
-        w = np.asarray(params[conv_key(idx)]["w"], np.float32)
-        s = np.linalg.svd(
-            w.astype(np.float64).reshape(-1, w.shape[-1]),
-            compute_uv=False)
-        r = ranks.get(idx, rank_for_energy(s, energy))
-        r = max(1, min(r, s.size))
-        cost = r / breakeven_rank(layer)
-        if cost > max_cost:
-            continue
-        e2 = float(np.sum(s[:r] ** 2) / max(np.sum(s ** 2), 1e-30))
-        plan[idx] = (r, e2)
-
     new_layers: List = []
     new_params: Params = {}
     report: List[FactorEntry] = []
@@ -142,10 +131,25 @@ def factor_network(params: Params, spec: NetworkSpec,
         if isinstance(layer, RouteLayer):
             new_layers.append(RouteLayer(
                 layers=tuple(new_of[a] for a in layer.layers)))
-        elif isinstance(layer, ConvLayer) and idx in plan:
-            r, e2 = plan[idx]
+            new_of[idx] = len(new_layers) - 1
+            continue
+        split = None  # (rank, energy_kept, w1, w2)
+        if isinstance(layer, ConvLayer) and (not ranks or idx in ranks):
+            w = np.asarray(params[conv_key(idx)]["w"], np.float32)
+            # ONE full SVD per conv: rank selection and the split use
+            # the same decomposition
+            u, s, vt = np.linalg.svd(
+                w.astype(np.float64).reshape(-1, w.shape[-1]),
+                full_matrices=False)
+            r = max(1, min(ranks.get(idx, rank_for_energy(s, energy)),
+                           s.size))
+            if r / breakeven_rank(layer) <= max_cost:
+                e2 = float(np.sum(s[:r] ** 2)
+                           / max(np.sum(s ** 2), 1e-30))
+                split = (r, e2) + _split_from_svd(u, s, vt, r, w.shape)
+        if split is not None:
+            r, e2, w1, w2 = split
             p = params[conv_key(idx)]
-            w1, w2 = factor_conv_weight(np.asarray(p["w"]), r)
             first = ConvLayer(
                 filters=r, size=layer.size, stride=layer.stride,
                 pad=layer.pad, batch_normalize=False, activation="linear")
@@ -156,7 +160,7 @@ def factor_network(params: Params, spec: NetworkSpec,
             new_params[conv_key(len(new_layers))] = {
                 "w": w1, "bias": np.zeros((r,), np.float32)}
             new_layers.append(first)
-            tail = {f: np.asarray(v, np.float32)
+            tail = {f: np.array(v, np.float32)  # real copies (contract)
                     for f, v in p.items() if f != "w"}
             new_params[conv_key(len(new_layers))] = {"w": w2, **tail}
             new_layers.append(second)
@@ -168,8 +172,10 @@ def factor_network(params: Params, spec: NetworkSpec,
                 cost_ratio=r / breakeven_rank(layer)))
         else:
             if isinstance(layer, ConvLayer):
+                # np.array (not asarray): the documented no-shared-state
+                # contract requires real copies on pass-through too
                 new_params[conv_key(len(new_layers))] = {
-                    f: np.asarray(v) for f, v in
+                    f: np.array(v) for f, v in
                     params[conv_key(idx)].items()}
             new_layers.append(dataclasses.replace(layer))
         new_of[idx] = len(new_layers) - 1

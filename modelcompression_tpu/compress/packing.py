@@ -254,7 +254,10 @@ def pack_codes(codes: np.ndarray, k: int,
     if method == "huffman":
         payload, lengths = huffman_encode(codes, k)
         fpayload, fbits = pack_fixed(codes, k)
-        if payload.size <= fpayload.size:
+        # compare TOTAL stored size: huffman carries a (K,) length table,
+        # fixed an 8-byte scalar — for tiny tensors with big codebooks
+        # the table can outweigh the payload saving
+        if payload.size + lengths.size <= fpayload.size + 8:
             fields["payload"] = payload
             fields["huff_lengths"] = lengths
             return fields

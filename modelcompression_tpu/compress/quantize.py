@@ -82,8 +82,15 @@ def _scale_groups(spec: NetworkSpec) -> List[int]:
     Every layer starts in its own group; scale-preserving ops (maxpool,
     reorg, single-input route) join their input's group, and multi-input
     routes merge ALL their inputs' groups (concat must be single-scale
-    to stay exact). Returns group id per layer index."""
-    parent = list(range(len(spec.layers)))
+    to stay exact). Returns group id per layer index, PLUS one trailing
+    entry for the NETWORK INPUT's group — a scale-preserving layer at
+    index 0 must join the input's group, not (via Python's negative
+    indexing) the last layer's."""
+    n = len(spec.layers)
+    parent = list(range(n + 1))  # node n = the network input
+
+    def node(j: int) -> int:
+        return n if j < 0 else j
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -98,13 +105,13 @@ def _scale_groups(spec: NetworkSpec) -> List[int]:
 
     for i, l in enumerate(spec.layers):
         if isinstance(l, (MaxPoolLayer, ReorgLayer)):
-            union(i, _input_layer_of(spec, i))
+            union(i, node(_input_layer_of(spec, i)))
         elif isinstance(l, RouteLayer):
             for a in l.layers:
                 union(i, a)
         elif isinstance(l, RegionLayer):
-            union(i, _input_layer_of(spec, i))
-    return [find(i) for i in range(len(spec.layers))]
+            union(i, node(_input_layer_of(spec, i)))
+    return [find(i) for i in range(n + 1)]
 
 
 def collect_act_absmax(folded_params: Params, spec: NetworkSpec,
@@ -175,8 +182,9 @@ def int8_layers_auto(spec: NetworkSpec,
     sel = []
     for i, l in enumerate(spec.layers):
         if isinstance(l, ConvLayer):
-            cin = _conv_in_channels(spec, i)
-            if min(cin, l.filters) >= min_channels:
+            # in_channels is filled by cfg._resolve_channels at parse
+            # time — the one channel-propagation walk in the codebase
+            if min(l.in_channels, l.filters) >= min_channels:
                 sel.append(i)
     return sel
 
@@ -196,38 +204,19 @@ def resolve_int8_layers(spec: NetworkSpec,
     return [int(t) for t in s.split(",") if t.strip()]
 
 
-def _conv_in_channels(spec: NetworkSpec, i: int) -> int:
-    """Input channel count of conv ``i`` (walks producers through
-    pool/reorg/route like the forward does)."""
-    def out_channels(j: int) -> int:
-        if j < 0:
-            return spec.net.channels
-        l = spec.layers[j]
-        if isinstance(l, ConvLayer):
-            return l.filters
-        if isinstance(l, MaxPoolLayer):
-            return out_channels(j - 1)
-        if isinstance(l, ReorgLayer):
-            return out_channels(j - 1) * l.stride * l.stride
-        if isinstance(l, RouteLayer):
-            return sum(out_channels(a) for a in l.layers)
-        return out_channels(j - 1)
-    return out_channels(i - 1)
-
-
 def _layer_out_scales(spec: NetworkSpec, act_absmax: Sequence[float],
                       input_absmax: float) -> Tuple[List[float], float]:
     """Per-LAYER-index activation quantization step (scale-group-merged,
     see ``_scale_groups``) plus the input scale — the single source of
     the deployed activation grids, shared by PTQ (``quantize_network``)
     and QAT (``qat.qat_spec_from_absmax``)."""
-    groups = _scale_groups(spec)
-    group_max: Dict[int, float] = {}
-    for i, g in enumerate(groups):
+    groups = _scale_groups(spec)  # trailing entry = network-input group
+    group_max: Dict[int, float] = {groups[-1]: float(input_absmax)}
+    for i, g in enumerate(groups[:-1]):
         group_max[g] = max(group_max.get(g, 0.0), float(act_absmax[i]))
     # guard degenerate all-zero activations (untrained/pruned-to-death)
-    out_scale = [max(group_max[g], 1e-8) / 127.0 for g in groups]
-    return out_scale, max(float(input_absmax), 1e-8) / 127.0
+    out_scale = [max(group_max[g], 1e-8) / 127.0 for g in groups[:-1]]
+    return out_scale, max(group_max[groups[-1]], 1e-8) / 127.0
 
 
 def _resolve_int8_set(spec: NetworkSpec,

@@ -16,7 +16,7 @@ from modelcompression_tpu.compress import (
     repack, uniform_filter_fraction_keep_sets,
 )
 from modelcompression_tpu.compress.quantize import (
-    _conv_in_channels, _scale_groups, collect_act_absmax,
+    _scale_groups, collect_act_absmax,
     forward_quantized, int8_layers_auto, quantize_from_batches,
     quantize_network,
 )
@@ -176,12 +176,12 @@ def test_int8_layers_auto_rule():
         if type(l).__name__ != "ConvLayer":
             assert i not in sel
             continue
-        cin = _conv_in_channels(spec, i)
+        cin = l.in_channels  # filled by cfg._resolve_channels
         assert (i in sel) == (min(cin, l.filters) >= 128), (i, cin)
     # yolov2: conv1 (3->32) and conv2 (32->64) must be excluded, the
     # 26x26/13x13 512/1024 blocks included
     assert 0 not in sel
-    names = [(i, _conv_in_channels(spec, i), spec.layers[i].filters)
+    names = [(i, spec.layers[i].in_channels, spec.layers[i].filters)
              for i in sorted(sel)]
     assert all(min(c, f) >= 128 for _, c, f in names)
     assert len(sel) >= 10
@@ -302,3 +302,56 @@ def test_eval_pipeline_int8_smoke(tmp_path):
     res = evaluate(q, spec, samples, FIXTURE_CLASSES, cfg)
     assert res.n_images == 4
     assert 0.0 <= res.map50 <= 1.0
+
+
+def test_scale_groups_pool_first_uses_input_scale():
+    """Regression (round-2 self-review): a scale-preserving layer at
+    index 0 must join the NETWORK INPUT's scale group — Python negative
+    indexing used to merge it with the LAST layer's group, sizing early
+    grids by the head's absmax (80x resolution loss on this net)."""
+    from modelcompression_tpu.compress.quantize import (
+        _layer_out_scales, _scale_groups,
+    )
+
+    cfg = """
+[net]
+height=32
+width=32
+channels=3
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=8
+size=1
+stride=1
+pad=0
+activation=leaky
+
+[convolutional]
+filters=33
+size=1
+stride=1
+pad=0
+activation=linear
+
+[region]
+anchors = 1.0,1.0
+classes=6
+num=1
+"""
+    spec = parse_cfg(cfg)
+    groups = _scale_groups(spec)
+    # pool (layer 0) shares the trailing input-node group, and neither
+    # joins the head's group
+    assert groups[0] == groups[-1]
+    assert groups[0] != groups[2]
+    out_scale, in_scale = _layer_out_scales(
+        spec, act_absmax=[1.0, 5.0, 80.0, 80.0], input_absmax=1.0)
+    # the pool's grid is sized by max(input, pool out) = 1.0, not 80
+    assert abs(out_scale[0] - 1.0 / 127.0) < 1e-9
+    assert abs(in_scale - 1.0 / 127.0) < 1e-9
+    # the head group is untouched
+    assert abs(out_scale[2] - 80.0 / 127.0) < 1e-9
