@@ -166,7 +166,9 @@ def _decode_py(payload: np.ndarray, lengths: np.ndarray,
         acc = 0
         l = 0
         while True:
-            if pos >= bits.size or l > max_len:
+            # l == max_len with no match: no longer code exists (also
+            # keeps count[l] indexing in bounds below)
+            if pos >= bits.size or l >= max_len:
                 raise ValueError("malformed Huffman stream")
             acc = (acc << 1) | int(bits[pos])
             pos += 1

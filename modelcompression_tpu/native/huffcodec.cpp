@@ -72,7 +72,9 @@ int huff_decode(const uint8_t* payload, int64_t payload_bytes,
         uint64_t acc = 0;
         int l = 0;
         for (;;) {
-            if (bitpos >= total_bits || l >= max_len + 1) {
+            // l == max_len with no match yet means no longer code can
+            // exist — erroring HERE also keeps count[l+1] in bounds
+            if (bitpos >= total_bits || l >= max_len) {
                 delete[] sym_sorted;
                 return -1;
             }

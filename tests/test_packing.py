@@ -259,3 +259,14 @@ def test_huffman_roundtrip_property(k, n, zero_frac, seed):
     # prefix-code invariant: total payload bits match the length table
     used_bits = int(lengths[sym].astype(np.int64).sum())
     assert used_bits <= payload.size * 8 < used_bits + 8 + (n == 0)
+
+
+def test_decode_rejects_unassigned_max_length_code():
+    """A Kraft-incomplete length table (code 11 unused at max length)
+    must raise ValueError on a stream that hits the hole — not read past
+    the canonical tables (native) or IndexError (python)."""
+    lengths = np.array([2, 2, 2], np.uint8)  # codes 00,01,10; 11 unused
+    payload = np.array([0b11000000], np.uint8)
+    for force_python in (False, True):
+        with pytest.raises(ValueError):
+            huffman_decode(payload, lengths, 1, force_python=force_python)
