@@ -97,7 +97,9 @@ def resolve_batch_subdivisions(args, spec):
     batch = args.batch if args.batch is not None else spec.net.batch
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
-    if subdiv < 1 or batch % subdiv:
+    if subdiv < 1:
+        raise ValueError(f"subdivisions must be >= 1, got {subdiv}")
+    if batch % subdiv:
         raise ValueError(f"batch {batch} must be divisible by "
                          f"subdivisions {subdiv}")
     return batch, subdiv
@@ -179,3 +181,39 @@ def load_serving_model(args):
         return spec, params, False
     spec, params, _ = load_model(args)
     return spec, params, False
+
+
+def prep_calibration(spec, samples, n_images: int, selector: str,
+                     letterbox: bool = True, what: str = "int8"):
+    """Shared eval/finetune calibration plumbing: resolve AND validate
+    the conv-layer selector up front (before any host prep or the 20-50s
+    remote calibration compile), then prepare fixed-size image chunks.
+
+    Returns ``(int8_sel, chunks, n_images_used)``. Chunks are all
+    exactly 8 images (ONE calibration XLA program, bounded memory); the
+    tail chunk pads by cycling its own images rather than dropping the
+    remainder — absmax calibration is invariant under duplication, and
+    a quantile sees at most 7 duplicated images. Raises ValueError with
+    a clean message on a malformed selector or non-conv indices.
+    """
+    from modelcompression_tpu.compress.quantize import (
+        _resolve_int8_set, resolve_int8_layers,
+    )
+    from modelcompression_tpu.evaluation.pipeline import _prep_batch
+    try:
+        int8_sel = resolve_int8_layers(spec, selector)
+    except ValueError as e:
+        raise ValueError(
+            f"bad --{what}-layers selector {selector!r}: {e}") from e
+    _resolve_int8_set(spec, int8_sel)  # index validation BEFORE any work
+    n = max(1, min(n_images, len(samples)))
+    batch, _, _ = _prep_batch(samples[:n], spec.net.height,
+                              spec.net.width, letterbox=letterbox)
+    chunks = []
+    for i in range(0, batch.shape[0], 8):
+        ch = batch[i:i + 8]
+        if ch.shape[0] < 8:
+            reps = int(np.ceil(8 / ch.shape[0]))
+            ch = np.concatenate([ch] * reps, axis=0)[:8]
+        chunks.append(ch.astype(np.float32) / 255.0)
+    return int8_sel, chunks, n

@@ -163,7 +163,7 @@ def main(argv=None) -> int:
     if quantized:  # already BN-folded + quantized at save time
         from modelcompression_tpu.compress import forward_quantized
         folded = jax.tree.map(jnp.asarray, params)
-        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
+        cfg.forward_fn = forward_quantized  # (p, x, s[, precision=FAST])
     else:
         folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
 

@@ -159,9 +159,12 @@ def main(argv=None) -> int:
               "artifact is already int8 — cluster before/instead of "
               "quantizing", file=sys.stderr)
         return 2
-    if not args.weights and not args.qmodel and not args.cmodel:
-        print("error: one of --weights, --qmodel or --cmodel is required",
-              file=sys.stderr)
+    if sum(map(bool, (args.weights, args.qmodel, args.cmodel))) != 1:
+        # exactly one (the detect CLI's rule too): with several given,
+        # load_serving_model would serve the artifact and silently
+        # ignore --weights — a silently-wrong mAP attribution
+        print("error: exactly one of --weights, --qmodel or --cmodel is "
+              "required", file=sys.stderr)
         return 2
     enable_compilation_cache()
     try:
@@ -221,29 +224,24 @@ def main(argv=None) -> int:
         from modelcompression_tpu.compress import (
             forward_quantized, quantize_from_batches,
         )
-        from modelcompression_tpu.compress.quantize import (
-            resolve_int8_layers,
-        )
-        from modelcompression_tpu.evaluation.pipeline import _prep_batch
+        from modelcompression_tpu.cli.common import prep_calibration
         from modelcompression_tpu.models.darknet import fold_batchnorm
 
-        int8_sel = resolve_int8_layers(spec, args.int8_layers)
-        n = max(1, min(args.calib_images, len(samples)))
+        try:
+            int8_sel, chunks, n = prep_calibration(
+                spec, samples, args.calib_images, args.int8_layers,
+                letterbox=not args.no_letterbox, what="int8")
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         n_sel = ("all" if int8_sel is None else str(len(int8_sel)))
         print(f"int8: calibrating activation scales on {n} images "
               f"({n_sel} convs quantized)...", file=sys.stderr)
-        batch, _, _ = _prep_batch(samples[:n], spec.net.height,
-                                  spec.net.width,
-                                  letterbox=not args.no_letterbox)
         folded = fold_batchnorm(params, spec)
-        # fixed-size chunks: one calibration XLA program, bounded memory
-        chunks = [batch[i:i + 8].astype(np.float32) / 255.0
-                  for i in range(0, len(batch) - len(batch) % 8, 8)] \
-            or [batch.astype(np.float32) / 255.0]
         params = quantize_from_batches(
             folded, spec, chunks, quantile=args.calib_quantile,
             int8_layers=int8_sel)
-        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
+        cfg.forward_fn = forward_quantized  # (p, x, s[, precision=FAST])
         if args.save_qmodel:
             from modelcompression_tpu.compress import save_qmodel
             save_qmodel(args.save_qmodel, params, spec, pack=args.pack)
@@ -251,7 +249,7 @@ def main(argv=None) -> int:
                   file=sys.stderr)
     elif args.qmodel:
         from modelcompression_tpu.compress import forward_quantized
-        cfg.forward_fn = lambda p, x, s: forward_quantized(p, x, s)
+        cfg.forward_fn = forward_quantized
     mesh, _ = build_mesh(args)
     if mesh is not None and args.batch % mesh.shape["data"]:
         print(f"error: --batch {args.batch} must be divisible by "

@@ -193,20 +193,17 @@ def main(argv=None) -> int:
     qat_spec = None
     if args.qat:
         from modelcompression_tpu.compress import qat_spec_from_batches
-        from modelcompression_tpu.compress.quantize import (
-            resolve_int8_layers,
-        )
-        from modelcompression_tpu.evaluation.pipeline import _prep_batch
-        int8_sel = resolve_int8_layers(spec, args.qat_layers)
-        n = max(1, min(args.qat_calib_images, len(samples)))
+        from modelcompression_tpu.cli.common import prep_calibration
+        try:
+            int8_sel, chunks, n = prep_calibration(
+                spec, samples, args.qat_calib_images, args.qat_layers,
+                what="qat")
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         n_sel = "all" if int8_sel is None else str(len(int8_sel))
         print(f"qat: calibrating activation grids on {n} images "
               f"({n_sel} convs int8)...", file=sys.stderr)
-        canvas, _, _ = _prep_batch(samples[:n], spec.net.height,
-                                   spec.net.width, letterbox=True)
-        chunks = [canvas[i:i + 8].astype(np.float32) / 255.0
-                  for i in range(0, len(canvas) - len(canvas) % 8, 8)] \
-            or [canvas.astype(np.float32) / 255.0]
         qat_spec = qat_spec_from_batches(params, spec, chunks,
                                          int8_layers=int8_sel,
                                          quantile=args.qat_quantile)
@@ -314,8 +311,7 @@ def main(argv=None) -> int:
         qparams = quantize_qat(state["params"], spec, qat_spec)
         qres = evaluate(qparams, spec, eval_samples, eval_names,
                         EvalConfig(batch_size=batch,
-                                   forward_fn=lambda p, x, s:
-                                   forward_quantized(p, x, s)))
+                                   forward_fn=forward_quantized))
         print("int8 deployment (QAT grids):")
         print(qres.summary())
         if args.save_qmodel:

@@ -118,10 +118,14 @@ def factor_network(params: Params, spec: NetworkSpec,
     """
     if ranks is None:
         ranks = {}
-    for idx in ranks:
+    for idx, r in ranks.items():
         if not (0 <= idx < len(spec.layers)
                 and isinstance(spec.layers[idx], ConvLayer)):
             raise ValueError(f"--rank index {idx} is not a conv layer")
+        if r < 1:
+            raise ValueError(
+                f"--rank {idx}:{r} — explicit rank must be >= 1 "
+                f"(a clamped rank would silently destroy the layer)")
 
     new_layers: List = []
     new_params: Params = {}

@@ -35,19 +35,41 @@ def _fmt_count(n: int) -> str:
     return str(n)
 
 
-def network_table(spec: NetworkSpec,
-                  params: Optional[Params] = None) -> str:
-    """One text table for the whole network; see module docstring.
-
-    Spatial-dim conventions match the forward exactly: conv output
-    (h + 2*pad - size)//stride + 1; Darknet maxpool (h-1)//stride + 1
-    (NOT h//stride — differs for odd dims and for the Tiny-YOLOv2
-    stride-1 final pool); reorg h//stride with channels*stride^2; route
-    concatenates channels at the first source's spatial dims.
-    """
+def layer_shapes(spec: NetworkSpec) -> List[tuple]:
+    """Per-layer output (h, w, c), with the forward's exact spatial
+    conventions: conv (h + 2*pad - size)//stride + 1; Darknet maxpool
+    (h-1)//stride + 1 (NOT h//stride — differs for odd dims and the
+    Tiny-YOLOv2 stride-1 final pool); reorg h//stride with
+    channels*stride²; route concatenates channels at the first source's
+    spatial dims. The ONE spatial walk — reused by the summary table and
+    the FLOPs-weighted tools."""
     h, w = spec.net.height, spec.net.width
     c = spec.net.channels
     hwc: List[tuple] = []
+    for l in spec.layers:
+        if isinstance(l, ConvLayer):
+            h = (h + 2 * l.padding - l.size) // l.stride + 1
+            w = (w + 2 * l.padding - l.size) // l.stride + 1
+            c = l.filters
+        elif isinstance(l, MaxPoolLayer):
+            h = (h - 1) // l.stride + 1
+            w = (w - 1) // l.stride + 1
+        elif isinstance(l, RouteLayer):
+            h, w, _ = hwc[l.layers[0]]
+            c = sum(hwc[a][2] for a in l.layers)
+        elif isinstance(l, ReorgLayer):
+            h, w = h // l.stride, w // l.stride
+            c = c * l.stride * l.stride
+        hwc.append((h, w, c))
+    return hwc
+
+
+def network_table(spec: NetworkSpec,
+                  params: Optional[Params] = None) -> str:
+    """One text table for the whole network; see module docstring.
+    Spatial dims come from ``layer_shapes`` (the forward's conventions).
+    """
+    shapes = layer_shapes(spec)
     lines = []
     have_sparsity = params is not None
     head = (f"{'idx':>4} {'layer':<7} {'filters':>7} {'size/str':>9} "
@@ -59,11 +81,10 @@ def network_table(spec: NetworkSpec,
     total_flops = 0
     total_nonzero = 0
     for i, l in enumerate(spec.layers):
-        in_h, in_w, in_c = h, w, c
+        in_h, in_w, in_c = shapes[i - 1] if i else (
+            spec.net.height, spec.net.width, spec.net.channels)
+        h, w, c = shapes[i]
         if isinstance(l, ConvLayer):
-            h = (h + 2 * l.padding - l.size) // l.stride + 1
-            w = (w + 2 * l.padding - l.size) // l.stride + 1
-            c = l.filters
             n_w = l.size * l.size * l.in_channels * l.filters
             n_aux = l.filters * (4 if l.batch_normalize else 1)
             flops = 2 * h * w * l.size * l.size * l.in_channels * l.filters
@@ -80,22 +101,15 @@ def network_table(spec: NetworkSpec,
                 row += f" {nz / max(wv.size, 1):>7.1%}"
             lines.append(row)
         elif isinstance(l, MaxPoolLayer):
-            h = (h - 1) // l.stride + 1
-            w = (w - 1) // l.stride + 1
             lines.append(
                 f"{i:>4} {'max':<7} {'':>7} {l.size:>4}x{l.size}/{l.stride:<2} "
                 f"{in_w:>5}x{in_h}x{in_c:<4} {w:>5}x{h}x{c:<4}")
         elif isinstance(l, RouteLayer):
-            src_h, src_w, _ = hwc[l.layers[0]]
-            h, w = src_h, src_w
-            c = sum(hwc[a][2] for a in l.layers)
             srcs = ",".join(str(a) for a in l.layers)
             lines.append(
                 f"{i:>4} {'route':<7} {srcs:>7} {'':>9} {'':>16} "
                 f"{w:>5}x{h}x{c:<4}")
         elif isinstance(l, ReorgLayer):
-            h, w = h // l.stride, w // l.stride
-            c = in_c * l.stride * l.stride
             lines.append(
                 f"{i:>4} {'reorg':<7} {'':>7} {'/' + str(l.stride):>9} "
                 f"{in_w:>5}x{in_h}x{in_c:<4} {w:>5}x{h}x{c:<4}")
@@ -103,7 +117,6 @@ def network_table(spec: NetworkSpec,
             lines.append(
                 f"{i:>4} {'region':<7} {l.num:>4}x{1 + l.coords + l.classes}"
                 f" anchors={len(l.anchors) // 2} classes={l.classes}")
-        hwc.append((h, w, c))
     foot = (f"total: {_fmt_count(total_params)} params, "
             f"{_fmt_count(total_flops)} FLOPs/img "
             f"@ {spec.net.width}x{spec.net.height}")

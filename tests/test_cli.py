@@ -562,3 +562,53 @@ def test_detect_cli_dir_mode(tmp_path):
     assert detect.main(["--cfg", cfg_path, "--weights", wpath,
                         "--image", "x.png", "--dir", img_dir]) == 2
     assert detect.main(["--cfg", cfg_path, "--weights", wpath]) == 2
+
+
+def test_prep_calibration_validates_and_keeps_tail(tmp_path):
+    """The shared calibration helper (round-2 self-review): bad
+    selectors/indices fail BEFORE any device work with clean messages,
+    and a non-multiple-of-8 image count keeps its tail via padding
+    (chunks all fixed-size -> one XLA program) instead of dropping it."""
+    import pytest
+
+    from modelcompression_tpu.cli.common import prep_calibration
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+    from modelcompression_tpu.data.voc import (
+        load_list_dataset, read_data_cfg,
+    )
+
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=12,
+                             image_size=96, seed=8)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+
+    sel, chunks, n = prep_calibration(spec, samples, 12, "all")
+    assert sel is None and n == 12
+    assert [c.shape[0] for c in chunks] == [8, 8]  # 12 images + 4 pad
+    # the tail chunk's first 4 rows are the real images 8..11
+    np.testing.assert_array_equal(chunks[1][4:8], chunks[1][:4])
+
+    with pytest.raises(ValueError, match="not conv layers"):
+        prep_calibration(spec, samples, 4, "999")
+    with pytest.raises(ValueError, match="selector"):
+        prep_calibration(spec, samples, 4, "auto:abc")
+
+
+def test_eval_cli_requires_exactly_one_source(tmp_path):
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, _ = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=2,
+                             image_size=96, seed=9)
+    # --weights together with --qmodel would silently ignore --weights
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--qmodel", "x.qz", "--data", data_cfg])
+    assert rc == 2
+
+
+def test_prune_cli_lowrank_rejects_rank_zero(tmp_path):
+    from modelcompression_tpu.cli import prune as prune_cli
+    cfg_path, wpath, _ = _write_model(tmp_path)
+    rc = prune_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                         "--mode", "lowrank", "--rank", "0:0",
+                         "--out", str(tmp_path / "o.weights")])
+    assert rc == 2

@@ -37,6 +37,7 @@ def main(argv=None) -> int:
     from modelcompression_tpu.models import load_cfg, load_weights
     from modelcompression_tpu.models.cfg import ConvLayer
     from modelcompression_tpu.models.darknet import conv_key
+    from modelcompression_tpu.models.summary import layer_shapes
 
     energies = [float(x) for x in args.energies.split(",") if x]
     for e in energies:
@@ -49,6 +50,7 @@ def main(argv=None) -> int:
     hdr = " ".join(f"r@{e:g}" for e in energies)
     print(f"{'conv':>5} {'shape':>18} {'full':>5} {'brkev':>6} {hdr}  "
           f"cost@ each energy")
+    shapes = layer_shapes(spec)  # the forward's exact spatial walk
     tot = {e: 0.0 for e in energies}
     tot_orig = 0.0
     for idx, layer in enumerate(spec.layers):
@@ -60,7 +62,11 @@ def main(argv=None) -> int:
             compute_uv=False)
         be = breakeven_rank(layer)
         kkci = layer.size * layer.size * layer.in_channels
-        orig_cost = kkci * layer.filters
+        # FLOPs-weight each layer by its OUTPUT AREA: early convs run at
+        # 208²+ while late ones run at 13² — a params-weighted total
+        # would misstate the network cost ratio by orders of magnitude
+        out_h, out_w, _ = shapes[idx]
+        orig_cost = kkci * layer.filters * out_h * out_w
         tot_orig += orig_cost
         rs, costs = [], []
         for e in energies:
