@@ -612,3 +612,21 @@ def test_prune_cli_lowrank_rejects_rank_zero(tmp_path):
                          "--mode", "lowrank", "--rank", "0:0",
                          "--out", str(tmp_path / "o.weights")])
     assert rc == 2
+
+
+def test_eval_cli_packed_qmodel_roundtrip(tmp_path):
+    """eval --int8 --save-qmodel --pack writes an entropy-coded int8
+    artifact; eval --qmodel serves it with the identical mAP line."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, _ = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4,
+                             image_size=96, seed=10)
+    qm = str(tmp_path / "m.qz")
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2", "--int8",
+                        "--calib-images", "2", "--save-qmodel", qm,
+                        "--pack"])
+    assert rc == 0 and os.path.exists(qm)
+    rc = eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
+                        "--batch", "2", "--qmodel", qm])
+    assert rc == 0
