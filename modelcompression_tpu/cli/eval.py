@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map-iou", type=float, default=0.5,
                    help="AP matching IoU threshold (0.5 = the VOC/headline "
                         "protocol; e.g. 0.75 audits localization quality)")
+    p.add_argument("--map-coco", action="store_true",
+                   help="also report mAP@[.50:.95] (the COCO primary "
+                        "metric's IoU-averaged shape; all-point AP over "
+                        "IoU 0.50:0.05:0.95) from the same detections — "
+                        "host-side only, no extra device work")
     p.add_argument("--precision", default="fast",
                    choices=("fast", "bitmatch"),
                    help="bitmatch = fp32/HIGHEST (bit-faithful, slower)")
@@ -213,7 +218,7 @@ def main(argv=None) -> int:
     cfg = EvalConfig(
         batch_size=args.batch, conf_thresh=args.conf, nms_thresh=args.nms,
         max_detections=args.max_det, use_07_metric=(args.metric == "07"),
-        map_iou=args.map_iou,
+        map_iou=args.map_iou, coco_map=args.map_coco,
         letterbox=not args.no_letterbox, precision=precision,
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"),

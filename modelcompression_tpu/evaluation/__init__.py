@@ -8,7 +8,7 @@ from modelcompression_tpu.evaluation.nms import (
     per_class_nms_padded, per_class_nms_prefiltered,
 )
 from modelcompression_tpu.evaluation.voc_map import (
-    Detection, GroundTruth, class_ap, mean_ap, voc_ap,
+    Detection, GroundTruth, class_ap, coco_map, mean_ap, voc_ap,
 )
 from modelcompression_tpu.evaluation.pipeline import (
     EvalConfig, EvalResult, dump_detections, evaluate, make_eval_step,
@@ -20,7 +20,8 @@ __all__ = [
     "batched_per_class_nms_prefiltered", "per_class_nms_prefiltered",
     "iou_corners", "nms_padded", "nms_topk",
     "pairwise_iou", "per_class_nms", "per_class_nms_padded",
-    "Detection", "GroundTruth", "class_ap", "mean_ap", "voc_ap",
+    "Detection", "GroundTruth", "class_ap", "coco_map", "mean_ap",
+    "voc_ap",
     "EvalConfig", "EvalResult", "dump_detections", "evaluate",
     "make_eval_step",
 ]

@@ -70,6 +70,10 @@ class EvalConfig:
     # (BASELINE.json:2 mAP@50); other values give mAP@{75,...} for
     # localization-quality audits (COCO-style strictness)
     map_iou: float = 0.5
+    # also compute mAP@[.50:.95] (the COCO primary metric's IoU-averaged
+    # shape, voc_map.coco_map) from the same detection lists — a pure
+    # host-side re-match, no extra device work
+    coco_map: bool = False
     letterbox: bool = True
     precision: Precision = FAST
     fold_bn: bool = True
@@ -404,6 +408,11 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     m, per_class = mean_ap(dets, gts, iou_thresh=config.map_iou,
                            use_07_metric=config.use_07_metric,
                            devkit_iou=config.devkit_iou)
+    m_coco, per_class_coco = (None, None)
+    if config.coco_map:
+        from modelcompression_tpu.evaluation.voc_map import coco_map
+        m_coco, per_class_coco = coco_map(dets, gts,
+                                          devkit_iou=config.devkit_iou)
     return EvalResult(
         map50=m, per_class_ap=per_class, detections=dets,
         n_images=n_images,
@@ -417,7 +426,8 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
         nms_prefilter=config.nms_prefilter,
         prefilter_overflow_frac=(n_pf_overflow / n_images
                                  if n_images else 0.0),
-        prefilter_max_candidates=max_any)
+        prefilter_max_candidates=max_any,
+        map_coco=m_coco, per_class_ap_coco=per_class_coco)
 
 
 @dataclasses.dataclass
@@ -449,16 +459,27 @@ class EvalResult:
     nms_prefilter: int = 0
     prefilter_overflow_frac: float = 0.0
     prefilter_max_candidates: int = 0
+    # mAP@[.50:.95] (voc_map.coco_map; None unless EvalConfig.coco_map)
+    map_coco: Optional[float] = None
+    per_class_ap_coco: Optional[Dict[str, float]] = None
 
     def summary(self) -> str:
         at = f"{self.map_iou * 100:g}"
-        lines = [f"{'class':<16} AP@{at}"]
+        coco = self.per_class_ap_coco
+        lines = [f"{'class':<16} AP@{at}"
+                 + ("  AP@[.50:.95]" if coco is not None else "")]
         for c, ap in sorted(self.per_class_ap.items()):
-            lines.append(f"{c:<16} {ap * 100:6.2f}")
+            row = f"{c:<16} {ap * 100:6.2f}"
+            if coco is not None:
+                row += f"  {coco.get(c, 0.0) * 100:6.2f}"
+            lines.append(row)
         proto = "11-point" if self.use_07_metric else "all-point"
         lines.append(f"mAP@{at} ({proto}): {self.map50 * 100:.2f}  "
                      f"[{self.n_images} images, "
                      f"{self.images_per_sec:.1f} img/s pipeline wall]")
+        if self.map_coco is not None:
+            lines.append(f"mAP@[.50:.95] (all-point, COCO IoU ladder): "
+                         f"{self.map_coco * 100:.2f}")
         if self.exact_nms:
             lines.append(
                 f"NMS: exact greedy over all candidates "

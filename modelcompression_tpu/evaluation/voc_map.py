@@ -119,6 +119,38 @@ def class_ap(detections: Sequence[Detection],
     return voc_ap(recall, precision, use_07_metric)
 
 
+# COCO's primary-metric IoU ladder (0.50:0.05:0.95)
+COCO_IOUS = tuple(round(0.50 + 0.05 * i, 2) for i in range(10))
+
+
+def coco_map(detections_by_class: Dict[str, List[Detection]],
+             gts_by_class: Dict[str, List[GroundTruth]],
+             devkit_iou: bool = False) -> Tuple[float, Dict[str, float]]:
+    """mAP@[.50:.95] — the COCO primary metric's IoU-averaged shape, on
+    the VOC matching protocol (a localization-quality audit alongside the
+    headline mAP@50, BASELINE.json:2).
+
+    Per class: mean of the all-point AP over the 10 IoU thresholds
+    0.50:0.05:0.95, then mean over classes with ground truth. Deltas from
+    pycocotools' exact number, stated so results are comparable: AP here
+    is the exact precision-envelope area (VOC post-2010) rather than
+    COCO's 101-recall-point sampling of the same envelope (sub-0.1 AP
+    difference), and VOC's ``difficult`` ignore-handling is kept (COCO has
+    no difficult flag). Returns (mAP, per-class dict).
+    """
+    per_class: Dict[str, float] = {}
+    for cls, gts in gts_by_class.items():
+        if not any(not g.difficult for g in gts):
+            continue
+        dets = detections_by_class.get(cls, [])
+        per_class[cls] = float(np.mean([
+            class_ap(dets, gts, iou_thresh=t, use_07_metric=False,
+                     devkit_iou=devkit_iou)
+            for t in COCO_IOUS]))
+    m = float(np.mean(list(per_class.values()))) if per_class else 0.0
+    return m, per_class
+
+
 def mean_ap(detections_by_class: Dict[str, List[Detection]],
             gts_by_class: Dict[str, List[GroundTruth]],
             iou_thresh: float = 0.5,

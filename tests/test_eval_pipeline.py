@@ -126,6 +126,31 @@ def test_evaluate_map_iou_threshold(tmp_path):
         dataclasses.replace(cfg, map_iou=1.5)
 
 
+def test_evaluate_coco_map(tmp_path):
+    """EvalConfig.coco_map populates the @[.50:.95] fields from the same
+    detection lists (ladder math pinned in test_voc_map); off by default
+    the fields stay None and the summary stays VOC-only."""
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=128, height=128))
+    params = init_params(spec, jax.random.key(0))
+    data_cfg = make_fake_voc(str(tmp_path), n_images=3, image_size=160,
+                             seed=1)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    cfg = EvalConfig(batch_size=2, max_detections=10, coco_map=True)
+    res = evaluate(params, spec, samples, FIXTURE_CLASSES, cfg)
+    assert res.map_coco is not None
+    assert 0.0 <= res.map_coco <= 1.0
+    # AP at a stricter IoU can't exceed AP@.5, so the all-point ladder
+    # mean is bounded by the all-point AP@.5 per class
+    assert set(res.per_class_ap_coco) == set(res.per_class_ap)
+    assert "mAP@[.50:.95]" in res.summary()
+    assert "AP@[.50:.95]" in res.summary()  # per-class column header
+
+    cfg_off = EvalConfig(batch_size=2, max_detections=10)
+    res_off = evaluate(params, spec, samples, FIXTURE_CLASSES, cfg_off)
+    assert res_off.map_coco is None
+    assert "mAP@[.50:.95]" not in res_off.summary()
+
+
 def test_letterbox_device_matches_host():
     """Device letterbox must produce (approximately) the host canvas: same
     geometry, same pad value, bilinear content within resampler tolerance."""

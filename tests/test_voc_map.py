@@ -5,7 +5,7 @@ import numpy as np
 from pytest import approx
 
 from modelcompression_tpu.evaluation.voc_map import (
-    Detection, GroundTruth, class_ap, mean_ap, voc_ap,
+    COCO_IOUS, Detection, GroundTruth, class_ap, coco_map, mean_ap, voc_ap,
 )
 
 BOX_A = (0.0, 0.0, 0.2, 0.2)
@@ -76,6 +76,39 @@ def test_voc_ap_integration_forms():
     # (4 pts); t>0.8 -> 0 => (5*1 + 4*0.8)/11
     np.testing.assert_allclose(voc_ap(recall, precision, True),
                                (5 + 4 * 0.8) / 11)
+
+
+def test_coco_iou_ladder():
+    assert COCO_IOUS == (0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9,
+                         0.95)
+
+
+def test_coco_map_hand_computed():
+    """One GT (0,0,10,10), one detection (0,0,10,6): continuous IoU is
+    exactly 60/100 = 0.6, so all-point AP is 1.0 at t in {.50,.55,.60}
+    and 0.0 above -> mAP@[.50:.95] = 3/10."""
+    gts = {"a": [GroundTruth("im1", (0.0, 0.0, 10.0, 10.0))]}
+    dets = {"a": [Detection("im1", 0.9, (0.0, 0.0, 10.0, 6.0))]}
+    m, per_class = coco_map(dets, gts, devkit_iou=False)
+    assert per_class["a"] == approx(0.3)
+    assert m == approx(0.3)
+
+
+def test_coco_map_perfect_detection_is_one():
+    gts = {"a": [GroundTruth("im1", BOX_A)]}
+    dets = {"a": [Detection("im1", 0.9, BOX_A)]}
+    m, _ = coco_map(dets, gts)
+    assert m == approx(1.0)
+
+
+def test_coco_map_skips_empty_and_all_difficult_classes():
+    gts = {"a": [GroundTruth("im1", BOX_A)],
+           "b": [],
+           "c": [GroundTruth("im1", BOX_B, difficult=True)]}
+    dets = {"a": [Detection("im1", 0.9, BOX_A)], "b": [], "c": []}
+    m, per_class = coco_map(dets, gts)
+    assert set(per_class) == {"a"}
+    assert m == approx(1.0)
 
 
 def test_mean_ap_skips_empty_classes():
