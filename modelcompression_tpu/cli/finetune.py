@@ -71,6 +71,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "--mode/--iterate-mode bn_gamma prune; 0 = off")
     p.add_argument("--preserve-sparsity", action="store_true",
                    help="freeze the zero pattern of the loaded weights")
+    p.add_argument("--gmp", type=float, default=None, metavar="SPARSITY",
+                   help="gradual magnitude pruning (Zhu & Gupta 2017): "
+                        "ramp weight sparsity to this final value on a "
+                        "cubic schedule, recomputing the masks ON DEVICE "
+                        "inside the train step (compress/gmp.py) — "
+                        "sparsify-while-training instead of "
+                        "prune-then-fine-tune")
+    p.add_argument("--gmp-begin", type=int, default=0,
+                   help="first step of the GMP ramp (default 0)")
+    p.add_argument("--gmp-end", type=int, default=None,
+                   help="step at which the ramp reaches the final "
+                        "sparsity (default: --steps, i.e. ramp over the "
+                        "whole run)")
+    p.add_argument("--gmp-freq", type=int, default=100,
+                   help="recompute the masks every this many steps "
+                        "(plus once exactly at --gmp-end)")
+    p.add_argument("--gmp-initial", type=float, default=0.0,
+                   help="sparsity at the start of the ramp (default 0)")
+    p.add_argument("--gmp-global", action="store_true",
+                   help="one magnitude threshold across all convs instead "
+                        "of per-layer sparsity")
     p.add_argument("--distill", default=None, metavar="WEIGHTS",
                    help="knowledge-distillation fine-tune: train against "
                         "this TEACHER model's outputs in addition to the "
@@ -157,6 +178,17 @@ def main(argv=None) -> int:
               "--iterate (the iterative loop re-derives its own masks/"
               "keep-sets each round)", file=sys.stderr)
         return 2
+    if args.gmp is not None and (args.preserve_sparsity or args.iterate):
+        print("error: --gmp is a standalone sparsification schedule — it "
+              "recomputes its own masks, so it cannot be combined with "
+              "--preserve-sparsity or --iterate", file=sys.stderr)
+        return 2
+    if args.gmp is not None and args.qat:
+        print("error: --gmp cannot be combined with --qat (the activation "
+              "grids are calibrated on the dense model and would go stale "
+              "as the sparsity ramps; run GMP first, then QAT the sparse "
+              "model)", file=sys.stderr)
+        return 2
     if args.qat and args.iterate:
         print("error: --qat cannot be combined with --iterate (each "
               "repack round changes the architecture, so the calibrated "
@@ -223,11 +255,27 @@ def main(argv=None) -> int:
         print(f"distilling from teacher {args.distill} "
               f"(weight {args.distill_weight:g}, T {args.distill_temp:g})",
               file=sys.stderr)
+    gmp_spec = None
+    if args.gmp is not None:
+        from modelcompression_tpu.compress import GMPSpec
+        try:
+            gmp_spec = GMPSpec(
+                final_sparsity=args.gmp,
+                initial_sparsity=args.gmp_initial,
+                begin=args.gmp_begin,
+                end=args.gmp_end if args.gmp_end is not None
+                else max(args.steps - 1, args.gmp_begin + 1),
+                frequency=args.gmp_freq,
+                per_layer=not args.gmp_global)
+        except ValueError as e:
+            print(f"error: --gmp: {e}", file=sys.stderr)
+            return 2
     config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
                                    augment_mosaic=args.mosaic,
                                    augment_hsv=args.hsv,
                                    subdivisions=subdiv, qat=qat_spec,
-                                   bn_l1=args.bn_l1, **overrides)
+                                   bn_l1=args.bn_l1, gmp=gmp_spec,
+                                   **overrides)
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,
                          max_boxes=args.max_boxes, seed=args.seed)
@@ -272,6 +320,15 @@ def main(argv=None) -> int:
         return 0
 
     weight_masks = {}
+    if gmp_spec is not None:
+        from modelcompression_tpu.compress import gmp_init_masks
+        weight_masks = gmp_init_masks(params, spec, gmp_spec)
+        mode = "global" if args.gmp_global else "per-layer"
+        print(f"gmp: ramping {mode} sparsity "
+              f"{gmp_spec.initial_sparsity:.0%} -> "
+              f"{gmp_spec.final_sparsity:.0%} over steps "
+              f"[{gmp_spec.begin}, {gmp_spec.end}], mask recompute every "
+              f"{gmp_spec.frequency} steps (on device)")
     if args.preserve_sparsity:
         for i, p in params.items():
             m = jnp.asarray(np.asarray(p["w"]) != 0)
@@ -298,6 +355,14 @@ def main(argv=None) -> int:
                  jax.tree.map(np.asarray, state["params"]),
                  seen=int(state["seen"]))
     print(f"wrote {args.out}")
+    if gmp_spec is not None:
+        masks = state["weight_masks"]
+        n_total = sum(int(np.asarray(m).size) for m in masks.values())
+        n_zero = sum(int((~np.asarray(m)).sum()) for m in masks.values())
+        print(f"gmp: final sparsity {n_zero / max(n_total, 1):.2%} "
+              f"({n_zero}/{n_total} weights zeroed; zero pattern is baked "
+              f"into {args.out} — fine-tune further with "
+              f"--preserve-sparsity)")
     res = evaluate(state["params"], spec, eval_samples, eval_names,
                    EvalConfig(batch_size=batch))
     print(res.summary())

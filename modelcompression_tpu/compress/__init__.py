@@ -11,6 +11,9 @@ from modelcompression_tpu.compress.criteria import (
 from modelcompression_tpu.compress.codebook import (
     cluster_layer, cluster_network, load_cmodel, reconstruct, save_cmodel,
 )
+from modelcompression_tpu.compress.gmp import (
+    GMPSpec, gmp_init_masks, gmp_mask_update, gmp_masks, gmp_sparsity,
+)
 from modelcompression_tpu.compress.lowrank import (
     FactorEntry, breakeven_rank, factor_conv_weight, factor_network,
     rank_for_energy,
@@ -41,6 +44,8 @@ __all__ = [
     "l1_filter_scores", "l1_filter_scores_device",
     "magnitude_mask_layer",
     "magnitude_masks_global", "magnitude_masks_perlayer", "mask_sparsity",
+    "GMPSpec", "gmp_init_masks", "gmp_mask_update", "gmp_masks",
+    "gmp_sparsity",
     "channel_masks_from_keep", "propagate_keep_sets", "repack",
     "uniform_filter_fraction_keep_sets",
     "collect_act_absmax", "forward_quantized", "int8_layers_auto",

@@ -46,6 +46,7 @@ from modelcompression_tpu.data.preprocess import (
 from modelcompression_tpu.compress.qat import (
     QATSpec, fake_quant, fake_quant_weight,
 )
+from modelcompression_tpu.compress.gmp import GMPSpec, gmp_mask_update
 from modelcompression_tpu.train.distill import (
     DistillPlan, distill_loss, teacher_forward,
 )
@@ -109,6 +110,12 @@ class TrainConfig:
     # importances toward zero before a bn_gamma structured prune
     # (compress/criteria.bn_gamma_scores_device). 0 disables.
     bn_l1: float = 0.0
+    # gradual magnitude pruning (compress/gmp.py): when set, the weight
+    # masks in the train state are RECOMPUTED on device inside the step on
+    # the spec's cubic schedule (lax.cond-gated segmented bisection) —
+    # sparsify-while-training as an alternative to prune-then-fine-tune.
+    # TrainState must be created with weight_masks=gmp_init_masks(...).
+    gmp: Optional["GMPSpec"] = None
 
     @classmethod
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
@@ -447,9 +454,20 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
         updates, opt_state = tx.update(grads, state["opt_state"], trainable)
         trainable = optax.apply_updates(trainable, updates)
 
-        # belt-and-braces: keep pruned weights exactly zero
-        if state["weight_masks"]:
-            for k, m in state["weight_masks"].items():
+        # gradual magnitude pruning: recompute the masks from the freshly
+        # updated weights when the schedule fires (on-device bisection,
+        # lax.cond-gated; compress/gmp.py). Grads above used the OLD
+        # masks — Zhu & Gupta's ordering (prune after the update).
+        weight_masks = state["weight_masks"]
+        if config.gmp is not None:
+            weight_masks = gmp_mask_update(config.gmp, spec, trainable,
+                                           weight_masks, state["step"])
+
+        # belt-and-braces: keep pruned weights exactly zero (with GMP this
+        # is the actual application of a freshly tightened mask; momentum
+        # would otherwise push pruned weights off zero)
+        if weight_masks:
+            for k, m in weight_masks.items():
                 trainable[k]["w"] = trainable[k]["w"] * m.astype(
                     trainable[k]["w"].dtype)
 
@@ -469,11 +487,18 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
             step=state["step"] + 1,
             seen=state["seen"] + images.shape[0],
             rng=rng,
-            weight_masks=state["weight_masks"],
+            weight_masks=weight_masks,
             channel_masks=state["channel_masks"],
         )
         out = dict(metrics)
         out["lr"] = darknet_lr_schedule(config)(state["step"])
+        if config.gmp is not None:
+            # achieved sparsity over the GMP-managed weights (log-visible
+            # schedule progress; the target is gmp_sparsity(step))
+            n_total = sum(m.size for m in weight_masks.values())
+            n_kept = sum(jnp.sum(m.astype(jnp.int32))
+                         for m in weight_masks.values())
+            out["sparsity"] = 1.0 - n_kept / n_total
         return new_state, out
 
     jitted = jax.jit(step, donate_argnums=(0,))

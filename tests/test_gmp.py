@@ -1,0 +1,180 @@
+"""Gradual magnitude pruning (compress/gmp.py): cubic schedule math,
+traced-sparsity masks vs the static bisection, and the in-step mask
+recompute (lax.cond-gated, on device — mask re-COMPUTE without host
+round-trips, extending BASELINE.json:5's mask re-apply demand)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modelcompression_tpu.compress.gmp import (
+    GMPSpec, gmp_init_masks, gmp_mask_update, gmp_masks, gmp_sparsity,
+)
+from modelcompression_tpu.core.precision import BITMATCH
+from modelcompression_tpu.data.fixtures import tiny_region_cfg
+from modelcompression_tpu.models import init_params, parse_cfg
+from modelcompression_tpu.ops.topk_mask import magnitude_masks
+from modelcompression_tpu.train import (
+    TrainConfig, TrainState, make_optimizer, make_train_step,
+)
+
+
+def _setup(seed=0, w=64):
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=w, height=w))
+    params = init_params(spec, jax.random.key(seed))
+    return spec, params
+
+
+def _batch(b=4, w=64, m=8, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 255, (b, w, w, 3), dtype=np.uint8)
+    targets = np.zeros((b, m, 5), np.float32)
+    for i in range(b):
+        targets[i, 0] = [rng.integers(0, 3), 0.5, 0.5, 0.4, 0.4]
+    return jnp.asarray(images), jnp.asarray(targets)
+
+
+def test_gmp_schedule_endpoints_and_cubic():
+    g = GMPSpec(final_sparsity=0.9, initial_sparsity=0.1, begin=100,
+                end=500)
+    assert float(gmp_sparsity(100, g)) == pytest.approx(0.1)
+    assert float(gmp_sparsity(500, g)) == pytest.approx(0.9)
+    # before/after the window: clipped to the endpoints
+    assert float(gmp_sparsity(0, g)) == pytest.approx(0.1)
+    assert float(gmp_sparsity(10_000, g)) == pytest.approx(0.9)
+    # cubic midpoint: s = f + (i-f) * 0.5^3
+    assert float(gmp_sparsity(300, g)) == pytest.approx(
+        0.9 + (0.1 - 0.9) * 0.125, abs=1e-6)
+    # monotone non-decreasing along the ramp
+    vals = [float(gmp_sparsity(t, g)) for t in range(100, 501, 50)]
+    assert vals == sorted(vals)
+
+
+def test_gmp_spec_validation():
+    with pytest.raises(ValueError):
+        GMPSpec(final_sparsity=1.0)
+    with pytest.raises(ValueError):
+        GMPSpec(final_sparsity=0.5, initial_sparsity=0.6)
+    with pytest.raises(ValueError):
+        GMPSpec(final_sparsity=0.5, begin=10, end=10)
+    with pytest.raises(ValueError):
+        GMPSpec(final_sparsity=0.5, frequency=0)
+
+
+@pytest.mark.parametrize("per_layer", [True, False])
+@pytest.mark.parametrize("sparsity", [0.0, 0.5, 0.75])
+def test_gmp_masks_match_static_bisection(per_layer, sparsity):
+    """At dyadic sparsities the traced-sparsity masks are bit-identical to
+    the static ops.topk_mask path (float32 floor == Python int() there;
+    module docstring pins the one-off caveat for non-dyadic values)."""
+    spec, params = _setup()
+    got = gmp_masks(params, spec, jnp.float32(sparsity),
+                    per_layer=per_layer)
+    want = magnitude_masks(params, spec, sparsity, per_layer=per_layer)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]))
+
+
+def test_gmp_mask_update_tick_and_offtick():
+    spec, params = _setup()
+    g = GMPSpec(final_sparsity=0.5, begin=0, end=10, frequency=5)
+    masks = gmp_init_masks(params, spec, g)
+
+    # step 3: off-tick -> untouched
+    out = gmp_mask_update(g, spec, params, masks, jnp.int32(3))
+    for k in masks:
+        assert bool(np.all(np.asarray(out[k])))
+
+    # step 10 == end: recompute at the final sparsity exactly (even though
+    # 10 % 5 == 0 here, also check an end not on the tick grid)
+    g2 = dataclasses.replace(g, frequency=7)
+    out = gmp_mask_update(g2, spec, params, masks, jnp.int32(10))
+    want = magnitude_masks(params, spec, 0.5, per_layer=True)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(want[k]))
+
+    # missing mask keys fail loudly
+    with pytest.raises(ValueError, match="gmp_init_masks"):
+        gmp_mask_update(g, spec, params, {}, jnp.int32(0))
+
+
+def test_gmp_train_step_ramps_to_target():
+    """12 steps with end=11: the state's masks ramp monotonically (pruned
+    weights stay pruned) and finish at the final per-layer sparsity; the
+    saved weights carry the zero pattern; loss stays finite."""
+    spec, params = _setup()
+    g = GMPSpec(final_sparsity=0.75, begin=0, end=11, frequency=4)
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, precision=BITMATCH,
+                                   gmp=g)
+    tx = make_optimizer(config)
+    state = TrainState.create(params, tx, jax.random.key(1),
+                              weight_masks=gmp_init_masks(params, spec, g))
+    step = make_train_step(spec, config, tx)
+    images, targets = _batch()
+    prev_zero = {k: np.zeros(np.asarray(m).shape, bool)
+                 for k, m in state["weight_masks"].items()}
+    sparsities = []
+    for _ in range(12):
+        state, metrics = step(state, images, targets)
+        assert np.isfinite(float(metrics["loss"]))
+        sparsities.append(float(metrics["sparsity"]))
+        for k, m in state["weight_masks"].items():
+            zero = ~np.asarray(m)
+            # monotone: previously pruned weights stay pruned
+            assert np.all(zero[prev_zero[k]])
+            prev_zero[k] = zero
+    assert sparsities == sorted(sparsities)
+    assert sparsities[0] < 0.2  # near-zero at the start of the ramp
+    for k, m in state["weight_masks"].items():
+        n = np.asarray(m).size
+        assert int((~np.asarray(m)).sum()) == int(
+            np.float32(0.75) * np.float32(n))
+        # the weights themselves carry the zero pattern
+        w = np.asarray(state["params"][k]["w"])
+        assert np.all(w[~np.asarray(m)] == 0.0)
+
+
+def test_gmp_finetune_cli_smoke(tmp_path):
+    """finetune --gmp end-to-end: trains, bakes the final sparsity into
+    the written weights, reports it."""
+    from modelcompression_tpu.cli import finetune
+    from modelcompression_tpu.data.fixtures import make_fake_voc
+    from modelcompression_tpu.models import load_weights, save_weights
+
+    spec, params = _setup(w=96)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(tiny_region_cfg(num_classes=3, width=96,
+                                              height=96))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4,
+                             image_size=96, seed=2)
+    out = str(tmp_path / "out.weights")
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "4", "--batch", "2",
+                        "--subdivisions", "1", "--gmp", "0.5",
+                        "--gmp-freq", "2", "--out", out])
+    assert rc == 0
+    out_params, _ = load_weights(out, spec)
+    flat = np.concatenate([np.asarray(p["w"]).ravel()
+                           for p in out_params.values()])
+    frac_zero = float((flat == 0).mean())
+    assert frac_zero == pytest.approx(0.5, abs=0.02)
+
+    # invalid combinations are CLI errors
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "2",
+                        "--gmp", "0.5", "--preserve-sparsity",
+                        "--out", out])
+    assert rc == 2
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "2",
+                        "--gmp", "0.5", "--qat", "--out", out])
+    assert rc == 2
