@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "metric's IoU-averaged shape; all-point AP over "
                         "IoU 0.50:0.05:0.95) from the same detections — "
                         "host-side only, no extra device work")
+    p.add_argument("--recall", action="store_true",
+                   help="recall audit instead of mAP (darknet 'detector "
+                        "recall'): objectness-only proposals, class-"
+                        "agnostic NMS, per-GT best-IoU; prints cumulative "
+                        "RPs/Img, avg IoU, and recall@--recall-iou. "
+                        "Darknet's knobs were --conf 0.001 --nms 0.4")
+    p.add_argument("--recall-iou", type=float, default=0.5,
+                   help="IoU above which a ground-truth box counts as "
+                        "recalled (darknet uses 0.5)")
     p.add_argument("--precision", default="fast",
                    choices=("fast", "bitmatch"),
                    help="bitmatch = fp32/HIGHEST (bit-faithful, slower)")
@@ -255,6 +264,21 @@ def main(argv=None) -> int:
     elif args.qmodel:
         from modelcompression_tpu.compress import forward_quantized
         cfg.forward_fn = forward_quantized
+    if args.recall:
+        if args.dump_dir or args.map_coco:
+            print("error: --recall is an objectness-only audit — it "
+                  "produces no per-class detections, so --dump-dir/"
+                  "--map-coco do not apply", file=sys.stderr)
+            return 2
+        if not 0.0 < args.recall_iou <= 1.0:
+            print(f"error: --recall-iou must be in (0, 1], got "
+                  f"{args.recall_iou}", file=sys.stderr)
+            return 2
+        from modelcompression_tpu.evaluation import evaluate_recall
+        rres = evaluate_recall(params, spec, samples, cfg,
+                               recall_iou=args.recall_iou, progress=True)
+        print(rres.summary())
+        return 0
     mesh, _ = build_mesh(args)
     if mesh is not None and args.batch % mesh.shape["data"]:
         print(f"error: --batch {args.batch} must be divisible by "

@@ -13,6 +13,9 @@ from modelcompression_tpu.evaluation.voc_map import (
 from modelcompression_tpu.evaluation.pipeline import (
     EvalConfig, EvalResult, dump_detections, evaluate, make_eval_step,
 )
+from modelcompression_tpu.evaluation.recall import (
+    RecallResult, evaluate_recall, make_recall_step,
+)
 
 __all__ = [
     "center_to_corners", "corners_to_image", "decode_region",
@@ -24,4 +27,5 @@ __all__ = [
     "voc_ap",
     "EvalConfig", "EvalResult", "dump_detections", "evaluate",
     "make_eval_step",
+    "RecallResult", "evaluate_recall", "make_recall_step",
 ]
