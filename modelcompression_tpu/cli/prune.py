@@ -7,6 +7,9 @@ Modes:
               repack; writes a rewritten cfg alongside the slimmed weights
   bn_gamma    network slimming (learned BN |gamma| filter ranking) —
               same repack machinery as l1_filter
+  taylor      first-order Taylor filter ranking (Molchanov et al. 2017):
+              |sum a * dL/da| measured on --score-batches training batches
+              from --data (required); same repack machinery as l1_filter
   lowrank     SVD-factor each conv into kxk->r linear + 1x1 (r chosen by
               --energy or --rank); writes a rewritten cfg whose factored
               layers are PLAIN convs (every surface consumes them)
@@ -45,11 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
     add_model_args(p)
     p.add_argument("--mode", default="magnitude",
                    choices=("magnitude", "global", "l1_filter", "bn_gamma",
-                            "lowrank"))
+                            "taylor", "lowrank"))
     p.add_argument("--sparsity", type=float, default=None,
                    help="target weight sparsity (magnitude/global modes)")
     p.add_argument("--fraction", type=float, default=None,
-                   help="filter drop fraction (l1_filter/bn_gamma modes)")
+                   help="filter drop fraction (l1_filter/bn_gamma/taylor "
+                        "modes)")
+    p.add_argument("--score-batches", type=int, default=8,
+                   help="taylor mode: number of training batches (of "
+                        "--batch images from --data) the gate-gradient "
+                        "scores are averaged over")
+    p.add_argument("--score-seed", type=int, default=0,
+                   help="taylor mode: shuffle seed for the scoring batches")
     p.add_argument("--fractions", default=None,
                    help="PER-LAYER drop fractions for l1_filter mode as "
                         "'convidx:frac,convidx:frac' (e.g. '0:0.25,2:0.5')"
@@ -94,8 +104,26 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _taylor_scores(args, spec, params, seen):
+    """Gate-gradient Taylor scores from --score-batches training batches
+    (compress/taylor.py). One XLA program, device-side accumulation."""
+    import itertools
+
+    from modelcompression_tpu.cli.common import load_train_dataset
+    from modelcompression_tpu.compress import taylor_filter_scores_device
+    from modelcompression_tpu.train.loader import BatchLoader
+
+    samples, _ = load_train_dataset(args)
+    loader = BatchLoader(samples, args.batch, spec.net.height,
+                         spec.net.width, seed=args.score_seed,
+                         drop_last=False)
+    batches = itertools.islice(iter(loader), args.score_batches)
+    return taylor_filter_scores_device(params, spec, batches, seen=seen)
+
+
 def _sweep(args, spec, params, seen) -> int:
     from modelcompression_tpu.cli.common import load_dataset
+    from modelcompression_tpu.compress import keep_sets_from_scores
     from modelcompression_tpu.evaluation import EvalConfig, evaluate
 
     points = [float(x) for x in args.sweep.split(",") if x]
@@ -106,14 +134,25 @@ def _sweep(args, spec, params, seen) -> int:
     samples = names = None
     if args.data:
         samples, names = load_dataset(args)
+    tay_scores = None
+    if args.mode == "taylor":
+        if not args.data:
+            print("error: taylor mode needs --data (scores are measured "
+                  "on training batches)", file=sys.stderr)
+            return 2
+        # scores are fraction-independent: measure once, rank per point
+        tay_scores = _taylor_scores(args, spec, params, seen)
     import os
     stem = os.path.splitext(args.out)[0]
     rows = []
     for v in points:
-        if args.mode in ("l1_filter", "bn_gamma"):
-            crit = "bn_gamma" if args.mode == "bn_gamma" else "l1"
-            keep = uniform_filter_fraction_keep_sets(spec, params, v,
-                                                     criterion=crit)
+        if args.mode in ("l1_filter", "bn_gamma", "taylor"):
+            if args.mode == "taylor":
+                keep = keep_sets_from_scores(tay_scores, v)
+            else:
+                crit = "bn_gamma" if args.mode == "bn_gamma" else "l1"
+                keep = uniform_filter_fraction_keep_sets(spec, params, v,
+                                                         criterion=crit)
             out_spec, out_params = repack(spec, params, keep)
             achieved = 1.0 - num_params(out_params) / num_params(params)
         else:
@@ -125,7 +164,7 @@ def _sweep(args, spec, params, seen) -> int:
         out = f"{stem}_{int(round(v * 100))}.weights"
         save_weights(out, out_spec, out_params, seen=seen)
         row = {"point": v, "achieved": achieved, "weights": out}
-        if args.mode in ("l1_filter", "bn_gamma"):
+        if args.mode in ("l1_filter", "bn_gamma", "taylor"):
             out_cfg = f"{stem}_{int(round(v * 100))}.cfg"
             with open(out_cfg, "w") as f:
                 f.write(dump_cfg(out_spec))
@@ -220,7 +259,7 @@ def main(argv=None) -> int:
             f.write(dump_cfg(fac_spec))
         print(f"wrote {out_cfg} (factored architecture — use it for "
               "eval/fine-tune)")
-    else:  # l1_filter / bn_gamma (structured; Liu et al. 2017 slimming)
+    else:  # l1_filter / bn_gamma / taylor (structured filter pruning)
         criterion = "bn_gamma" if args.mode == "bn_gamma" else "l1"
         if args.fraction is None and args.fractions is None:
             print(f"error: --fraction or --fractions is required for "
@@ -230,9 +269,16 @@ def main(argv=None) -> int:
             print(f"error: --fraction must be in [0, 1), got "
                   f"{args.fraction}", file=sys.stderr)
             return 2
+        tay_scores = None
+        if args.mode == "taylor":
+            if not args.data:
+                print("error: taylor mode needs --data (scores are "
+                      "measured on training batches)", file=sys.stderr)
+                return 2
+            tay_scores = _taylor_scores(args, spec, params, seen)
         if args.fractions is not None:
             from modelcompression_tpu.compress import (
-                l1_filter_keep_sets_scheduled,
+                keep_sets_from_scores, l1_filter_keep_sets_scheduled,
             )
             try:
                 sched = {}
@@ -244,13 +290,21 @@ def main(argv=None) -> int:
                     if not 0.0 <= f < 1.0:
                         raise ValueError(f"fraction {f} out of [0, 1)")
                     sched[int(idx)] = f
-                keep = l1_filter_keep_sets_scheduled(
-                    params, spec, sched, default=args.fraction or 0.0,
-                    criterion=criterion)
+                if args.mode == "taylor":
+                    keep = keep_sets_from_scores(
+                        tay_scores, fractions=sched,
+                        default=args.fraction or 0.0)
+                else:
+                    keep = l1_filter_keep_sets_scheduled(
+                        params, spec, sched, default=args.fraction or 0.0,
+                        criterion=criterion)
                 keep = {i: np.asarray(k) for i, k in keep.items()}
             except ValueError as e:
                 print(f"error: bad --fractions: {e}", file=sys.stderr)
                 return 2
+        elif args.mode == "taylor":
+            from modelcompression_tpu.compress import keep_sets_from_scores
+            keep = keep_sets_from_scores(tay_scores, args.fraction)
         else:
             keep = uniform_filter_fraction_keep_sets(spec, params,
                                                      args.fraction,

@@ -187,6 +187,29 @@ def _keep_from_scores(scores: "np.ndarray", fraction: float) -> "np.ndarray":
     return np.sort(order[n_drop:]).astype(np.int32)
 
 
+def keep_sets_from_scores(scores: Dict[int, "np.ndarray"],
+                          fraction: float = None,
+                          fractions: Dict[int, float] = None,
+                          default: float = 0.0) -> Dict[int, "np.ndarray"]:
+    """Rank-select keep-sets from ANY per-filter score map (L1, bn_gamma,
+    Taylor, ...): uniform ``fraction``, or a per-layer ``fractions``
+    schedule with ``default`` for unlisted layers. Same tie rule as every
+    criterion here (lowest index pruned first)."""
+    import numpy as np
+    if fractions is not None:
+        unknown = set(fractions) - set(scores)
+        if unknown:
+            raise ValueError(
+                f"fractions given for non-scored conv indices "
+                f"{sorted(unknown)}")
+        return {i: _keep_from_scores(np.asarray(s), fractions.get(i, default))
+                for i, s in scores.items()}
+    if fraction is None:
+        raise ValueError("need fraction or fractions")
+    return {i: _keep_from_scores(np.asarray(s), fraction)
+            for i, s in scores.items()}
+
+
 def l1_filter_keep(w_hwio, fraction: float) -> "np.ndarray":
     """Keep-set for one conv: drop the floor(fraction*O) lowest-L1 filters."""
     import numpy as np

@@ -1,0 +1,133 @@
+"""Taylor-expansion filter criterion (Molchanov et al. 2017, "Pruning
+Convolutional Neural Networks for Resource Efficient Inference").
+
+First-order estimate of the loss change from removing filter j:
+
+    theta_j = | sum_{batch, spatial} a_j * dL/da_j |
+
+where ``a_j`` is filter j's post-activation output. The data-free criteria
+(L1 weight norm, BN |gamma| — compress/criteria.py) rank filters by what
+they *are*; Taylor ranks them by what the LOSS would lose, measured on real
+training batches — the criterion Molchanov showed dominates weight norms on
+transfer/fine-tune tasks (PAPERS.md retrieval class).
+
+TPU-first formulation: instead of capturing intermediate activations (the
+reference-class torch approach hooks every module), we differentiate with
+respect to **all-ones per-filter gates** threaded through the existing
+``channel_masks`` hook of the forward pass (models/darknet.py:207-212 —
+post-activation channel multiplier). With gate g_j == 1 the chain rule gives
+
+    dL/dg_j = sum_{batch, spatial} a_j * dL/da_j
+
+exactly — one ``jax.grad`` over a (num_prunable_convs,) pytree of tiny
+vectors, no hooks, no activation storage beyond what autodiff already keeps.
+The whole scoring pass (forward + backward + |.| + accumulate) is ONE XLA
+program reused across batches (remote compile is 20-50 s per program —
+CLAUDE.md), with score totals living on device until a single final readback.
+
+Scores are layer-wise L2-normalized (Molchanov §3.3) before being returned;
+per-layer rank selection is normalization-invariant, but the normalized
+scores are comparable across layers for reporting and scheduled pruning.
+The per-element 1/M average of the paper is a per-layer constant and
+cancels under the same normalization, so it is omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.core.precision import BITMATCH, Precision
+from modelcompression_tpu.models.cfg import NetworkSpec
+from modelcompression_tpu.models.darknet import Params, conv_key, forward
+
+
+def taylor_gate_indices(spec: NetworkSpec,
+                        skip: Sequence[int] = ()) -> Tuple[int, ...]:
+    """Prunable conv indices for Taylor scoring: every conv except the
+    detection conv (its channel count is the decode contract) and any
+    explicitly skipped layer — the same protection rule as the L1 /
+    bn_gamma criteria (compress/criteria.py)."""
+    conv_idx = spec.conv_indices()
+    protected = set(skip) | {conv_idx[-1]}
+    return tuple(i for i in conv_idx if i not in protected)
+
+
+def _make_score_step(spec: NetworkSpec, precision: Precision):
+    """One jitted program: forward (train-mode BN, gated channels) +
+    region loss + grad w.r.t. the gates + |.| accumulate into totals."""
+    region = spec.region
+
+    from modelcompression_tpu.train.region_loss import region_loss
+
+    @jax.jit
+    def score_step(params, gates, totals, images, targets, seen):
+        def loss_fn(g):
+            x = images.astype(jnp.float32) / 255.0
+            raw = forward(params, x, spec, precision=precision,
+                          train_stats=True, channel_masks=g)
+            return region_loss(raw, targets, region, seen).loss
+
+        grads = jax.grad(loss_fn)(gates)
+        # gate == 1, so dL/dg_j is already sum(a_j * dL/da_j); Molchanov
+        # takes |.| per minibatch, then averages across minibatches
+        return {i: totals[i] + jnp.abs(g.astype(jnp.float32))
+                for i, g in grads.items()}
+
+    return score_step
+
+
+def taylor_filter_scores_device(
+        params: Params, spec: NetworkSpec,
+        batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+        skip: Sequence[int] = (),
+        seen: int = 0,
+        precision: Precision = BITMATCH) -> Dict[int, np.ndarray]:
+    """Taylor filter scores over ``batches`` of (uint8 NHWC images,
+    (B, M, 5) padded targets) — the BatchLoader batch shape.
+
+    Accumulates on device across all batches (one program, one final
+    readback) and returns {conv_layer_idx: (filters,) float32 scores},
+    layer-wise L2-normalized. Raises if ``batches`` is empty — a silent
+    all-zero score would prune by tie-order, which is never intended.
+    """
+    gate_idx = taylor_gate_indices(spec, skip)
+    gates = {i: jnp.ones((spec.layers[i].filters,), jnp.float32)
+             for i in gate_idx}
+    totals = {i: jnp.zeros((spec.layers[i].filters,), jnp.float32)
+              for i in gate_idx}
+    step = _make_score_step(spec, precision)
+    seen_arr = jnp.asarray(seen, jnp.int32)
+    n = 0
+    for images, targets in batches:
+        totals = step(params, gates, totals,
+                      jnp.asarray(images), jnp.asarray(targets), seen_arr)
+        n += 1
+    if n == 0:
+        raise ValueError("taylor scoring needs at least one batch")
+    host = jax.device_get(totals)
+    out: Dict[int, np.ndarray] = {}
+    for i, s in host.items():
+        s = np.asarray(s, np.float32) / n
+        norm = float(np.sqrt(np.sum(s * s)))
+        out[i] = s / norm if norm > 0 else s
+    return out
+
+
+def taylor_filter_keep_sets(
+        params: Params, spec: NetworkSpec,
+        batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+        fraction: float,
+        skip: Sequence[int] = (),
+        seen: int = 0,
+        precision: Precision = BITMATCH) -> Dict[int, np.ndarray]:
+    """Keep-sets dropping the floor(fraction*O) lowest-Taylor-score filters
+    per prunable conv — same rank/tie semantics as the L1 path
+    (compress/criteria.py), drop-in for repack()."""
+    from modelcompression_tpu.compress.criteria import keep_sets_from_scores
+    scores = taylor_filter_scores_device(params, spec, batches, skip=skip,
+                                         seen=seen, precision=precision)
+    return keep_sets_from_scores(scores, fraction)

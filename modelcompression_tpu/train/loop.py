@@ -130,7 +130,8 @@ def iterative_prune_finetune(
         initial_seen: int = 0,
         mesh=None, tp: bool = False,
         mask_backend: str = DEFAULT_MASK_BACKEND,
-        distill: Optional[DistillPlan] = None) -> List[IterativeRound]:
+        distill: Optional[DistillPlan] = None,
+        taylor_batches: int = 8) -> List[IterativeRound]:
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
@@ -183,12 +184,29 @@ def iterative_prune_finetune(
         rng, round_key = jax.random.split(rng)
         if ridx < start_round:
             continue
-        if mode in ("l1_filter", "bn_gamma"):
+        if mode in ("l1_filter", "bn_gamma", "taylor"):
             # incremental fraction relative to remaining filters
             inc = 1.0 - (1.0 - frac) / (1.0 - prev_frac)
-            keep_sets = uniform_filter_fraction_keep_sets(
-                spec, params, inc,
-                criterion="bn_gamma" if mode == "bn_gamma" else "l1")
+            if mode == "taylor":
+                # Molchanov's recipe: rank by gate-gradient Taylor scores
+                # measured on training batches of the CURRENT (already
+                # slimmed + fine-tuned) model. The scoring batches come off
+                # the shared loader stream — they are training data, and a
+                # resumed run rebuilds the loader at a round boundary, so
+                # the stream semantics match an uninterrupted run's.
+                import itertools
+
+                from modelcompression_tpu.compress import (
+                    taylor_filter_keep_sets,
+                )
+                keep_sets = taylor_filter_keep_sets(
+                    params, spec,
+                    itertools.islice(iter(loader), taylor_batches), inc,
+                    seen=seen_running, precision=config.precision)
+            else:
+                keep_sets = uniform_filter_fraction_keep_sets(
+                    spec, params, inc,
+                    criterion="bn_gamma" if mode == "bn_gamma" else "l1")
             if repack_each_round:
                 spec, params = repack(spec, params, keep_sets)
                 channel_masks = {}
