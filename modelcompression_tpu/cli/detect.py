@@ -1,13 +1,15 @@
 """Detect CLI — inference with drawn boxes (the reference-class demo
-script, SURVEY.md §2.1 'detect / demo', §3.5): one image (--image) or a
-whole directory (--dir) batched through the same ONE fused program the
-eval pipeline uses.
+script, SURVEY.md §2.1 'detect / demo', §3.5): one image (--image), a
+whole directory (--dir), or a video file (--video) batched through the
+same ONE fused program the eval pipeline uses.
 
 Examples:
   detect --cfg yolov2-voc.cfg --weights yolov2.weights \
          --image dog.jpg --out prediction.png --conf 0.25
   detect --cfg yolov2-voc.cfg --weights yolov2.weights \
          --dir frames/ --out-dir detections/ --batch 16
+  detect --cfg yolov2-voc.cfg --weights yolov2.weights \
+         --video clip.avi --out-video pred.avi --batch 16
 """
 
 from __future__ import annotations
@@ -41,8 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "partial batch; annotated copies go to --out-dir)")
     p.add_argument("--out-dir", default="detections",
                    help="with --dir: output directory for drawn images")
+    p.add_argument("--video", default=None,
+                   help="detect on every frame of a video file, batched "
+                        "through one fused program; annotated video goes "
+                        "to --out-video (the reference-class demo loop)")
+    p.add_argument("--out-video", default="prediction.avi",
+                   help="with --video: output video path (.avi uses the "
+                        "MJPG codec — always available offline; other "
+                        "extensions try mp4v)")
     p.add_argument("--batch", type=int, default=16,
-                   help="with --dir: device batch size (one compile)")
+                   help="with --dir/--video: device batch size "
+                        "(one compile)")
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--nms", type=float, default=0.45)
     p.add_argument("--names", default=None, help=".names file")
@@ -136,6 +147,86 @@ def _detect_dir(args, spec, folded, cfg, names) -> int:
     return 0
 
 
+def _detect_video(args, spec, folded, cfg, names) -> int:
+    """Video mode: stream frames off the container, letterbox on host,
+    run the fused eval step at a fixed batch, write the annotated frames
+    back out. Same padded-final-batch strategy as --dir."""
+    import os
+    import time
+
+    import cv2
+
+    cap = cv2.VideoCapture(args.video)
+    if not cap.isOpened():
+        print(f"error: cannot open video {args.video}", file=sys.stderr)
+        return 2
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    fps = float(fps) if fps and fps > 0 else 25.0
+    ext = os.path.splitext(args.out_video)[1].lower()
+    fourcc = cv2.VideoWriter_fourcc(*("MJPG" if ext == ".avi" else "mp4v"))
+    net_h, net_w = spec.net.height, spec.net.width
+    step = make_eval_step(spec, cfg)
+    b = max(1, args.batch)
+    writer = None
+    size0 = None
+    total = frames = 0
+    t0 = time.time()
+    while True:
+        ims = []
+        while len(ims) < b:
+            ok, im = cap.read()
+            if not ok:
+                break
+            ims.append(im)
+        if not ims:
+            break
+        canvases, ws, hs = [], [], []
+        for im in ims:
+            canvas, _, _, _ = letterbox_host(im[:, :, ::-1], net_h, net_w)
+            canvases.append(canvas)
+            hs.append(float(im.shape[0]))
+            ws.append(float(im.shape[1]))
+        while len(canvases) < b:  # pad to the compiled batch
+            canvases.append(canvases[-1])
+            ws.append(ws[-1])
+            hs.append(hs[-1])
+        sel, sc, valid, _, _ = step(
+            folded, jnp.asarray(np.stack(canvases)),
+            jnp.asarray(ws), jnp.asarray(hs))
+        sel, sc, valid = (np.asarray(a) for a in (sel, sc, valid))
+        for j, im in enumerate(ims):
+            total += _draw_detections(im, sel[j], sc[j], valid[j], names,
+                                      int(ws[j]), int(hs[j]), quiet=True)
+            if writer is None:
+                size0 = (im.shape[1], im.shape[0])
+                writer = cv2.VideoWriter(args.out_video, fourcc, fps, size0)
+                if not writer.isOpened():
+                    print(f"error: cannot open writer for "
+                          f"{args.out_video} (codec "
+                          f"{'MJPG' if ext == '.avi' else 'mp4v'})",
+                          file=sys.stderr)
+                    cap.release()
+                    return 2
+            if (im.shape[1], im.shape[0]) != size0:
+                print("error: variable frame size mid-stream",
+                      file=sys.stderr)
+                cap.release()
+                writer.release()
+                return 2
+            writer.write(im)
+            frames += 1
+    cap.release()
+    if writer is None:
+        print(f"error: no frames decoded from {args.video}",
+              file=sys.stderr)
+        return 2
+    writer.release()
+    wall = time.time() - t0
+    print(f"{total} detections over {frames} frames "
+          f"({frames / wall:.1f} fps incl. video IO) -> {args.out_video}")
+    return 0
+
+
 def main(argv=None) -> int:
     import cv2
     args = build_parser().parse_args(argv)
@@ -143,9 +234,9 @@ def main(argv=None) -> int:
         print("error: exactly one of --weights, --qmodel or --cmodel is "
               "required", file=sys.stderr)
         return 2
-    if sum(map(bool, (args.image, args.dir))) != 1:
-        print("error: exactly one of --image or --dir is required",
-              file=sys.stderr)
+    if sum(map(bool, (args.image, args.dir, args.video))) != 1:
+        print("error: exactly one of --image, --dir or --video is "
+              "required", file=sys.stderr)
         return 2
     enable_compilation_cache()
     try:
@@ -169,6 +260,8 @@ def main(argv=None) -> int:
 
     if args.dir:
         return _detect_dir(args, spec, folded, cfg, names)
+    if args.video:
+        return _detect_video(args, spec, folded, cfg, names)
 
     img = cv2.imread(args.image, cv2.IMREAD_COLOR)
     if img is None:

@@ -448,6 +448,57 @@ def test_detect_cli_smoke(tmp_path):
     assert detect.main(["--cfg", cfg_path, "--image", img_path]) == 2
 
 
+def test_detect_cli_video(tmp_path):
+    """detect --video: every frame batched through the fused step (final
+    partial batch padded), annotated video written frame-for-frame."""
+    import cv2
+
+    from modelcompression_tpu.cli import detect
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+
+    spec_txt = tiny_region_cfg(num_classes=3, width=96, height=96)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(spec_txt)
+    spec = parse_cfg(spec_txt)
+    params = init_params(spec, jax.random.key(0))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+
+    # 5 synthetic frames with a solid fixture-style box, MJPG AVI
+    vid = str(tmp_path / "clip.avi")
+    wtr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                          (120, 80))
+    assert wtr.isOpened()
+    rng = np.random.default_rng(0)
+    for i in range(5):  # 5 frames, batch 2 -> final partial batch padded
+        frame = rng.integers(90, 130, (80, 120, 3), dtype=np.uint8)
+        frame[20:60, 30 + 5 * i:80 + 5 * i] = (40, 40, 220)  # BGR red box
+        wtr.write(frame)
+    wtr.release()
+
+    out = str(tmp_path / "pred.avi")
+    rc = detect.main(["--cfg", cfg_path, "--weights", wpath,
+                      "--video", vid, "--out-video", out,
+                      "--batch", "2", "--conf", "0.001"])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (80, 120, 3)
+        n += 1
+    cap.release()
+    assert n == 5  # frame-for-frame, no padded rows leaked
+
+    # missing video file is a usage error, not a traceback
+    rc = detect.main(["--cfg", cfg_path, "--weights", wpath,
+                      "--video", str(tmp_path / "nope.avi")])
+    assert rc == 2
+
+
 def test_eval_cli_nms_switches(tmp_path):
     """--exact-nms and --nms-prefilter reach the pipeline through the
     public CLI surface (truncation audit + deployment prefilter)."""
