@@ -138,6 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterate-mode", default="l1_filter",
                    choices=("l1_filter", "bn_gamma", "taylor", "magnitude",
                             "global"))
+    p.add_argument("--taylor-batches", type=int, default=8,
+                   help="--iterate-mode taylor: training batches per round "
+                        "the gate-gradient filter scores average over "
+                        "(compress/taylor.py)")
     p.add_argument("--mask-backend", default=DEFAULT_MASK_BACKEND,
                    choices=MASK_BACKENDS,
                    help="magnitude/global mask implementation for "
@@ -303,7 +307,8 @@ def main(argv=None) -> int:
             mode=args.iterate_mode, rng=jax.random.key(args.seed),
             logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume,
             initial_seen=seen, mesh=mesh, tp=tp,
-            mask_backend=args.mask_backend, distill=distill_plan)
+            mask_backend=args.mask_backend, distill=distill_plan,
+            taylor_batches=args.taylor_batches)
         if not rounds:
             print("nothing to do: all rounds already checkpointed")
             return 0

@@ -205,6 +205,39 @@ def test_prune_cli_taylor_mode(tmp_path):
     assert rc == 2
 
 
+def test_finetune_cli_iterate_taylor(tmp_path):
+    """finetune --iterate-mode taylor --taylor-batches through the public
+    CLI surface: one round, physically repacked output + rewritten cfg."""
+    from modelcompression_tpu.cli import finetune
+    from modelcompression_tpu.models import load_cfg, save_weights
+    from modelcompression_tpu.models.cfg import ConvLayer
+
+    spec = _spec()
+    cfg_path = str(tmp_path / "tiny.cfg")
+    open(cfg_path, "w").write(
+        tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(6))
+    w_path = str(tmp_path / "init.weights")
+    save_weights(w_path, spec, jax.tree.map(np.asarray, params), seen=0)
+    data = make_fake_voc(str(tmp_path / "voc"), n_images=4, image_size=64)
+
+    out = str(tmp_path / "slim.weights")
+    out_cfg = str(tmp_path / "slim.cfg")
+    rc = finetune.main([
+        "--cfg", cfg_path, "--weights", w_path, "--data", data,
+        "--steps", "2", "--batch", "2", "--max-boxes", "8",
+        "--iterate", "0.25", "--iterate-mode", "taylor",
+        "--taylor-batches", "2", "--out", out, "--out-cfg", out_cfg,
+    ])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.exists(out_cfg)
+    slim = load_cfg(out_cfg)
+    convs = [l for l in slim.layers if isinstance(l, ConvLayer)]
+    orig = [l for l in spec.layers if isinstance(l, ConvLayer)]
+    assert convs[-1].filters == orig[-1].filters  # detection conv protected
+    assert sum(c.filters for c in convs) < sum(c.filters for c in orig)
+
+
 def test_iterative_loop_taylor_mode(tmp_path):
     from modelcompression_tpu.cli.common import load_train_dataset
     from modelcompression_tpu.train import (

@@ -1,11 +1,18 @@
 """The headline accuracy-contract shape (BASELINE.json:5,9,10) on the
-learnable fixture: train to high mAP, then the iterative L1-filter loop
+learnable fixture: train to high mAP, then the iterative filter-prune loop
 0.25 -> 0.5 -> 0.75 with PHYSICAL repack each round, measuring mAP@50
 right after each prune (drop) and after each round's fine-tune
 (recovery). The 0.75 row is the fixture-task stand-in for the
 "<= 2.0 mAP@50 drop at 75% filter pruning" contract until real VOC
 exists (SURVEY.md §7.5). Deterministic on the CPU backend; results
-recorded in docs/PERF.md."""
+recorded in docs/PERF.md.
+
+``--criterion {l1,bn_gamma,taylor}`` selects the filter-ranking criterion
+so the three structured criteria can be compared head-to-head on the
+identical schedule/seeds (taylor scores on 4 training batches per round,
+compress/taylor.py)."""
+import argparse
+import itertools
 import sys
 import tempfile
 
@@ -17,7 +24,7 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 import jax.numpy as jnp  # noqa: E402
 
 from modelcompression_tpu.compress import (  # noqa: E402
-    repack, uniform_filter_fraction_keep_sets,
+    repack, taylor_filter_keep_sets, uniform_filter_fraction_keep_sets,
 )
 from modelcompression_tpu.data.fixtures import (  # noqa: E402
     FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
@@ -55,6 +62,10 @@ def train_steps(spec, params, samples, n, seed):
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--criterion", default="l1",
+                    choices=("l1", "bn_gamma", "taylor"))
+    args = ap.parse_args()
     root = tempfile.mkdtemp(prefix="l1sweep")
     data_cfg = make_fake_voc(root, n_images=16, image_size=96, seed=0)
     samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
@@ -62,13 +73,23 @@ def main():
     params = init_params(spec, jax.random.key(0))
     params, loss = train_steps(spec, params, samples, BASE_STEPS, seed=1)
     base = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL).map50
+    print(f"criterion: {args.criterion}")
     print(f"baseline: {BASE_STEPS} steps, loss {loss:.2f}, "
           f"mAP@50 {base*100:.1f}, params {num_params(params)/1e3:.0f}k")
 
     prev_frac = 0.0
     for ridx, frac in enumerate(FRACTIONS):
         inc = 1.0 - (1.0 - frac) / (1.0 - prev_frac)
-        keep = uniform_filter_fraction_keep_sets(spec, params, inc)
+        if args.criterion == "taylor":
+            score_loader = BatchLoader(samples, batch_size=8, net_h=96,
+                                       net_w=96, max_boxes=8,
+                                       seed=100 + ridx)
+            keep = taylor_filter_keep_sets(
+                params, spec, itertools.islice(iter(score_loader), 4), inc,
+                seen=20000)
+        else:
+            keep = uniform_filter_fraction_keep_sets(
+                spec, params, inc, criterion=args.criterion)
         spec, params = repack(spec, params, keep)
         pruned = evaluate(params, spec, samples, FIXTURE_CLASSES,
                           EVAL).map50
