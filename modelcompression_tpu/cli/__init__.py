@@ -1,5 +1,6 @@
 """CLI entry points mirroring the reference's public script API
-(BASELINE.json:5): prune, finetune, eval, train, detect.
+(BASELINE.json:5): prune, finetune, eval, train, detect — plus summary
+(layer table) and deploy (the docs/DEPLOYMENT.md recipe as one command).
 
 Run as modules:  python -m modelcompression_tpu.cli.prune --help
 """

@@ -572,7 +572,8 @@ def test_cli_help_surfaces():
     --help without import errors — the reference's script surface stays
     invocable (BASELINE.json:5)."""
     import pytest
-    for mod in ("prune", "finetune", "eval", "train", "detect"):
+    for mod in ("prune", "finetune", "eval", "train", "detect", "summary",
+                "deploy"):
         m = __import__(f"modelcompression_tpu.cli.{mod}",
                        fromlist=["main"])
         with pytest.raises(SystemExit) as e:
