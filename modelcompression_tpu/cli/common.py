@@ -70,9 +70,13 @@ def build_mesh(args):
 
 def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--data", required=True,
-                   help=".data file (train=/valid=/names=) or VOCdevkit root")
+                   help=".data file (train=/valid=/names=), VOCdevkit "
+                        "root, or COCO instances_*.json")
     p.add_argument("--image-set", default="test",
                    help="VOCdevkit image set (when --data is a devkit root)")
+    p.add_argument("--image-dir", default=None,
+                   help="with a COCO --data json: image directory "
+                        "(default: the standard <root>/<split>/ layout)")
 
 
 def resolve_batch_subdivisions(args, spec):
@@ -142,6 +146,10 @@ def load_dataset(args):
     if os.path.isdir(data):  # VOCdevkit root
         return (load_voc_devkit(data, image_set=args.image_set),
                 list(VOC_CLASSES))
+    if data.endswith(".json"):  # COCO instances file (one split per file)
+        from modelcompression_tpu.data.coco import load_coco_json
+        return load_coco_json(data,
+                              image_dir=getattr(args, "image_dir", None))
     cfg = read_data_cfg(data)
     names = read_names(cfg["names"]) if "names" in cfg else list(VOC_CLASSES)
     key = "valid" if "valid" in cfg else "train"
@@ -150,6 +158,10 @@ def load_dataset(args):
 
 def load_train_dataset(args):
     data = args.data
+    if data.endswith(".json"):
+        from modelcompression_tpu.data.coco import load_coco_json
+        return load_coco_json(data,
+                              image_dir=getattr(args, "image_dir", None))
     if os.path.isdir(data):
         # honor an explicit --image-set; 'test' is the eval-side default so
         # treat it as unset here and use the darknet training convention

@@ -149,6 +149,69 @@ def make_fake_voc_devkit(root: str, n_images: int = 8,
     return root
 
 
+def make_fake_coco(root: str, n_images: int = 8, image_size: int = 416,
+                   max_objects: int = 3, seed: int = 0,
+                   split: str = "val2017",
+                   class_names: Tuple[str, ...] = FIXTURE_CLASSES) -> str:
+    """Write a COCO-SHAPED synthetic dataset; returns the path of the
+    ``instances_<split>.json`` to pass as ``--data``.
+
+    Layout is the real COCO distribution's (the drop-in contract, like
+    ``make_fake_voc_devkit`` for VOC): ``<root>/annotations/
+    instances_<split>.json`` + ``<root>/<split>/<file_name>`` images.
+    Category ids are deliberately SPARSE (1, 3, 7, ...) to exercise the
+    contiguous-index remapping real COCO needs, and roughly one object
+    per ~4 is flagged ``iscrowd`` (mapped to ``difficult`` by the
+    loader). Same rectangle-color task as ``make_fake_voc``.
+    """
+    import json
+
+    import cv2
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, split)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    sparse_ids = [1 + 2 * k + (k > 1) for k in range(len(class_names))]
+    coco = {
+        "images": [], "annotations": [],
+        "categories": [{"id": cid, "name": n}
+                       for cid, n in zip(sparse_ids, class_names)],
+    }
+    ann_id = 1
+    for i in range(n_images):
+        h = w = image_size
+        img = np.full((h, w, 3), 110, np.uint8)
+        noise = rng.integers(0, 30, (h, w, 3), dtype=np.uint8)
+        img = np.clip(img.astype(np.int16) + noise - 15, 0, 255) \
+            .astype(np.uint8)
+        file_name = f"{i:012d}.jpg"
+        coco["images"].append({"id": i + 1, "file_name": file_name,
+                               "width": w, "height": h})
+        for _ in range(int(rng.integers(1, max_objects + 1))):
+            cls = int(rng.integers(0, len(class_names)))
+            bw = int(rng.integers(w // 8, w // 3))
+            bh = int(rng.integers(h // 8, h // 3))
+            x1 = int(rng.integers(0, w - bw))
+            y1 = int(rng.integers(0, h - bh))
+            img[y1:y1 + bh, x1:x1 + bw] = _COLORS[cls % len(_COLORS)]
+            coco["annotations"].append({
+                "id": ann_id, "image_id": i + 1,
+                "category_id": sparse_ids[cls],
+                "bbox": [float(x1), float(y1), float(bw), float(bh)],
+                "area": float(bw * bh),
+                "iscrowd": int(rng.integers(0, 4) == 0),
+            })
+            ann_id += 1
+        cv2.imwrite(os.path.join(img_dir, file_name), img[:, :, ::-1])
+
+    ann_path = os.path.join(ann_dir, f"instances_{split}.json")
+    with open(ann_path, "w") as f:
+        json.dump(coco, f)
+    return ann_path
+
+
 def tiny_region_cfg(num_classes: int = 3, width: int = 416,
                     height: int = 416) -> str:
     """A minimal fast Tiny-YOLO-style cfg for fixture integration tests
