@@ -1,6 +1,7 @@
 """CLI entry points mirroring the reference's public script API
 (BASELINE.json:5): prune, finetune, eval, train, detect — plus summary
-(layer table) and deploy (the docs/DEPLOYMENT.md recipe as one command).
+(layer table), deploy (the docs/DEPLOYMENT.md recipe as one command),
+and export (the fused serving program as a TF SavedModel).
 
 Run as modules:  python -m modelcompression_tpu.cli.prune --help
 """

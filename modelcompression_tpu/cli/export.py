@@ -1,0 +1,170 @@
+"""Export CLI — package the fused serving program as a TensorFlow
+SavedModel for deployment off-TPU (CPU/edge TF serving stacks).
+
+What gets exported is the SAME one-program serving pipeline eval/detect
+run on the TPU — normalize -> forward -> decode -> NMS -> source-pixel
+coordinate mapping (evaluation/pipeline.make_eval_step) — converted with
+``jax.experimental.jax2tf`` (native StableHLO serialization, lowered for
+the requested platforms) with the weights baked into the graph as
+constants. Serving the artifact needs TensorFlow only: no JAX, no
+weights file, no Python from this repo.
+
+The export is verified before the CLI returns: the SavedModel is loaded
+back and run against the live JAX program on a random batch (both on
+CPU), and the detection outputs must agree.
+
+Example:
+  export --cfg slim.cfg --weights slim.weights --out saved_model/ \
+         --batch 1 --conf 0.25
+
+Serving:
+  m = tf.saved_model.load("saved_model/")
+  boxes, scores, valid, n_cand, n_any = m.serve(images_u8, widths, heights)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from modelcompression_tpu.cli.common import add_model_args, \
+    load_serving_model
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="export", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_model_args(p, weights_required=False)
+    p.add_argument("--qmodel", default=None, metavar="PATH",
+                   help="export from an int8 deployment artifact instead "
+                        "of --weights (int8 grids baked into the graph)")
+    p.add_argument("--cmodel", default=None, metavar="PATH",
+                   help="export from a weight-sharing artifact instead "
+                        "of --weights")
+    p.add_argument("--out", required=True, help="SavedModel directory")
+    p.add_argument("--batch", type=int, default=1,
+                   help="compiled serving batch size")
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--nms", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=50,
+                   help="top-K detections per class")
+    p.add_argument("--platforms", default="cpu",
+                   help="comma list of StableHLO lowering targets "
+                        "(cpu, tpu, cuda)")
+    p.add_argument("--precision", default="bitmatch",
+                   choices=("bitmatch", "fast"),
+                   help="compute precision baked into the graph: "
+                        "'bitmatch' (f32 — the natural CPU-serving dtype, "
+                        "and tight verification) or 'fast' (bf16, the TPU "
+                        "pipeline's dtype; TF's XLA re-fuses the graph so "
+                        "near-threshold detections may flip vs JAX and "
+                        "verification is score-tolerant)")
+    p.add_argument("--no-verify", action="store_true",
+                   help="skip the reload-and-compare check")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if sum(map(bool, (args.weights, args.qmodel, args.cmodel))) != 1:
+        print("error: exactly one of --weights, --qmodel or --cmodel is "
+              "required", file=sys.stderr)
+        return 2
+    if args.batch < 1:
+        print(f"error: --batch must be >= 1, got {args.batch}",
+              file=sys.stderr)
+        return 2
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from modelcompression_tpu.core.precision import BITMATCH, FAST
+    from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
+    from modelcompression_tpu.models import fold_batchnorm
+
+    # everything here is host-side tracing + one CPU verification run;
+    # stay off the TPU entirely (conversion must not depend on it)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        try:
+            spec, params, quantized = load_serving_model(args)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        precision = BITMATCH if args.precision == "bitmatch" else FAST
+        cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
+                         max_detections=args.max_det, precision=precision)
+        if quantized:
+            from modelcompression_tpu.compress import forward_quantized
+            served = jax.tree.map(jnp.asarray, params)
+            cfg.forward_fn = forward_quantized
+        else:
+            served = fold_batchnorm(jax.tree.map(jnp.asarray, params),
+                                    spec)
+        step = make_eval_step(spec, cfg)
+
+        def serve(images, ws, hs):
+            return step(served, images, ws, hs)
+
+        b = args.batch
+        net_h, net_w = spec.net.height, spec.net.width
+        sig = [tf.TensorSpec((b, net_h, net_w, 3), tf.uint8, name="images"),
+               tf.TensorSpec((b,), tf.float32, name="width"),
+               tf.TensorSpec((b,), tf.float32, name="height")]
+        f_tf = jax2tf.convert(serve, with_gradient=False,
+                              native_serialization_platforms=platforms)
+        module = tf.Module()
+        module.serve = tf.function(f_tf, autograph=False,
+                                   input_signature=sig)
+        tf.saved_model.save(
+            module, args.out,
+            signatures={"serving_default":
+                        module.serve.get_concrete_function(*sig)})
+        print(f"wrote SavedModel to {args.out} "
+              f"(batch {b}, {net_h}x{net_w}, platforms {platforms}, "
+              f"{'int8 qmodel' if quantized else 'f32'} weights baked in)")
+
+        if args.no_verify:
+            return 0
+        if "cpu" not in platforms:
+            print("verify skipped: needs 'cpu' in --platforms")
+            return 0
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 256, (b, net_h, net_w, 3), dtype=np.uint8)
+        ws = np.full((b,), float(net_w), np.float32)
+        hs = np.full((b,), float(net_h), np.float32)
+        loaded = tf.saved_model.load(args.out)
+        got = [np.asarray(t) for t in loaded.serve(images, ws, hs)]
+        want = [np.asarray(t) for t in serve(jnp.asarray(images),
+                                             jnp.asarray(ws),
+                                             jnp.asarray(hs))]
+        names = ("boxes", "scores", "valid", "n_cand", "n_any")
+        if args.precision == "fast":
+            # bf16 graphs re-fuse under TF's XLA: near-threshold
+            # detections may flip rows, so report drift instead of
+            # requiring row-for-row equality
+            agree = float(np.mean(got[2] == want[2]))
+            sdiff = float(np.max(np.abs(got[1] - want[1])))
+            print(f"verify (fast/bf16, advisory): valid-flag agreement "
+                  f"{agree:.2%}, max score drift {sdiff:.2e}")
+            return 0
+        for name, g, w in zip(names, got, want):
+            if not np.allclose(g, w, rtol=1e-5, atol=1e-4):
+                print(f"error: verify mismatch on {name}: max diff "
+                      f"{np.max(np.abs(g.astype(np.float64) - w.astype(np.float64)))}",
+                      file=sys.stderr)
+                return 1
+        n = int(got[2].sum())
+        print(f"verify ok: SavedModel == JAX on a random batch "
+              f"({n} detections)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -573,7 +573,7 @@ def test_cli_help_surfaces():
     invocable (BASELINE.json:5)."""
     import pytest
     for mod in ("prune", "finetune", "eval", "train", "detect", "summary",
-                "deploy"):
+                "deploy", "export"):
         m = __import__(f"modelcompression_tpu.cli.{mod}",
                        fromlist=["main"])
         with pytest.raises(SystemExit) as e:

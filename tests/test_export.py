@@ -1,0 +1,76 @@
+"""SavedModel export (cli/export.py): the fused serving program converts
+to TF, reloads, and matches the live JAX program (the CLI verifies this
+itself — rc 0 means the reload-and-compare passed)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from modelcompression_tpu.data.fixtures import tiny_region_cfg
+from modelcompression_tpu.models import (
+    fold_batchnorm, init_params, parse_cfg, save_weights,
+)
+
+tf = pytest.importorskip("tensorflow")
+
+
+def _model(tmp_path, seed=0):
+    txt = tiny_region_cfg(num_classes=3, width=64, height=64)
+    cfg_path = str(tmp_path / "tiny.cfg")
+    open(cfg_path, "w").write(txt)
+    spec = parse_cfg(txt)
+    params = init_params(spec, jax.random.key(seed))
+    w_path = str(tmp_path / "w.weights")
+    save_weights(w_path, spec, jax.tree.map(np.asarray, params), seen=0)
+    return cfg_path, w_path, spec, params
+
+
+def test_export_savedmodel_roundtrip(tmp_path):
+    from modelcompression_tpu.cli import export
+
+    cfg_path, w_path, spec, _ = _model(tmp_path)
+    out = str(tmp_path / "sm")
+    rc = export.main(["--cfg", cfg_path, "--weights", w_path,
+                      "--out", out, "--batch", "2", "--conf", "0.001"])
+    assert rc == 0  # includes the CLI's own reload-and-compare
+    assert os.path.exists(os.path.join(out, "saved_model.pb"))
+
+    # independent serve: TF alone produces detections with the right
+    # shapes and pixel-range boxes
+    m = tf.saved_model.load(out)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    boxes, scores, valid, n_cand, n_any = m.serve(
+        imgs, np.full((2,), 64.0, np.float32),
+        np.full((2,), 64.0, np.float32))
+    assert boxes.shape[:2] == (2, 3) and boxes.shape[-1] == 4
+    assert scores.shape == valid.shape == boxes.shape[:3]
+    assert n_cand.shape == (2, 3) and n_any.shape == (2,)
+
+    # usage errors
+    assert export.main(["--cfg", cfg_path, "--out", out]) == 2
+    assert export.main(["--cfg", cfg_path, "--weights", w_path,
+                        "--out", out, "--batch", "0"]) == 2
+
+
+def test_export_qmodel(tmp_path):
+    """int8 deployment artifacts export too (quantized grids baked in)."""
+    from modelcompression_tpu.cli import export
+    from modelcompression_tpu.compress import (
+        quantize_from_batches, save_qmodel,
+    )
+
+    cfg_path, w_path, spec, params = _model(tmp_path, seed=1)
+    rng = np.random.default_rng(2)
+    q = quantize_from_batches(
+        fold_batchnorm(params, spec), spec,
+        [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)])
+    qm = str(tmp_path / "model.qz")
+    save_qmodel(qm, q, spec)
+    out = str(tmp_path / "sm_q")
+    rc = export.main(["--cfg", cfg_path, "--qmodel", qm,
+                      "--out", out, "--batch", "1", "--conf", "0.001"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "saved_model.pb"))
