@@ -195,6 +195,24 @@ def load_serving_model(args):
     return spec, params, False
 
 
+def prepare_serving(spec, params, quantized: bool, cfg):
+    """Finish what ``load_serving_model`` started: return the
+    device-ready serving pytree and point ``cfg.forward_fn`` at the
+    quantized forward when the artifact is int8 (already BN-folded at
+    save time), else BN-fold the f32 params. The ONE place the
+    eval/detect/export/deploy CLIs share this, so a change to the
+    quantized-forward contract lands in all of them at once."""
+    import jax
+    import jax.numpy as jnp
+
+    if quantized:
+        from modelcompression_tpu.compress import forward_quantized
+        cfg.forward_fn = forward_quantized  # (p, x, s[, precision=FAST])
+        return jax.tree.map(jnp.asarray, params)
+    from modelcompression_tpu.models import fold_batchnorm
+    return fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
+
+
 def prep_calibration(spec, samples, n_images: int, selector: str,
                      letterbox: bool = True, what: str = "int8"):
     """Shared eval/finetune calibration plumbing: resolve AND validate

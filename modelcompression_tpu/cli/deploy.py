@@ -32,9 +32,6 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -85,8 +82,9 @@ def _measure(cfg_path: str, data: str, image_set: str, batch: int,
              weights: str = None, qmodel: str = None):
     """mAP@50 + params for one stage, via the same serving loaders and
     eval engine the eval CLI uses."""
-    from modelcompression_tpu.cli.common import load_dataset, \
-        load_serving_model
+    from modelcompression_tpu.cli.common import (
+        load_dataset, load_serving_model, prepare_serving,
+    )
     from modelcompression_tpu.evaluation import EvalConfig, evaluate
     from modelcompression_tpu.models import num_params
 
@@ -102,9 +100,10 @@ def _measure(cfg_path: str, data: str, image_set: str, batch: int,
     samples, names = load_dataset(a)
     cfg = EvalConfig(batch_size=batch)
     if quantized:
-        from modelcompression_tpu.compress import forward_quantized
-        params = jax.tree.map(jnp.asarray, params)
-        cfg.forward_fn = forward_quantized
+        # prepare_serving BN-folds f32 params, but evaluate() folds
+        # those itself (EvalConfig.fold_bn) — only the quantized path
+        # needs the shared setup here
+        params = prepare_serving(spec, params, True, cfg)
     res = evaluate(params, spec, samples, names, cfg)
     return {"map50": round(res.map50 * 100, 2),
             "params": num_params(params)}
@@ -116,8 +115,13 @@ def main(argv=None) -> int:
 
     args = build_parser().parse_args(argv)
     for frac in args.fractions.split(","):
-        if frac and not (0.0 <= float(frac) < 1.0):
-            print(f"error: fraction {frac} out of [0, 1)", file=sys.stderr)
+        try:
+            ok = not frac or 0.0 <= float(frac) < 1.0
+        except ValueError:
+            ok = False
+        if not ok:
+            print(f"error: bad fraction {frac!r} (need a number in "
+                  f"[0, 1))", file=sys.stderr)
             return 2
     os.makedirs(args.out_dir, exist_ok=True)
     out = lambda name: os.path.join(args.out_dir, name)  # noqa: E731

@@ -17,17 +17,16 @@ from __future__ import annotations
 import argparse
 import sys
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.cli.common import (
     add_model_args, enable_compilation_cache, load_serving_model,
+    prepare_serving,
 )
 from modelcompression_tpu.data.preprocess import letterbox_host
 from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
 from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
-from modelcompression_tpu.models import fold_batchnorm
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -251,12 +250,7 @@ def main(argv=None) -> int:
 
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
                      max_detections=50)
-    if quantized:  # already BN-folded + quantized at save time
-        from modelcompression_tpu.compress import forward_quantized
-        folded = jax.tree.map(jnp.asarray, params)
-        cfg.forward_fn = forward_quantized  # (p, x, s[, precision=FAST])
-    else:
-        folded = fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
+    folded = prepare_serving(spec, params, quantized, cfg)
 
     if args.dir:
         return _detect_dir(args, spec, folded, cfg, names)

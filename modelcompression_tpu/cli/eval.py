@@ -262,13 +262,24 @@ def main(argv=None) -> int:
             print(f"wrote int8 deployment artifact to {args.save_qmodel}",
                   file=sys.stderr)
     elif args.qmodel:
-        from modelcompression_tpu.compress import forward_quantized
-        cfg.forward_fn = forward_quantized
+        from modelcompression_tpu.cli.common import prepare_serving
+        params = prepare_serving(spec, params, True, cfg)
     if args.recall:
         if args.dump_dir or args.map_coco:
             print("error: --recall is an objectness-only audit — it "
                   "produces no per-class detections, so --dump-dir/"
                   "--map-coco do not apply", file=sys.stderr)
+            return 2
+        if args.exact_nms or args.nms_prefilter:
+            print("error: --recall always uses the top-(--max-det) "
+                  "class-agnostic proposal NMS (darknet detector recall "
+                  "semantics); --exact-nms/--nms-prefilter do not apply "
+                  "— raise --max-det to widen the proposal set",
+                  file=sys.stderr)
+            return 2
+        if getattr(args, "dp", 0) > 1 or getattr(args, "tp", 1) > 1:
+            print("error: --recall runs single-device; --dp/--tp do not "
+                  "apply", file=sys.stderr)
             return 2
         if not 0.0 < args.recall_iou <= 1.0:
             print(f"error: --recall-iou must be in (0, 1], got "

@@ -29,8 +29,9 @@ import sys
 
 import numpy as np
 
-from modelcompression_tpu.cli.common import add_model_args, \
-    load_serving_model
+from modelcompression_tpu.cli.common import (
+    add_model_args, load_serving_model, prepare_serving,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -54,14 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", default="cpu",
                    help="comma list of StableHLO lowering targets "
                         "(cpu, tpu, cuda)")
-    p.add_argument("--precision", default="bitmatch",
+    p.add_argument("--precision", default=None,
                    choices=("bitmatch", "fast"),
                    help="compute precision baked into the graph: "
                         "'bitmatch' (f32 — the natural CPU-serving dtype, "
-                        "and tight verification) or 'fast' (bf16, the TPU "
-                        "pipeline's dtype; TF's XLA re-fuses the graph so "
-                        "near-threshold detections may flip vs JAX and "
-                        "verification is score-tolerant)")
+                        "and tight verification; the --weights default) "
+                        "or 'fast' (bf16, the TPU pipeline's dtype; TF's "
+                        "XLA re-fuses the graph so near-threshold "
+                        "detections may flip vs JAX and verification is "
+                        "score-tolerant). --qmodel artifacts bake the "
+                        "hybrid's own bf16 float convs, so bitmatch is "
+                        "not available there")
     p.add_argument("--no-verify", action="store_true",
                    help="skip the reload-and-compare check")
     return p
@@ -86,7 +90,6 @@ def main(argv=None) -> int:
 
     from modelcompression_tpu.core.precision import BITMATCH, FAST
     from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
-    from modelcompression_tpu.models import fold_batchnorm
 
     # everything here is host-side tracing + one CPU verification run;
     # stay off the TPU entirely (conversion must not depend on it)
@@ -97,16 +100,21 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        precision = BITMATCH if args.precision == "bitmatch" else FAST
+        if quantized and args.precision == "bitmatch":
+            # forward_quantized runs the hybrid's float convs in bf16
+            # regardless of the EvalConfig precision — an f32 "bitmatch"
+            # export of an int8 artifact would be a false claim
+            print("error: --precision bitmatch is not available with "
+                  "--qmodel (the artifact's hybrid float convs are "
+                  "bf16); omit --precision or use --weights",
+                  file=sys.stderr)
+            return 2
+        prec_name = args.precision or ("fast" if quantized
+                                       else "bitmatch")
+        precision = BITMATCH if prec_name == "bitmatch" else FAST
         cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
                          max_detections=args.max_det, precision=precision)
-        if quantized:
-            from modelcompression_tpu.compress import forward_quantized
-            served = jax.tree.map(jnp.asarray, params)
-            cfg.forward_fn = forward_quantized
-        else:
-            served = fold_batchnorm(jax.tree.map(jnp.asarray, params),
-                                    spec)
+        served = prepare_serving(spec, params, quantized, cfg)
         step = make_eval_step(spec, cfg)
 
         def serve(images, ws, hs):
@@ -128,7 +136,8 @@ def main(argv=None) -> int:
                         module.serve.get_concrete_function(*sig)})
         print(f"wrote SavedModel to {args.out} "
               f"(batch {b}, {net_h}x{net_w}, platforms {platforms}, "
-              f"{'int8 qmodel' if quantized else 'f32'} weights baked in)")
+              f"{'int8 qmodel' if quantized else 'f32'} weights baked "
+              f"in, {prec_name} compute)")
 
         if args.no_verify:
             return 0
@@ -145,10 +154,10 @@ def main(argv=None) -> int:
                                              jnp.asarray(ws),
                                              jnp.asarray(hs))]
         names = ("boxes", "scores", "valid", "n_cand", "n_any")
-        if args.precision == "fast":
-            # bf16 graphs re-fuse under TF's XLA: near-threshold
-            # detections may flip rows, so report drift instead of
-            # requiring row-for-row equality
+        if prec_name == "fast":
+            # bf16 graphs (incl. every qmodel's hybrid float convs)
+            # re-fuse under TF's XLA: near-threshold detections may flip
+            # rows, so report drift instead of row-for-row equality
             agree = float(np.mean(got[2] == want[2]))
             sdiff = float(np.max(np.abs(got[1] - want[1])))
             print(f"verify (fast/bf16, advisory): valid-flag agreement "

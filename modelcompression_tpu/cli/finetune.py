@@ -82,8 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="first step of the GMP ramp (default 0)")
     p.add_argument("--gmp-end", type=int, default=None,
                    help="step at which the ramp reaches the final "
-                        "sparsity (default: --steps, i.e. ramp over the "
-                        "whole run)")
+                        "sparsity (default: the run's LAST step, "
+                        "--steps - 1 — steps are 0-based; values past "
+                        "the last step are rejected, they would silently "
+                        "finish below the target)")
     p.add_argument("--gmp-freq", type=int, default=100,
                    help="recompute the masks every this many steps "
                         "(plus once exactly at --gmp-end)")
@@ -263,13 +265,26 @@ def main(argv=None) -> int:
     gmp_spec = None
     if args.gmp is not None:
         from modelcompression_tpu.compress import GMPSpec
+        # the step counter the in-program schedule sees is 0-based, so
+        # the last tick of an N-step run is step N-1: an end past that
+        # (or a begin at/after it) would silently finish below the final
+        # sparsity — reject instead (the review's "no silent caps" rule)
+        last = args.steps - 1
+        if args.gmp_end is not None and args.gmp_end > last:
+            print(f"error: --gmp-end {args.gmp_end} is past the run's "
+                  f"last step {last} (steps are 0-based); the ramp would "
+                  f"never reach the final sparsity", file=sys.stderr)
+            return 2
+        if args.gmp_begin >= last:
+            print(f"error: --gmp-begin {args.gmp_begin} leaves no room "
+                  f"for the ramp (last step is {last})", file=sys.stderr)
+            return 2
         try:
             gmp_spec = GMPSpec(
                 final_sparsity=args.gmp,
                 initial_sparsity=args.gmp_initial,
                 begin=args.gmp_begin,
-                end=args.gmp_end if args.gmp_end is not None
-                else max(args.steps - 1, args.gmp_begin + 1),
+                end=args.gmp_end if args.gmp_end is not None else last,
                 frequency=args.gmp_freq,
                 per_layer=not args.gmp_global)
         except ValueError as e:

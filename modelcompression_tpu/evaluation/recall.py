@@ -65,8 +65,8 @@ def make_recall_step(spec: NetworkSpec, config: EvalConfig,
             return forward_folded(p, x, s, prec)
     else:
         fwd = forward
-    rs_dtype = (config.precision.compute_dtype
-                if config.precision.name == "fast" else jnp.float32)
+    from modelcompression_tpu.evaluation.pipeline import _resize_dtype
+    rs_dtype = _resize_dtype(config.precision)
 
     def step(params: Params, images: jnp.ndarray, img_w: jnp.ndarray,
              img_h: jnp.ndarray, gt_boxes: jnp.ndarray,

@@ -293,10 +293,11 @@ def num_conv_flops(spec: NetworkSpec) -> int:
             w = (w + 2 * l.padding - l.size) // l.stride + 1
             flops += 2 * h * w * l.size * l.size * l.in_channels * l.filters
         elif isinstance(l, MaxPoolLayer):
-            # darknet pool output: (h + (size-1) - size)//stride + 1 — NOT
-            # h//stride, which undercounts for odd spatial dims
-            h = (h - 1) // l.stride + 1
-            w = (w - 1) // l.stride + 1
+            # darknet pool output: (h + pad_total - size)//stride + 1 — NOT
+            # h//stride, which undercounts for odd spatial dims (pad_total
+            # honors an explicit cfg padding= knob; default size - 1)
+            h = (h + l.pad_total - l.size) // l.stride + 1
+            w = (w + l.pad_total - l.size) // l.stride + 1
         elif isinstance(l, ReorgLayer):
             h, w = h // l.stride, w // l.stride
         elif isinstance(l, RouteLayer):

@@ -38,7 +38,9 @@ def _fmt_count(n: int) -> str:
 def layer_shapes(spec: NetworkSpec) -> List[tuple]:
     """Per-layer output (h, w, c), with the forward's exact spatial
     conventions: conv (h + 2*pad - size)//stride + 1; Darknet maxpool
-    (h-1)//stride + 1 (NOT h//stride — differs for odd dims and the
+    (h + pad_total - size)//stride + 1 (pad_total honors an explicit
+    cfg padding= knob; the size-1 default gives (h-1)//stride + 1, NOT
+    h//stride — differs for odd dims and the
     Tiny-YOLOv2 stride-1 final pool); reorg h//stride with
     channels*stride²; route concatenates channels at the first source's
     spatial dims. The ONE spatial walk — reused by the summary table and
@@ -52,8 +54,8 @@ def layer_shapes(spec: NetworkSpec) -> List[tuple]:
             w = (w + 2 * l.padding - l.size) // l.stride + 1
             c = l.filters
         elif isinstance(l, MaxPoolLayer):
-            h = (h - 1) // l.stride + 1
-            w = (w - 1) // l.stride + 1
+            h = (h + l.pad_total - l.size) // l.stride + 1
+            w = (w + l.pad_total - l.size) // l.stride + 1
         elif isinstance(l, RouteLayer):
             h, w, _ = hwc[l.layers[0]]
             c = sum(hwc[a][2] for a in l.layers)

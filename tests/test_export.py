@@ -74,3 +74,9 @@ def test_export_qmodel(tmp_path):
                       "--out", out, "--batch", "1", "--conf", "0.001"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "saved_model.pb"))
+
+    # the hybrid's float convs are bf16 by construction: a 'bitmatch'
+    # export of an int8 artifact would be a false claim — rejected
+    rc = export.main(["--cfg", cfg_path, "--qmodel", qm,
+                      "--out", out, "--precision", "bitmatch"])
+    assert rc == 2

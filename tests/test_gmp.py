@@ -178,3 +178,13 @@ def test_gmp_finetune_cli_smoke(tmp_path):
                         "--data", data_cfg, "--steps", "2",
                         "--gmp", "0.5", "--qat", "--out", out])
     assert rc == 2
+    # an end past the run's last 0-based step would silently finish
+    # below the target sparsity — rejected instead
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "4",
+                        "--gmp", "0.5", "--gmp-end", "4", "--out", out])
+    assert rc == 2
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "4",
+                        "--gmp", "0.5", "--gmp-begin", "3", "--out", out])
+    assert rc == 2

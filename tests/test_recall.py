@@ -116,3 +116,10 @@ def test_recall_cli(tmp_path, capsys):
                         "--data", data_cfg, "--recall",
                         "--recall-iou", "1.5"])
     assert rc == 2
+    # NMS-path and sharding flags never reach the recall step — rejected
+    # loudly instead of silently ignored (no-silent-caps rule)
+    for extra in (["--exact-nms"], ["--nms-prefilter", "64"],
+                  ["--dp", "2"]):
+        rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                            "--data", data_cfg, "--recall"] + extra)
+        assert rc == 2, extra

@@ -40,6 +40,64 @@ def test_table_maxpool_odd_and_stride1_dims():
     assert "classes=3" in t
 
 
+def test_layer_shapes_honor_explicit_maxpool_padding():
+    """An explicit [maxpool] padding= knob must flow into layer_shapes —
+    the table/FLOPs walk and the real forward agree on spatial dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from modelcompression_tpu.core.precision import FAST
+    from modelcompression_tpu.models import forward, init_params
+    from modelcompression_tpu.models.summary import layer_shapes
+
+    cfg = """
+[net]
+batch=1
+width=54
+height=54
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+padding=0
+
+[convolutional]
+filters=40
+size=1
+stride=1
+pad=0
+activation=linear
+
+[region]
+anchors=1.0,1.0
+bias_match=1
+classes=3
+coords=4
+num=1
+softmax=1
+jitter=0.2
+rescore=1
+"""
+    spec = parse_cfg(cfg)
+    shapes = layer_shapes(spec)
+    params = init_params(spec, jax.random.key(0))
+    y = forward(params, jnp.zeros((1, 54, 54, 3)), spec, FAST)
+    # conv stride 2: 27x27; pool size2/stride2 padding=0 on the ODD
+    # input: (27 + 0 - 2)//2 + 1 = 13 — the default-padding formula
+    # (h-1)//2 + 1 would wrongly say 14
+    assert shapes[1][:2] == (13, 13)
+    assert y.shape[1:3] == shapes[-2][:2] == (13, 13)
+
+
 def test_nonzero_column_reports_masked_sparsity():
     txt = tiny_region_cfg(num_classes=3, width=64, height=64)
     spec = parse_cfg(txt)
