@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "scores are averaged over")
     p.add_argument("--score-seed", type=int, default=0,
                    help="taylor mode: shuffle seed for the scoring batches")
+    p.add_argument("--taylor-sq", action="store_true",
+                   help="taylor mode: squared gate-gradient importance "
+                        "(Molchanov et al. 2019) instead of the 2017 "
+                        "|sum a*dL/da| — less noisy when per-batch "
+                        "gradients change sign")
     p.add_argument("--fractions", default=None,
                    help="PER-LAYER drop fractions for l1_filter mode as "
                         "'convidx:frac,convidx:frac' (e.g. '0:0.25,2:0.5')"
@@ -118,7 +123,8 @@ def _taylor_scores(args, spec, params, seen):
                          spec.net.width, seed=args.score_seed,
                          drop_last=False)
     batches = itertools.islice(iter(loader), args.score_batches)
-    return taylor_filter_scores_device(params, spec, batches, seen=seen)
+    return taylor_filter_scores_device(params, spec, batches, seen=seen,
+                                       second_moment=args.taylor_sq)
 
 
 def _sweep(args, spec, params, seen) -> int:

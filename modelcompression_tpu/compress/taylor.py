@@ -30,6 +30,12 @@ per-layer rank selection is normalization-invariant, but the normalized
 scores are comparable across layers for reporting and scheduled pruning.
 The per-element 1/M average of the paper is a per-layer constant and
 cancels under the same normalization, so it is omitted.
+
+``second_moment=True`` selects the 2019 revision's importance
+(Molchanov et al., "Importance Estimation for Neural Network Pruning"):
+accumulate (dL/dg_j)^2 per minibatch instead of |dL/dg_j| — the squared
+form penalizes consistently-important filters less noisily when gradients
+change sign across batches. Same program shape, one extra multiply.
 """
 
 from __future__ import annotations
@@ -56,9 +62,11 @@ def taylor_gate_indices(spec: NetworkSpec,
     return tuple(i for i in conv_idx if i not in protected)
 
 
-def _make_score_step(spec: NetworkSpec, precision: Precision):
+def _make_score_step(spec: NetworkSpec, precision: Precision,
+                     second_moment: bool = False):
     """One jitted program: forward (train-mode BN, gated channels) +
-    region loss + grad w.r.t. the gates + |.| accumulate into totals."""
+    region loss + grad w.r.t. the gates + |.| (or squared) accumulate
+    into totals."""
     region = spec.region
 
     from modelcompression_tpu.train.region_loss import region_loss
@@ -73,9 +81,13 @@ def _make_score_step(spec: NetworkSpec, precision: Precision):
 
         grads = jax.grad(loss_fn)(gates)
         # gate == 1, so dL/dg_j is already sum(a_j * dL/da_j); Molchanov
-        # takes |.| per minibatch, then averages across minibatches
-        return {i: totals[i] + jnp.abs(g.astype(jnp.float32))
-                for i, g in grads.items()}
+        # 2017 takes |.| per minibatch (2019: the square), then averages
+        # across minibatches
+        def acc(g):
+            g = g.astype(jnp.float32)
+            return g * g if second_moment else jnp.abs(g)
+
+        return {i: totals[i] + acc(g) for i, g in grads.items()}
 
     return score_step
 
@@ -85,7 +97,8 @@ def taylor_filter_scores_device(
         batches: Iterable[Tuple[np.ndarray, np.ndarray]],
         skip: Sequence[int] = (),
         seen: int = 0,
-        precision: Precision = BITMATCH) -> Dict[int, np.ndarray]:
+        precision: Precision = BITMATCH,
+        second_moment: bool = False) -> Dict[int, np.ndarray]:
     """Taylor filter scores over ``batches`` of (uint8 NHWC images,
     (B, M, 5) padded targets) — the BatchLoader batch shape.
 
@@ -99,7 +112,7 @@ def taylor_filter_scores_device(
              for i in gate_idx}
     totals = {i: jnp.zeros((spec.layers[i].filters,), jnp.float32)
               for i in gate_idx}
-    step = _make_score_step(spec, precision)
+    step = _make_score_step(spec, precision, second_moment=second_moment)
     seen_arr = jnp.asarray(seen, jnp.int32)
     n = 0
     for images, targets in batches:
@@ -123,11 +136,13 @@ def taylor_filter_keep_sets(
         fraction: float,
         skip: Sequence[int] = (),
         seen: int = 0,
-        precision: Precision = BITMATCH) -> Dict[int, np.ndarray]:
+        precision: Precision = BITMATCH,
+        second_moment: bool = False) -> Dict[int, np.ndarray]:
     """Keep-sets dropping the floor(fraction*O) lowest-Taylor-score filters
     per prunable conv — same rank/tie semantics as the L1 path
     (compress/criteria.py), drop-in for repack()."""
     from modelcompression_tpu.compress.criteria import keep_sets_from_scores
     scores = taylor_filter_scores_device(params, spec, batches, skip=skip,
-                                         seen=seen, precision=precision)
+                                         seen=seen, precision=precision,
+                                         second_moment=second_moment)
     return keep_sets_from_scores(scores, fraction)

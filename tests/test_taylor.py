@@ -109,6 +109,25 @@ def test_gate_gradient_equals_activation_taylor_term():
     np.testing.assert_allclose(scores[i0], manual, rtol=2e-3, atol=2e-5)
 
 
+def test_second_moment_is_squared_first_moment_on_one_batch():
+    """With a single batch the 2019 squared importance is exactly the
+    square of the 2017 |grad| (before normalization) — so normalized
+    scores relate by x -> x^2/||.||, and ranks are identical."""
+    spec = _spec()
+    params = init_params(spec, jax.random.key(7))
+    rng = np.random.default_rng(7)
+    batch = _batch(spec, rng)
+    s1 = taylor_filter_scores_device(params, spec, [batch], seen=20000)
+    s2 = taylor_filter_scores_device(params, spec, [batch], seen=20000,
+                                     second_moment=True)
+    for i in s1:
+        sq = s1[i] ** 2
+        np.testing.assert_allclose(s2[i], sq / np.linalg.norm(sq),
+                                   rtol=2e-3, atol=1e-6)
+        assert np.array_equal(np.argsort(s1[i], kind="stable"),
+                              np.argsort(s2[i], kind="stable"))
+
+
 def test_dead_filter_scores_zero():
     """A filter whose output is identically zero contributes nothing to
     the loss — its Taylor score sum(a * dL/da) must be exactly 0."""
