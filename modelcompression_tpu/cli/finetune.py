@@ -138,8 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list of cumulative prune fractions for the "
                         "iterative loop, e.g. 0.25,0.5,0.75")
     p.add_argument("--iterate-mode", default="l1_filter",
-                   choices=("l1_filter", "bn_gamma", "taylor", "magnitude",
-                            "global"))
+                   choices=("l1_filter", "bn_gamma", "fpgm", "taylor",
+                            "magnitude", "global", "lamp"))
     p.add_argument("--taylor-batches", type=int, default=8,
                    help="--iterate-mode taylor: training batches per round "
                         "the gate-gradient filter scores average over "
@@ -332,7 +332,7 @@ def main(argv=None) -> int:
                      jax.tree.map(np.asarray, final.params),
                      seen=final.seen)
         print(f"wrote {args.out}")
-        if args.iterate_mode in ("l1_filter", "bn_gamma", "taylor"):
+        if args.iterate_mode in ("l1_filter", "bn_gamma", "fpgm", "taylor"):
             from modelcompression_tpu.models import dump_cfg
             out_cfg = args.out_cfg or os.path.splitext(args.out)[0] + ".cfg"
             with open(out_cfg, "w") as f:

@@ -3,10 +3,16 @@
 Modes:
   magnitude   per-layer unstructured magnitude masks at --sparsity
   global      one global |w| threshold at --sparsity
+  lamp        layer-adaptive global magnitude (Lee et al. 2021): global
+              rank over w^2 / per-layer surviving-mass suffix sums — the
+              per-layer sparsity allocation becomes automatic; --sparsity
   l1_filter   L1-norm filter ranking at --fraction + physical channel
               repack; writes a rewritten cfg alongside the slimmed weights
   bn_gamma    network slimming (learned BN |gamma| filter ranking) —
               same repack machinery as l1_filter
+  fpgm        geometric-median filter ranking (He et al. 2019): prune the
+              filters nearest their layer's geometric median (smallest
+              distance sums) — data-free like l1; same repack machinery
   taylor      first-order Taylor filter ranking (Molchanov et al. 2017):
               |sum a * dL/da| measured on --score-batches training batches
               from --data (required); same repack machinery as l1_filter
@@ -47,13 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.RawDescriptionHelpFormatter)
     add_model_args(p)
     p.add_argument("--mode", default="magnitude",
-                   choices=("magnitude", "global", "l1_filter", "bn_gamma",
-                            "taylor", "lowrank"))
+                   choices=("magnitude", "global", "lamp", "l1_filter",
+                            "bn_gamma", "fpgm", "taylor", "lowrank"))
     p.add_argument("--sparsity", type=float, default=None,
-                   help="target weight sparsity (magnitude/global modes)")
-    p.add_argument("--fraction", type=float, default=None,
-                   help="filter drop fraction (l1_filter/bn_gamma/taylor "
+                   help="target weight sparsity (magnitude/global/lamp "
                         "modes)")
+    p.add_argument("--fraction", type=float, default=None,
+                   help="filter drop fraction (l1_filter/bn_gamma/fpgm/"
+                        "taylor modes)")
     p.add_argument("--score-batches", type=int, default=8,
                    help="taylor mode: number of training batches (of "
                         "--batch images from --data) the gate-gradient "
@@ -109,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# structured filter modes -> compress.criteria score criterion
+_FILTER_MODE_CRITERION = {"l1_filter": "l1", "bn_gamma": "bn_gamma",
+                          "fpgm": "fpgm"}
+
+
 def _taylor_scores(args, spec, params, seen):
     """Gate-gradient Taylor scores from --score-batches training batches
     (compress/taylor.py). One XLA program, device-side accumulation."""
@@ -152,25 +164,29 @@ def _sweep(args, spec, params, seen) -> int:
     stem = os.path.splitext(args.out)[0]
     rows = []
     for v in points:
-        if args.mode in ("l1_filter", "bn_gamma", "taylor"):
+        if args.mode in ("l1_filter", "bn_gamma", "fpgm", "taylor"):
             if args.mode == "taylor":
                 keep = keep_sets_from_scores(tay_scores, v)
             else:
-                crit = "bn_gamma" if args.mode == "bn_gamma" else "l1"
+                crit = _FILTER_MODE_CRITERION[args.mode]
                 keep = uniform_filter_fraction_keep_sets(spec, params, v,
                                                          criterion=crit)
             out_spec, out_params = repack(spec, params, keep)
             achieved = 1.0 - num_params(out_params) / num_params(params)
         else:
-            fn = magnitude_mask_fn(args.mode, args.mask_backend)
-            masks = fn(params, spec, v)
+            if args.mode == "lamp":
+                from modelcompression_tpu.compress import lamp_masks
+                masks = lamp_masks(params, spec, v)
+            else:
+                fn = magnitude_mask_fn(args.mode, args.mask_backend)
+                masks = fn(params, spec, v)
             achieved = float(mask_sparsity(masks))
             out_spec, out_params = spec, apply_masks(params, masks)
         out_params = jax.tree.map(np.asarray, out_params)
         out = f"{stem}_{int(round(v * 100))}.weights"
         save_weights(out, out_spec, out_params, seen=seen)
         row = {"point": v, "achieved": achieved, "weights": out}
-        if args.mode in ("l1_filter", "bn_gamma", "taylor"):
+        if args.mode in ("l1_filter", "bn_gamma", "fpgm", "taylor"):
             out_cfg = f"{stem}_{int(round(v * 100))}.cfg"
             with open(out_cfg, "w") as f:
                 f.write(dump_cfg(out_spec))
@@ -205,17 +221,28 @@ def main(argv=None) -> int:
             return 2
         return _sweep(args, spec, params, seen)
 
-    if args.mode in ("magnitude", "global"):
+    if args.mode in ("magnitude", "global", "lamp"):
         if args.sparsity is None:
-            print("error: --sparsity is required for magnitude/global mode",
+            print(f"error: --sparsity is required for {args.mode} mode",
                   file=sys.stderr)
             return 2
         if not (0.0 <= args.sparsity < 1.0):
             print(f"error: --sparsity must be in [0, 1), got "
                   f"{args.sparsity}", file=sys.stderr)
             return 2
-        fn = magnitude_mask_fn(args.mode, args.mask_backend)
-        masks = fn(params, spec, args.sparsity)
+        if args.mode == "lamp":
+            from modelcompression_tpu.compress import (
+                lamp_layer_sparsities, lamp_masks,
+            )
+            masks = lamp_masks(params, spec, args.sparsity)
+            per_layer = lamp_layer_sparsities(masks)
+            print("lamp per-layer allocation: "
+                  f"min {min(per_layer.values()):.2%}, "
+                  f"max {max(per_layer.values()):.2%} "
+                  f"over {len(per_layer)} convs")
+        else:
+            fn = magnitude_mask_fn(args.mode, args.mask_backend)
+            masks = fn(params, spec, args.sparsity)
         achieved = float(mask_sparsity(masks))
         params = jax.tree.map(np.asarray, apply_masks(params, masks))
         save_weights(args.out, spec, params, seen=seen)
@@ -265,8 +292,8 @@ def main(argv=None) -> int:
             f.write(dump_cfg(fac_spec))
         print(f"wrote {out_cfg} (factored architecture — use it for "
               "eval/fine-tune)")
-    else:  # l1_filter / bn_gamma / taylor (structured filter pruning)
-        criterion = "bn_gamma" if args.mode == "bn_gamma" else "l1"
+    else:  # l1_filter / bn_gamma / fpgm / taylor (structured pruning)
+        criterion = _FILTER_MODE_CRITERION.get(args.mode, "l1")
         if args.fraction is None and args.fractions is None:
             print(f"error: --fraction or --fractions is required for "
                   f"{args.mode} mode", file=sys.stderr)

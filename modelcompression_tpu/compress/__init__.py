@@ -3,10 +3,14 @@ from modelcompression_tpu.compress.backend import (
 )
 from modelcompression_tpu.compress.criteria import (
     FILTER_CRITERIA, apply_masks, bn_gamma_scores_device,
-    filter_scores_device, global_threshold, keep_sets_from_scores,
+    filter_scores_device, fpgm_filter_scores, fpgm_scores_device,
+    global_threshold, keep_sets_from_scores,
     l1_filter_keep, l1_filter_keep_sets, l1_filter_keep_sets_scheduled,
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
+)
+from modelcompression_tpu.compress.lamp import (
+    lamp_layer_sparsities, lamp_masks, lamp_scores_device,
 )
 from modelcompression_tpu.compress.taylor import (
     taylor_filter_keep_sets, taylor_filter_scores_device,
@@ -40,6 +44,8 @@ from modelcompression_tpu.compress.repack import (
 
 __all__ = [
     "FILTER_CRITERIA", "bn_gamma_scores_device", "filter_scores_device",
+    "fpgm_filter_scores", "fpgm_scores_device",
+    "lamp_layer_sparsities", "lamp_masks", "lamp_scores_device",
     "keep_sets_from_scores", "taylor_filter_keep_sets",
     "taylor_filter_scores_device", "taylor_gate_indices",
     "cluster_layer", "cluster_network", "load_cmodel", "reconstruct",

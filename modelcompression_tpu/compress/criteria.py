@@ -160,7 +160,48 @@ def bn_gamma_scores_device(params: Params, spec: NetworkSpec,
             for i in conv_idx if i not in protected}
 
 
-FILTER_CRITERIA = ("l1", "bn_gamma")
+@jax.jit
+def _fpgm_scores_jit(ws: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """One XLA program: every conv's filter distance-sums. Each layer is
+    one (O,D)x(D,O) Gram matmul (MXU work) + an elementwise sqrt/reduce —
+    the largest YOLOv2 layer is O=1024, D=9216, trivial on device."""
+    out = {}
+    for k, w in ws.items():
+        x = w.astype(jnp.float32).reshape(-1, w.shape[-1]).T  # (O, D)
+        sq = jnp.sum(x * x, axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+        out[k] = jnp.sum(jnp.sqrt(jnp.maximum(d2, 0.0)), axis=1)
+    return out
+
+
+def fpgm_filter_scores(w_hwio) -> jnp.ndarray:
+    """FPGM filter score (He et al. 2019, CVPR — 'Filter Pruning via
+    Geometric Median'): score_j = sum_i ||F_j - F_i||_2, the summed
+    Euclidean distance from filter j to every other filter in the layer.
+    Filters with the SMALLEST distance sum sit nearest the layer's
+    geometric median — they are the most replaceable by the others and
+    are pruned first (the paper's 'distance-sum' form, used by its
+    released implementation). Data-free, like l1/bn_gamma. Returns (O,)."""
+    return _fpgm_scores_jit({"w": jnp.asarray(w_hwio)})["w"]
+
+
+def fpgm_scores_device(params: Params, spec: NetworkSpec,
+                       skip: Sequence[int] = ()
+                       ) -> Dict[int, "np.ndarray"]:
+    """All prunable convs' FPGM distance-sum scores as ONE device program
+    + ONE host readback (same shape as ``l1_filter_scores_device``).
+    The detection conv is always protected (decode contract)."""
+    import numpy as np
+    conv_idx = spec.conv_indices()
+    protected = set(skip) | {conv_idx[-1]}
+    ws = {conv_key(i): params[conv_key(i)]["w"]
+          for i in conv_idx if i not in protected}
+    scores = jax.device_get(_fpgm_scores_jit(ws))
+    return {i: np.asarray(scores[conv_key(i)])
+            for i in conv_idx if i not in protected}
+
+
+FILTER_CRITERIA = ("l1", "bn_gamma", "fpgm")
 
 
 def filter_scores_device(params: Params, spec: NetworkSpec,
@@ -168,12 +209,15 @@ def filter_scores_device(params: Params, spec: NetworkSpec,
                          skip: Sequence[int] = ()
                          ) -> Dict[int, "np.ndarray"]:
     """Structured filter scores under the chosen criterion: ``l1``
-    (Li et al. 2017 weight norms) or ``bn_gamma`` (Liu et al. 2017
-    network slimming)."""
+    (Li et al. 2017 weight norms), ``bn_gamma`` (Liu et al. 2017
+    network slimming), or ``fpgm`` (He et al. 2019 geometric-median
+    distance sums)."""
     if criterion == "l1":
         return l1_filter_scores_device(params, spec, skip=skip)
     if criterion == "bn_gamma":
         return bn_gamma_scores_device(params, spec, skip=skip)
+    if criterion == "fpgm":
+        return fpgm_scores_device(params, spec, skip=skip)
     raise ValueError(
         f"unknown filter criterion {criterion!r} (one of {FILTER_CRITERIA})")
 

@@ -135,12 +135,13 @@ def iterative_prune_finetune(
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
-    For ``l1_filter`` mode each round ranks filters of the *current*
-    (already slimmed) model, prunes the incremental fraction, physically
-    repacks, then fine-tunes the smaller dense network — so every round's
+    For the structured modes (``l1_filter`` | ``bn_gamma`` | ``fpgm`` |
+    ``taylor``) each round ranks filters of the *current* (already
+    slimmed) model, prunes the incremental fraction, physically repacks,
+    then fine-tunes the smaller dense network — so every round's
     training runs at the smaller model's real speed.
-    For ``magnitude``/``global`` modes masks accumulate instead (weights
-    stay dense, masked fine-tune).
+    For ``magnitude``/``global``/``lamp`` modes masks accumulate instead
+    (weights stay dense, masked fine-tune).
 
     With ``ckpt_dir`` each completed round saves {params, masks} plus the
     round's (possibly slimmed) arch cfg; ``resume=True`` restores the
@@ -184,7 +185,7 @@ def iterative_prune_finetune(
         rng, round_key = jax.random.split(rng)
         if ridx < start_round:
             continue
-        if mode in ("l1_filter", "bn_gamma", "taylor"):
+        if mode in ("l1_filter", "bn_gamma", "fpgm", "taylor"):
             # incremental fraction relative to remaining filters
             inc = 1.0 - (1.0 - frac) / (1.0 - prev_frac)
             if mode == "taylor":
@@ -206,18 +207,26 @@ def iterative_prune_finetune(
             else:
                 keep_sets = uniform_filter_fraction_keep_sets(
                     spec, params, inc,
-                    criterion="bn_gamma" if mode == "bn_gamma" else "l1")
+                    criterion={"bn_gamma": "bn_gamma",
+                               "fpgm": "fpgm"}.get(mode, "l1"))
             if repack_each_round:
                 spec, params = repack(spec, params, keep_sets)
                 channel_masks = {}
             else:
                 channel_masks = channel_masks_from_keep(spec, keep_sets)
-        elif mode in ("magnitude", "global"):
-            # default 'fused': masks recompute every round, so the
-            # one-program path is mandatory on a remote-compile TPU
-            # (compress/backend.py; VERDICT r1 #1)
-            fn = magnitude_mask_fn(mode, mask_backend)
-            weight_masks = fn(params, spec, frac)
+        elif mode in ("magnitude", "global", "lamp"):
+            if mode == "lamp":
+                # layer-adaptive global magnitude (compress/lamp.py):
+                # one sort-based program, compiled once — round 2+ reuse
+                # the executable (shapes don't change in masked modes)
+                from modelcompression_tpu.compress import lamp_masks
+                weight_masks = lamp_masks(params, spec, frac)
+            else:
+                # default 'fused': masks recompute every round, so the
+                # one-program path is mandatory on a remote-compile TPU
+                # (compress/backend.py; VERDICT r1 #1)
+                fn = magnitude_mask_fn(mode, mask_backend)
+                weight_masks = fn(params, spec, frac)
             channel_masks = {}
         else:
             raise ValueError(f"unknown mode {mode!r}")

@@ -1,7 +1,9 @@
 """Config-2 sweep shape (BASELINE.json:8) on the learnable fixture: train
-to high mAP, then unstructured-magnitude prune at 50/75/90% (per-layer) and
-measure mAP@50 before and after a short masked fine-tune at each sparsity.
+to high mAP, then unstructured prune at 50/75/90% and measure mAP@50
+before and after a short masked fine-tune at each sparsity.
+``--criterion magnitude`` (per-layer, the default) | ``global`` | ``lamp``.
 Deterministic on the CPU backend; results recorded in docs/PERF.md."""
+import argparse
 import sys
 import tempfile
 
@@ -13,8 +15,17 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 import jax.numpy as jnp  # noqa: E402
 
 from modelcompression_tpu.compress import (  # noqa: E402
-    apply_masks, magnitude_masks_perlayer, mask_sparsity,
+    apply_masks, lamp_masks, magnitude_masks_global,
+    magnitude_masks_perlayer, mask_sparsity,
 )
+
+MASK_FNS = {"magnitude": magnitude_masks_perlayer,
+            "global": magnitude_masks_global,
+            "lamp": lamp_masks}
+args = argparse.ArgumentParser(description=__doc__)
+args.add_argument("--criterion", default="magnitude",
+                  choices=tuple(MASK_FNS))
+args = args.parse_args()
 from modelcompression_tpu.data.fixtures import (  # noqa: E402
     FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
 )
@@ -53,9 +64,10 @@ with tempfile.TemporaryDirectory() as td:
     params = train_steps(spec, init_params(spec, jax.random.key(0)),
                          samples, 600, seed=1)
     base = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL).map50
+    print(f"criterion: {args.criterion}")
     print(f"baseline mAP@50: {base*100:.1f}")
     for s in (0.5, 0.75, 0.9):
-        masks = magnitude_masks_perlayer(params, spec, s)
+        masks = MASK_FNS[args.criterion](params, spec, s)
         ach = float(mask_sparsity(masks))
         pruned = apply_masks(params, masks)
         m0 = evaluate(pruned, spec, samples, FIXTURE_CLASSES, EVAL).map50

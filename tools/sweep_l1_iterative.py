@@ -64,7 +64,7 @@ def train_steps(spec, params, samples, n, seed):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--criterion", default="l1",
-                    choices=("l1", "bn_gamma", "taylor"))
+                    choices=("l1", "bn_gamma", "fpgm", "taylor"))
     args = ap.parse_args()
     root = tempfile.mkdtemp(prefix="l1sweep")
     data_cfg = make_fake_voc(root, n_images=16, image_size=96, seed=0)
