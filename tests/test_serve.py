@@ -1,0 +1,144 @@
+"""Serving daemon (cli/serve.py): batching HTTP inference over the one
+fused serving program — request/response format, batching dispatcher,
+and equality with the direct pipeline."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from modelcompression_tpu.cli import serve
+from modelcompression_tpu.data.fixtures import tiny_region_cfg
+from modelcompression_tpu.models import (
+    dump_cfg, init_params, parse_cfg, save_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(0))
+    cfg_path = str(tmp / "net.cfg")
+    open(cfg_path, "w").write(dump_cfg(spec))
+    wpath = str(tmp / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+
+    args = serve.build_parser().parse_args(
+        ["--cfg", cfg_path, "--weights", wpath, "--port", "0",
+         "--batch", "2", "--max-wait-ms", "30", "--conf", "0.05"])
+    httpd, state = serve.build_server(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    yield port, state, spec
+    state.stop.set()
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _img_bytes(seed=0, h=80, w=100):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    return bytes(buf), img
+
+
+def _post(port, body, path="/detect"):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                 data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_detect_endpoint_shape(server):
+    port, state, spec = server
+    body, img = _img_bytes(0)
+    status, out = _post(port, body)
+    assert status == 200
+    assert out["width"] == 100 and out["height"] == 80
+    assert isinstance(out["detections"], list)
+    for d in out["detections"]:
+        assert set(d) == {"class_id", "name", "score", "box"}
+        x1, y1, x2, y2 = d["box"]
+        assert 0 <= x1 <= 100 and 0 <= x2 <= 100
+        assert 0 <= y1 <= 80 and 0 <= y2 <= 80
+        assert 0.0 <= d["score"] <= 1.0
+        assert 0 <= d["class_id"] < spec.region.classes
+    # scores sorted descending
+    scores = [d["score"] for d in out["detections"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_served_detections_match_direct_pipeline(server):
+    port, state, spec = server
+    body, img = _img_bytes(7)
+    status, out = _post(port, body)
+    assert status == 200
+
+    # the same fused step, driven directly
+    from modelcompression_tpu.data.preprocess import letterbox_host
+    canvas, _, _, _ = letterbox_host(
+        cv2.imdecode(np.frombuffer(body, np.uint8),
+                     cv2.IMREAD_COLOR)[:, :, ::-1], 64, 64)
+    batch = np.stack([canvas, canvas])  # server pads to its batch of 2
+    sel, sc, valid, _, _ = state.step(
+        state.params, jnp.asarray(batch),
+        jnp.asarray([100.0, 100.0]), jnp.asarray([80.0, 80.0]))
+    sel, sc, valid = (np.asarray(a) for a in (sel, sc, valid))
+    direct = []
+    for ci in range(sel.shape[1]):
+        for k in np.nonzero(valid[0, ci])[0]:
+            direct.append((ci, float(sc[0, ci, k])))
+    got = [(d["class_id"], d["score"]) for d in out["detections"]]
+    assert sorted(got) == pytest.approx(sorted(direct), rel=1e-5)
+
+
+def test_concurrent_requests_batch(server):
+    port, state, spec = server
+    n0 = state.stats()["batches"]
+    results = []
+
+    def go(seed):
+        body, _ = _img_bytes(seed)
+        results.append(_post(port, body)[0])
+
+    threads = [threading.Thread(target=go, args=(s,)) for s in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == [200, 200, 200]
+    st = state.stats()
+    assert st["batches"] > n0
+    assert st["requests"] >= 4  # earlier tests included
+
+
+def test_health_and_stats_and_errors(server):
+    port, state, spec = server
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["classes"] == 3 and h["net"] == [64, 64]
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["compiled_batch"] == 2 and st["images"] >= st["requests"] - 1
+
+    # undecodable body -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, b"not an image")
+    assert ei.value.code == 400
+    # unknown path -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, b"x", path="/nope")
+    assert ei.value.code == 404
