@@ -213,6 +213,45 @@ def prepare_serving(spec, params, quantized: bool, cfg):
     return fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
 
 
+def run_padded_batch(step, params, canvases, ws, hs, batch: int):
+    """Run the ONE fused serving program on a host-side gather, padding
+    to the compiled batch size by repeating the last entry (padded rows
+    are never read back per image). The single place ``detect --dir``,
+    ``detect --video`` and the serve dispatcher share the padded-batch
+    contract — including the exact input avals (uint8 canvases, non-weak
+    float32 sizes), so every caller hits the same compiled executable.
+
+    Returns numpy ``(sel, scores, valid)`` (read-back forces execution).
+    """
+    import jax.numpy as jnp
+    canvases, ws, hs = list(canvases), list(ws), list(hs)
+    while len(canvases) < batch:
+        canvases.append(canvases[-1])
+        ws.append(ws[-1])
+        hs.append(hs[-1])
+    sel, sc, valid, _, _ = step(
+        params, jnp.asarray(np.stack(canvases)),
+        jnp.asarray(ws, jnp.float32), jnp.asarray(hs, jnp.float32))
+    return tuple(np.asarray(a) for a in (sel, sc, valid))
+
+
+def unpack_detections(sel, scores, valid, w, h):
+    """One image's padded-NMS output ``(C, K, 4)`` -> list of detection
+    dicts in source-image pixel coordinates, boxes clipped to the image
+    extent, sorted by score descending. Shared by serve and detect so
+    the clip/unpack convention lives in one place."""
+    dets = []
+    for ci in range(sel.shape[0]):
+        for k in np.nonzero(valid[ci])[0]:
+            x1, y1, x2, y2 = (float(np.clip(v, 0, lim)) for v, lim in
+                              zip(sel[ci, k], (w, h, w, h)))
+            dets.append({"class_id": int(ci),
+                         "score": float(scores[ci, k]),
+                         "box": [x1, y1, x2, y2]})
+    dets.sort(key=lambda d: -d["score"])
+    return dets
+
+
 def prep_calibration(spec, samples, n_images: int, selector: str,
                      letterbox: bool = True, what: str = "int8"):
     """Shared eval/finetune calibration plumbing: resolve AND validate

@@ -22,7 +22,7 @@ import numpy as np
 
 from modelcompression_tpu.cli.common import (
     add_model_args, enable_compilation_cache, load_serving_model,
-    prepare_serving,
+    prepare_serving, run_padded_batch, unpack_detections,
 )
 from modelcompression_tpu.data.preprocess import letterbox_host
 from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
@@ -68,25 +68,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _draw_detections(img_bgr, sel, scores, valid, names, w, h,
                      quiet=False) -> int:
-    """Draw one image's (C, K, 4) source-pixel boxes in place; returns
-    the number drawn."""
+    """Draw one image's (C, K, 4) source-pixel boxes in place (highest
+    score first); returns the number drawn."""
     import cv2
-    n_drawn = 0
-    for ci in range(sel.shape[0]):
-        for k in np.nonzero(valid[ci])[0]:
-            x1, y1, x2, y2 = (int(np.clip(v, 0, lim - 1)) for v, lim in
-                              zip(sel[ci, k], (w, h, w, h)))
-            color = tuple(int(c) for c in np.random.default_rng(ci)
-                          .integers(60, 255, 3))
-            cv2.rectangle(img_bgr, (x1, y1), (x2, y2), color, 2)
-            label = f"{names[ci]} {scores[ci, k]:.2f}"
-            cv2.putText(img_bgr, label, (x1, max(y1 - 4, 10)),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
-            if not quiet:
-                print(f"{names[ci]}: {scores[ci, k]:.3f} "
-                      f"[{x1}, {y1}, {x2}, {y2}]")
-            n_drawn += 1
-    return n_drawn
+    dets = unpack_detections(sel, scores, valid, w, h)
+    for d in dets:
+        ci = d["class_id"]
+        x1, y1, x2, y2 = (int(min(v, lim - 1)) for v, lim in
+                          zip(d["box"], (w, h, w, h)))
+        color = tuple(int(c) for c in np.random.default_rng(ci)
+                      .integers(60, 255, 3))
+        cv2.rectangle(img_bgr, (x1, y1), (x2, y2), color, 2)
+        label = f"{names[ci]} {d['score']:.2f}"
+        cv2.putText(img_bgr, label, (x1, max(y1 - 4, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+        if not quiet:
+            print(f"{names[ci]}: {d['score']:.3f} "
+                  f"[{x1}, {y1}, {x2}, {y2}]")
+    return len(dets)
 
 
 def _detect_dir(args, spec, folded, cfg, names) -> int:
@@ -126,14 +125,8 @@ def _detect_dir(args, spec, folded, cfg, names) -> int:
             kept.append(pth)
         if not kept:
             continue
-        while len(canvases) < b:  # pad to the compiled batch
-            canvases.append(canvases[-1])
-            ws.append(ws[-1])
-            hs.append(hs[-1])
-        sel, sc, valid, _, _ = step(
-            folded, jnp.asarray(np.stack(canvases)),
-            jnp.asarray(ws), jnp.asarray(hs))
-        sel, sc, valid = (np.asarray(a) for a in (sel, sc, valid))
+        sel, sc, valid = run_padded_batch(step, folded, canvases,
+                                          ws, hs, b)
         for j, (pth, im) in enumerate(zip(kept, imgs)):
             n = _draw_detections(im, sel[j], sc[j], valid[j], names,
                                  int(ws[j]), int(hs[j]), quiet=True)
@@ -185,14 +178,8 @@ def _detect_video(args, spec, folded, cfg, names) -> int:
             canvases.append(canvas)
             hs.append(float(im.shape[0]))
             ws.append(float(im.shape[1]))
-        while len(canvases) < b:  # pad to the compiled batch
-            canvases.append(canvases[-1])
-            ws.append(ws[-1])
-            hs.append(hs[-1])
-        sel, sc, valid, _, _ = step(
-            folded, jnp.asarray(np.stack(canvases)),
-            jnp.asarray(ws), jnp.asarray(hs))
-        sel, sc, valid = (np.asarray(a) for a in (sel, sc, valid))
+        sel, sc, valid = run_padded_batch(step, folded, canvases,
+                                          ws, hs, b)
         for j, im in enumerate(ims):
             total += _draw_detections(im, sel[j], sc[j], valid[j], names,
                                       int(ws[j]), int(hs[j]), quiet=True)

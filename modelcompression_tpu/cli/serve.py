@@ -37,7 +37,7 @@ import numpy as np
 
 from modelcompression_tpu.cli.common import (
     add_model_args, enable_compilation_cache, load_serving_model,
-    prepare_serving,
+    prepare_serving, run_padded_batch, unpack_detections,
 )
 from modelcompression_tpu.data.preprocess import letterbox_host
 from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
@@ -76,7 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 class _Pending:
-    __slots__ = ("canvas", "w", "h", "event", "result", "error")
+    __slots__ = ("canvas", "w", "h", "event", "result", "error",
+                 "abandoned")
 
     def __init__(self, canvas, w, h):
         self.canvas = canvas
@@ -85,6 +86,7 @@ class _Pending:
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False  # set by a waiter that already timed out
 
 
 class ServeState:
@@ -117,7 +119,6 @@ class ServeState:
     def dispatch_loop(self):
         """Single thread owning the device: gather -> pad -> one fused
         execution -> distribute. Runs until ``stop`` is set."""
-        import jax.numpy as jnp
         while not self.stop.is_set():
             try:
                 first = self.q.get(timeout=0.1)
@@ -133,39 +134,27 @@ class ServeState:
                     items.append(self.q.get(timeout=left))
                 except queue.Empty:
                     break
-            canvases = [it.canvas for it in items]
-            ws = [it.w for it in items]
-            hs = [it.h for it in items]
-            while len(canvases) < self.batch:  # pad to the compiled batch
-                canvases.append(canvases[-1])
-                ws.append(ws[-1])
-                hs.append(hs[-1])
+            # drop waiters that already timed out (503 sent) — don't burn
+            # a device batch on results nobody will read
+            items = [it for it in items if not it.abandoned]
+            if not items:
+                continue
             try:
-                sel, sc, valid, _, _ = self.step(
-                    self.params, jnp.asarray(np.stack(canvases)),
-                    jnp.asarray(ws, jnp.float32),
-                    jnp.asarray(hs, jnp.float32))
-                sel, sc, valid = (np.asarray(a) for a in (sel, sc, valid))
+                sel, sc, valid = run_padded_batch(
+                    self.step, self.params,
+                    [it.canvas for it in items],
+                    [it.w for it in items],
+                    [it.h for it in items], self.batch)
             except Exception as e:  # surface the failure to every waiter
                 for it in items:
                     it.error = f"inference failed: {e!r}"
                     it.event.set()
                 continue
             for j, it in enumerate(items):
-                dets = []
-                for ci in range(sel.shape[1]):
-                    for k in np.nonzero(valid[j, ci])[0]:
-                        x1, y1, x2, y2 = (
-                            float(np.clip(v, 0, lim)) for v, lim in
-                            zip(sel[j, ci, k],
-                                (it.w, it.h, it.w, it.h)))
-                        dets.append({
-                            "class_id": int(ci),
-                            "name": self.names[ci],
-                            "score": float(sc[j, ci, k]),
-                            "box": [x1, y1, x2, y2],
-                        })
-                dets.sort(key=lambda d: -d["score"])
+                dets = unpack_detections(sel[j], sc[j], valid[j],
+                                         it.w, it.h)
+                for d in dets:
+                    d["name"] = self.names[d["class_id"]]
                 it.result = dets
                 it.event.set()
             with self.lock:
@@ -202,6 +191,8 @@ def _make_handler(state: ServeState):
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:  # early-return paths: body unread
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -220,6 +211,9 @@ def _make_handler(state: ServeState):
 
         def do_POST(self):
             if self.path.split("?")[0] != "/detect":
+                # body unread: a keep-alive client's next request would
+                # otherwise parse the leftover bytes as a request line
+                self.close_connection = True
                 self._send_json(404, {"error": "not found"})
                 return
             try:
@@ -227,6 +221,7 @@ def _make_handler(state: ServeState):
             except ValueError:
                 n = 0
             if n <= 0 or n > MAX_BODY:
+                self.close_connection = True  # body unread (see above)
                 self._send_json(400, {"error": "bad Content-Length"})
                 return
             body = self.rfile.read(n)
@@ -242,6 +237,9 @@ def _make_handler(state: ServeState):
                 state.spec.net.width)
             item = state.submit(canvas, float(w), float(h))
             if not item.event.wait(state.timeout_s):
+                # tell the dispatcher not to spend a batch slot on us
+                # (best-effort: it may already have gathered this item)
+                item.abandoned = True
                 self._send_json(503, {"error": "inference timed out"})
                 return
             if item.error is not None:
@@ -260,7 +258,6 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     """Load the model, compile the fused program (one warm-up batch),
     and return (httpd, state) with the dispatcher ALREADY running —
     callers (main / tests) only serve_forever()/shutdown()."""
-    import jax.numpy as jnp
     spec, params, quantized = load_serving_model(args)
     names = read_names(args.names) if args.names else list(VOC_CLASSES)
     if len(names) != spec.region.classes:
@@ -271,14 +268,14 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     step = make_eval_step(spec, cfg)
     state = ServeState(spec, folded, step, names, args)
 
-    # warm-up: pay the (remote) compile before the first request
+    # warm-up: pay the (remote) compile before the first request. Goes
+    # through run_padded_batch — the dispatcher's exact call path — so
+    # the warm-up avals match the serving avals (jnp.full's weak-typed
+    # f32 would trigger a SECOND full compile on the first real request)
     t0 = time.monotonic()
-    dummy = np.zeros((state.batch, spec.net.height, spec.net.width, 3),
-                     np.uint8)
-    out = step(folded, jnp.asarray(dummy),
-               jnp.full((state.batch,), float(spec.net.width)),
-               jnp.full((state.batch,), float(spec.net.height)))
-    np.asarray(out[2])  # force execution, not just enqueue
+    dummy = np.zeros((spec.net.height, spec.net.width, 3), np.uint8)
+    run_padded_batch(step, folded, [dummy], [float(spec.net.width)],
+                     [float(spec.net.height)], state.batch)
     print(f"compiled batch-{state.batch} serving program in "
           f"{time.monotonic() - t0:.1f}s", file=sys.stderr)
 

@@ -142,3 +142,36 @@ def test_health_and_stats_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(port, b"x", path="/nope")
     assert ei.value.code == 404
+
+
+def test_single_compiled_executable(server):
+    """The startup warm-up must hit the SAME executable the dispatcher
+    uses (identical avals incl. weak_type) — on the real TPU a retrace
+    costs a second 20-50 s remote compile on the first live request."""
+    port, state, spec = server
+    body, _ = _img_bytes(11)
+    status, _ = _post(port, body)
+    assert status == 200
+    assert state.step._cache_size() == 1
+
+
+def test_keepalive_after_error_paths(server):
+    """Early-return 404/400 leave the request body unread; the server
+    must close the connection so a pooled client's next request isn't
+    parsed out of the leftover body bytes."""
+    import http.client
+    port, state, spec = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    try:
+        conn.request("POST", "/nope", body=b"leftover-bytes")
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # server signalled close; a fresh request must still work (the
+        # client reconnects instead of reusing a corrupted stream)
+        assert r.getheader("Connection") == "close" or r.will_close
+    finally:
+        conn.close()
+    body, _ = _img_bytes(12)
+    status, out = _post(port, body)
+    assert status == 200 and "detections" in out
