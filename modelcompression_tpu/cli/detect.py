@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one compile)")
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--nms", type=float, default=0.45)
+    p.add_argument("--soft-nms", choices=("linear", "gaussian"),
+                   default=None,
+                   help="Soft-NMS score decay instead of greedy erasure "
+                        "(accuracy knob for dense/overlapping scenes)")
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
                    help="serve a saved int8 deployment artifact "
@@ -236,7 +240,7 @@ def main(argv=None) -> int:
         names = [f"class{i}" for i in range(region.classes)]
 
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
-                     max_detections=50)
+                     max_detections=50, soft_nms=args.soft_nms or "")
     folded = prepare_serving(spec, params, quantized, cfg)
 
     if args.dir:

@@ -47,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "default top-k path equals greedy whenever at "
                         "most --max-det candidates clear --conf; every "
                         "run reports the overflow fraction either way")
+    p.add_argument("--soft-nms", choices=("linear", "gaussian"),
+                   default=None,
+                   help="Soft-NMS (Bodla et al. 2017): decay overlapping "
+                        "scores instead of erasing boxes — gaussian "
+                        "s*=exp(-iou^2/sigma), linear s*=1-iou above "
+                        "--nms. Accuracy knob for dense/overlapping "
+                        "scenes; excludes --exact-nms/--nms-prefilter")
+    p.add_argument("--soft-nms-sigma", type=float, default=0.5,
+                   help="Gaussian soft-NMS temperature (default 0.5)")
     p.add_argument("--metric", choices=("07", "continuous"), default="07",
                    help="VOC AP protocol: 11-point (07) or all-point")
     p.add_argument("--map-iou", type=float, default=0.5,
@@ -146,6 +155,12 @@ def main(argv=None) -> int:
               "candidates, so a prefilter would silently not apply",
               file=sys.stderr)
         return 2
+    if args.soft_nms and (args.exact_nms or args.nms_prefilter > 0):
+        print("error: --soft-nms is mutually exclusive with --exact-nms/"
+              "--nms-prefilter — those select variants of greedy erasure "
+              "NMS, soft-NMS replaces the erasure rule itself",
+              file=sys.stderr)
+        return 2
     if args.qmodel and (args.int8 or args.save_qmodel):
         print("error: --qmodel serves an already-quantized artifact; "
               "--int8/--save-qmodel (re)quantize from --weights — pick "
@@ -231,7 +246,8 @@ def main(argv=None) -> int:
         letterbox=not args.no_letterbox, precision=precision,
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"),
-        exact_nms=args.exact_nms, nms_prefilter=args.nms_prefilter)
+        exact_nms=args.exact_nms, nms_prefilter=args.nms_prefilter,
+        soft_nms=args.soft_nms or "", soft_nms_sigma=args.soft_nms_sigma)
     if args.int8:
         import numpy as np
 

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch-fill trade)")
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--nms", type=float, default=0.45)
+    p.add_argument("--soft-nms", choices=("linear", "gaussian"),
+                   default=None,
+                   help="Soft-NMS score decay instead of greedy erasure "
+                        "(accuracy knob for dense/overlapping scenes)")
     p.add_argument("--max-detections", type=int, default=50)
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
@@ -263,7 +267,8 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     if len(names) != spec.region.classes:
         names = [f"class{i}" for i in range(spec.region.classes)]
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
-                     max_detections=args.max_detections)
+                     max_detections=args.max_detections,
+                     soft_nms=args.soft_nms or "")
     folded = prepare_serving(spec, params, quantized, cfg)
     step = make_eval_step(spec, cfg)
     state = ServeState(spec, folded, step, names, args)

@@ -3,9 +3,11 @@ from modelcompression_tpu.evaluation.decode import (
 )
 from modelcompression_tpu.evaluation.nms import (
     batched_per_class_nms, batched_per_class_nms_padded,
-    batched_per_class_nms_prefiltered, iou_corners,
+    batched_per_class_nms_prefiltered, batched_per_class_soft_nms,
+    iou_corners,
     nms_padded, nms_topk, pairwise_iou, per_class_nms,
-    per_class_nms_padded, per_class_nms_prefiltered,
+    per_class_nms_padded, per_class_nms_prefiltered, per_class_soft_nms,
+    soft_nms_topk,
 )
 from modelcompression_tpu.evaluation.voc_map import (
     Detection, GroundTruth, class_ap, coco_map, mean_ap, voc_ap,
@@ -21,6 +23,7 @@ __all__ = [
     "center_to_corners", "corners_to_image", "decode_region",
     "batched_per_class_nms", "batched_per_class_nms_padded",
     "batched_per_class_nms_prefiltered", "per_class_nms_prefiltered",
+    "batched_per_class_soft_nms", "per_class_soft_nms", "soft_nms_topk",
     "iou_corners", "nms_padded", "nms_topk",
     "pairwise_iou", "per_class_nms", "per_class_nms_padded",
     "Detection", "GroundTruth", "class_ap", "coco_map", "mean_ap",

@@ -248,6 +248,110 @@ def batched_per_class_nms_prefiltered(boxes: jnp.ndarray,
     return f(boxes, class_scores)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "linear"))
+def soft_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
+                  iou_thresh: float = 0.3, score_thresh: float = 1e-3,
+                  max_out: int = 100, sigma: float = 0.5,
+                  linear: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (Bodla et al. 2017) over the top-``max_out`` scoring
+    candidates: instead of erasing overlapping boxes, each selection
+    DECAYS the remaining scores — Gaussian ``s *= exp(-iou^2 / sigma)``
+    (default) or linear ``s *= 1 - iou`` where ``iou > iou_thresh``.
+    Boxes are emitted in decayed-score order; a box whose decayed score
+    falls to ``score_thresh`` or below is dropped.
+
+    TPU-first shape, same as ``nms_topk``: one exact ``lax.top_k``
+    prefilter, ONE (K, K) pairwise-IoU matrix computed wide on the VPU,
+    then a K-step ``fori_loop`` whose body is argmax + one (K,) decay
+    multiply — the serial chain carries only tiny vector ops. (The
+    one-shot suppression scan of ``nms_topk`` cannot apply here: decayed
+    scores change the visit order, so soft-NMS is inherently K serial
+    argmax rounds.)
+
+    EXACTNESS CONDITION vs the full-N host algorithm: identical whenever
+    at most K candidates exceed ``score_thresh`` (decay only lowers
+    scores, so candidates the prefilter drops could never be emitted);
+    beyond that it runs on the K best by ORIGINAL score — the same
+    graceful-truncation shape as ``nms_topk``, observable through the
+    eval pipeline's n_cand counter.
+
+    Args:
+      boxes: (N, 4) corner format.
+      scores: (N,) — entries <= score_thresh are treated as absent.
+      max_out: K, prefilter size == output slots == decay rounds.
+      sigma: Gaussian decay temperature (ignored when ``linear``).
+      linear: use the linear decay weight instead of Gaussian.
+
+    Returns:
+      sel_boxes: (K, 4) (0 where invalid); sel_scores: (K,) DECAYED
+      scores, descending (0 where invalid); valid: (K,) bool.
+    """
+    n = boxes.shape[0]
+    k = min(max_out, n)
+    s = jnp.where(scores > score_thresh, scores, 0.0)
+    vals, idx = jax.lax.top_k(s, k)          # sorted desc, stable ties
+    cand = boxes[idx]                        # (K, 4)
+    iou = pairwise_iou(cand, cand)           # (K, K), once, all-parallel
+    if linear:
+        w = jnp.where(iou > iou_thresh, 1.0 - iou, 1.0)
+    else:
+        w = jnp.exp(-(iou * iou) / sigma)
+    eye = jnp.arange(k)
+
+    def step(i, state):
+        live, out_idx, out_scores = state
+        j = jnp.argmax(live)
+        sj = live[j]
+        keep = sj > score_thresh
+        out_idx = out_idx.at[i].set(jnp.where(keep, j, -1))
+        out_scores = out_scores.at[i].set(jnp.where(keep, sj, 0.0))
+        # decay survivors by the pick's weight row; retire the pick.
+        # Once every live score is <= score_thresh nothing more is
+        # emitted (keep stays False) — decay is monotone decreasing.
+        decay = jnp.where(eye == j, 0.0, w[j])
+        live = jnp.where(keep, live * decay, live)
+        return live, out_idx, out_scores
+
+    _, oidx, oscores = jax.lax.fori_loop(
+        0, k, step,
+        (vals, jnp.full((k,), -1, jnp.int32), jnp.zeros((k,), vals.dtype)))
+    valid = oidx >= 0
+    out_boxes = jnp.where(valid[:, None], cand[jnp.maximum(oidx, 0)], 0.0)
+    if k < max_out:  # pad output slots to the requested static size
+        pad = max_out - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        oscores = jnp.pad(oscores, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return out_boxes, oscores, valid
+
+
+def per_class_soft_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
+                       iou_thresh: float = 0.3, score_thresh: float = 1e-3,
+                       max_out: int = 100, sigma: float = 0.5,
+                       linear: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS independently per class: (N,4), (N,C) -> (C,K,...)."""
+    f = jax.vmap(
+        lambda s: soft_nms_topk(boxes, s, iou_thresh, score_thresh,
+                                max_out, sigma, linear),
+        in_axes=1)
+    return f(class_scores)
+
+
+def batched_per_class_soft_nms(boxes: jnp.ndarray,
+                               class_scores: jnp.ndarray,
+                               iou_thresh: float = 0.3,
+                               score_thresh: float = 1e-3,
+                               max_out: int = 100, sigma: float = 0.5,
+                               linear: bool = False):
+    """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
+    f = jax.vmap(lambda b, s: per_class_soft_nms(
+        b, s, iou_thresh, score_thresh, max_out, sigma, linear))
+    return f(boxes, class_scores)
+
+
 def per_class_nms_padded(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                          iou_thresh: float = 0.45,
                          score_thresh: float = 1e-3, max_out: int = 100

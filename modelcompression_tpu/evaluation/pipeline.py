@@ -45,7 +45,7 @@ from modelcompression_tpu.evaluation.decode import (
 )
 from modelcompression_tpu.evaluation.nms import (
     batched_per_class_nms, batched_per_class_nms_padded,
-    batched_per_class_nms_prefiltered,
+    batched_per_class_nms_prefiltered, batched_per_class_soft_nms,
 )
 from modelcompression_tpu.evaluation.voc_map import (
     Detection, GroundTruth, mean_ap,
@@ -103,6 +103,16 @@ class EvalConfig:
     # n_cand counter makes the regime observable). Perf on chip:
     # docs/PERF.md "NMS class-agnostic prefilter".
     nms_prefilter: int = 0
+    # Soft-NMS (Bodla et al. 2017, evaluation/nms.soft_nms_topk): decay
+    # overlapping scores instead of erasing boxes — "" = off (classic
+    # greedy), "gaussian" = s *= exp(-iou^2/soft_nms_sigma), "linear" =
+    # s *= 1-iou above nms_thresh. An accuracy knob for dense scenes
+    # (overlapping same-class objects survive with decayed scores);
+    # inherently K serial decay rounds per (image, class), so it costs
+    # more than the one-shot scan of the default path. Mutually
+    # exclusive with exact_nms and nms_prefilter.
+    soft_nms: str = ""
+    soft_nms_sigma: float = 0.5
     # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
     # Default OFF: the reformulation is exact and tested, but measured
     # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
@@ -126,6 +136,15 @@ class EvalConfig:
                 "exact path runs greedy NMS over ALL candidates, so a "
                 "candidate prefilter would silently not apply — drop one "
                 "of the two flags")
+        if self.soft_nms not in ("", "linear", "gaussian"):
+            raise ValueError(
+                f"soft_nms must be '', 'linear' or 'gaussian', got "
+                f"{self.soft_nms!r}")
+        if self.soft_nms and (self.exact_nms or self.nms_prefilter > 0):
+            raise ValueError(
+                "soft_nms is mutually exclusive with exact_nms / "
+                "nms_prefilter: those select variants of GREEDY erasure "
+                "NMS, soft-NMS replaces the erasure rule itself")
 
 
 def _resize_dtype(precision):
@@ -199,7 +218,15 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
         # exactness budget is per IMAGE, not per (image, class)
         n_any = jnp.sum(jnp.max(class_scores, axis=-1) > config.conf_thresh,
                         axis=-1).astype(jnp.int32)  # (B,)
-        if config.exact_nms:
+        if config.soft_nms:
+            sel, scores, valid = batched_per_class_soft_nms(
+                corners, class_scores,
+                iou_thresh=config.nms_thresh,
+                score_thresh=config.conf_thresh,
+                max_out=config.max_detections,
+                sigma=config.soft_nms_sigma,
+                linear=(config.soft_nms == "linear"))
+        elif config.exact_nms:
             sel, scores, valid = batched_per_class_nms_padded(
                 corners, class_scores,
                 iou_thresh=config.nms_thresh,
