@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="Soft-NMS score decay instead of greedy erasure "
                         "(accuracy knob for dense/overlapping scenes)")
+    p.add_argument("--diou-nms", action="store_true",
+                   help="DIoU-NMS: greedy suppression on IoU minus the "
+                        "center-distance penalty (occluded objects)")
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
                    help="serve a saved int8 deployment artifact "
@@ -240,7 +243,8 @@ def main(argv=None) -> int:
         names = [f"class{i}" for i in range(region.classes)]
 
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
-                     max_detections=50, soft_nms=args.soft_nms or "")
+                     max_detections=50, soft_nms=args.soft_nms or "",
+                     diou_nms=args.diou_nms)
     folded = prepare_serving(spec, params, quantized, cfg)
 
     if args.dir:

@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "scenes; excludes --exact-nms/--nms-prefilter")
     p.add_argument("--soft-nms-sigma", type=float, default=0.5,
                    help="Gaussian soft-NMS temperature (default 0.5)")
+    p.add_argument("--diou-nms", action="store_true",
+                   help="DIoU-NMS (Zheng et al. 2020): suppress on "
+                        "IoU - center-distance penalty > --nms — spares "
+                        "far-apart boxes of equal overlap (occluded "
+                        "objects). Same cost as plain greedy; composes "
+                        "with --exact-nms/--nms-prefilter, excludes "
+                        "--soft-nms")
     p.add_argument("--metric", choices=("07", "continuous"), default="07",
                    help="VOC AP protocol: 11-point (07) or all-point")
     p.add_argument("--map-iou", type=float, default=0.5,
@@ -161,6 +168,11 @@ def main(argv=None) -> int:
               "NMS, soft-NMS replaces the erasure rule itself",
               file=sys.stderr)
         return 2
+    if args.soft_nms and args.diou_nms:
+        print("error: --soft-nms and --diou-nms are mutually exclusive — "
+              "DIoU changes the greedy erasure criterion, soft-NMS "
+              "replaces erasure with score decay", file=sys.stderr)
+        return 2
     if args.qmodel and (args.int8 or args.save_qmodel):
         print("error: --qmodel serves an already-quantized artifact; "
               "--int8/--save-qmodel (re)quantize from --weights — pick "
@@ -247,7 +259,8 @@ def main(argv=None) -> int:
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"),
         exact_nms=args.exact_nms, nms_prefilter=args.nms_prefilter,
-        soft_nms=args.soft_nms or "", soft_nms_sigma=args.soft_nms_sigma)
+        soft_nms=args.soft_nms or "", soft_nms_sigma=args.soft_nms_sigma,
+        diou_nms=args.diou_nms)
     if args.int8:
         import numpy as np
 

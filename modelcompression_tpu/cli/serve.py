@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="Soft-NMS score decay instead of greedy erasure "
                         "(accuracy knob for dense/overlapping scenes)")
+    p.add_argument("--diou-nms", action="store_true",
+                   help="DIoU-NMS: greedy suppression on IoU minus the "
+                        "center-distance penalty (occluded objects)")
     p.add_argument("--max-detections", type=int, default=50)
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
@@ -268,7 +271,8 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
         names = [f"class{i}" for i in range(spec.region.classes)]
     cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
                      max_detections=args.max_detections,
-                     soft_nms=args.soft_nms or "")
+                     soft_nms=args.soft_nms or "",
+                     diou_nms=args.diou_nms)
     folded = prepare_serving(spec, params, quantized, cfg)
     step = make_eval_step(spec, cfg)
     state = ServeState(spec, folded, step, names, args)

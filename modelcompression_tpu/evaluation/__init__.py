@@ -4,6 +4,7 @@ from modelcompression_tpu.evaluation.decode import (
 from modelcompression_tpu.evaluation.nms import (
     batched_per_class_nms, batched_per_class_nms_padded,
     batched_per_class_nms_prefiltered, batched_per_class_soft_nms,
+    diou_penalty, pairwise_diou_penalty,
     iou_corners,
     nms_padded, nms_topk, pairwise_iou, per_class_nms,
     per_class_nms_padded, per_class_nms_prefiltered, per_class_soft_nms,
@@ -24,6 +25,7 @@ __all__ = [
     "batched_per_class_nms", "batched_per_class_nms_padded",
     "batched_per_class_nms_prefiltered", "per_class_nms_prefiltered",
     "batched_per_class_soft_nms", "per_class_soft_nms", "soft_nms_topk",
+    "diou_penalty", "pairwise_diou_penalty",
     "iou_corners", "nms_padded", "nms_topk",
     "pairwise_iou", "per_class_nms", "per_class_nms_padded",
     "Detection", "GroundTruth", "class_ap", "coco_map", "mean_ap",

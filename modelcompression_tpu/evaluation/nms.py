@@ -50,10 +50,10 @@ def iou_corners(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out",))
+@functools.partial(jax.jit, static_argnames=("max_out", "diou"))
 def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
                iou_thresh: float = 0.45, score_thresh: float = 0.0,
-               max_out: int = 100
+               max_out: int = 100, diou: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with static output size.
 
@@ -61,6 +61,10 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
       boxes: (N, 4) corner format.
       scores: (N,) — entries <= score_thresh are treated as absent.
       max_out: K, number of selection steps / output slots.
+      diou: DIoU-NMS (Zheng et al. 2020): suppress on
+        ``IoU - rho^2/c^2 > iou_thresh`` — the center-distance penalty
+        spares far-apart boxes of the same overlap, helping occluded
+        same-class objects. Same greedy structure, different criterion.
 
     Returns:
       sel_boxes: (K, 4); sel_scores: (K,) (0 where invalid);
@@ -77,6 +81,8 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
         out_idx = out_idx.at[i].set(jnp.where(keep, j, -1))
         out_scores = out_scores.at[i].set(jnp.where(keep, s, 0.0))
         iou = iou_corners(boxes[j], boxes)
+        if diou:
+            iou = iou - diou_penalty(boxes[j], boxes)
         suppress = (iou > iou_thresh) & keep
         live = jnp.where(suppress, 0.0, live)
         live = live.at[j].set(0.0)
@@ -90,6 +96,36 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
     valid = idx >= 0
     sel_boxes = jnp.where(valid[:, None], sel_boxes, 0.0)
     return sel_boxes, out_scores, valid
+
+
+def diou_penalty(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """DIoU center-distance penalty rho^2/c^2 (Zheng et al. 2020) of one
+    (4,) corner box against (N, 4): squared center distance over the
+    squared diagonal of the smallest enclosing box."""
+    cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+    cxs = (boxes[:, 0] + boxes[:, 2]) / 2
+    cys = (boxes[:, 1] + boxes[:, 3]) / 2
+    rho2 = (cx - cxs) ** 2 + (cy - cys) ** 2
+    ex1 = jnp.minimum(box[0], boxes[:, 0])
+    ey1 = jnp.minimum(box[1], boxes[:, 1])
+    ex2 = jnp.maximum(box[2], boxes[:, 2])
+    ey2 = jnp.maximum(box[3], boxes[:, 3])
+    c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
+    return jnp.where(c2 > 0, rho2 / c2, 0.0)
+
+
+def pairwise_diou_penalty(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """DIoU penalty of (N, 4) against (M, 4) -> (N, M), all-parallel."""
+    acx, acy = (a[:, 0] + a[:, 2]) / 2, (a[:, 1] + a[:, 3]) / 2
+    bcx, bcy = (b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2
+    rho2 = ((acx[:, None] - bcx[None, :]) ** 2
+            + (acy[:, None] - bcy[None, :]) ** 2)
+    ex1 = jnp.minimum(a[:, None, 0], b[None, :, 0])
+    ey1 = jnp.minimum(a[:, None, 1], b[None, :, 1])
+    ex2 = jnp.maximum(a[:, None, 2], b[None, :, 2])
+    ey2 = jnp.maximum(a[:, None, 3], b[None, :, 3])
+    c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
+    return jnp.where(c2 > 0, rho2 / c2, 0.0)
 
 
 def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -107,10 +143,12 @@ def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "exact_prefilter"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "exact_prefilter", "diou"))
 def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
              iou_thresh: float = 0.45, score_thresh: float = 0.0,
-             max_out: int = 100, exact_prefilter: bool = True
+             max_out: int = 100, exact_prefilter: bool = True,
+             diou: bool = False
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over the top-``max_out`` scoring candidates (module
     docstring). Output order is score-descending.
@@ -146,7 +184,11 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
         vals, sub = jax.lax.top_k(vals0, k)  # exact order among survivors
         idx = jnp.take(idx0, sub, axis=-1)
     cand = boxes[idx]                        # (K, 4)
-    suppress = pairwise_iou(cand, cand) > iou_thresh  # (K, K)
+    crit = pairwise_iou(cand, cand)          # (K, K)
+    if diou:  # DIoU-NMS (Zheng et al. 2020): still a STATIC pairwise
+        # criterion, so the one-shot suppression scan applies unchanged
+        crit = crit - pairwise_diou_penalty(cand, cand)
+    suppress = crit > iou_thresh
     js = jnp.arange(k)
 
     def body(live, row):
@@ -169,7 +211,8 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                   iou_thresh: float = 0.45, score_thresh: float = 1e-3,
-                  max_out: int = 100, exact_prefilter: bool = True
+                  max_out: int = 100, exact_prefilter: bool = True,
+                  diou: bool = False
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS independently per class (top-k production path).
 
@@ -181,7 +224,7 @@ def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
     """
     f = jax.vmap(
         lambda s: nms_topk(boxes, s, iou_thresh, score_thresh, max_out,
-                           exact_prefilter),
+                           exact_prefilter, diou),
         in_axes=1)
     return f(class_scores)
 
@@ -189,10 +232,11 @@ def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
 def batched_per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                           iou_thresh: float = 0.45,
                           score_thresh: float = 1e-3,
-                          max_out: int = 100, exact_prefilter: bool = True):
+                          max_out: int = 100, exact_prefilter: bool = True,
+                          diou: bool = False):
     """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
     f = jax.vmap(lambda b, s: per_class_nms(
-        b, s, iou_thresh, score_thresh, max_out, exact_prefilter))
+        b, s, iou_thresh, score_thresh, max_out, exact_prefilter, diou))
     return f(boxes, class_scores)
 
 
@@ -200,7 +244,8 @@ def per_class_nms_prefiltered(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                               iou_thresh: float = 0.45,
                               score_thresh: float = 1e-3,
                               max_out: int = 100, prefilter: int = 256,
-                              exact_prefilter: bool = True
+                              exact_prefilter: bool = True,
+                              diou: bool = False
                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                          jnp.ndarray]:
     """Per-class NMS behind a CLASS-AGNOSTIC candidate prefilter
@@ -231,7 +276,7 @@ def per_class_nms_prefiltered(boxes: jnp.ndarray, class_scores: jnp.ndarray,
     b2 = boxes[idx]                                          # (N', 4)
     cs2 = jnp.where(vals[:, None] > 0, class_scores[idx], 0.0)
     return per_class_nms(b2, cs2, iou_thresh, score_thresh, max_out,
-                         exact_prefilter)
+                         exact_prefilter, diou)
 
 
 def batched_per_class_nms_prefiltered(boxes: jnp.ndarray,
@@ -240,11 +285,12 @@ def batched_per_class_nms_prefiltered(boxes: jnp.ndarray,
                                       score_thresh: float = 1e-3,
                                       max_out: int = 100,
                                       prefilter: int = 256,
-                                      exact_prefilter: bool = True):
+                                      exact_prefilter: bool = True,
+                                      diou: bool = False):
     """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
     f = jax.vmap(lambda b, s: per_class_nms_prefiltered(
         b, s, iou_thresh, score_thresh, max_out, prefilter,
-        exact_prefilter))
+        exact_prefilter, diou))
     return f(boxes, class_scores)
 
 
@@ -354,7 +400,8 @@ def batched_per_class_soft_nms(boxes: jnp.ndarray,
 
 def per_class_nms_padded(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                          iou_thresh: float = 0.45,
-                         score_thresh: float = 1e-3, max_out: int = 100
+                         score_thresh: float = 1e-3, max_out: int = 100,
+                         diou: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """EXACT greedy NMS per class over ALL N candidates (``nms_padded``),
     no top-K candidate prefilter: correct even when more than ``max_out``
@@ -363,7 +410,8 @@ def per_class_nms_padded(boxes: jnp.ndarray, class_scores: jnp.ndarray,
     Only the OUTPUT is capped at ``max_out`` surviving detections per
     class. (C, K, 4), (C, K), (C, K)."""
     f = jax.vmap(
-        lambda s: nms_padded(boxes, s, iou_thresh, score_thresh, max_out),
+        lambda s: nms_padded(boxes, s, iou_thresh, score_thresh, max_out,
+                             diou),
         in_axes=1)
     return f(class_scores)
 
@@ -372,8 +420,9 @@ def batched_per_class_nms_padded(boxes: jnp.ndarray,
                                  class_scores: jnp.ndarray,
                                  iou_thresh: float = 0.45,
                                  score_thresh: float = 1e-3,
-                                 max_out: int = 100):
+                                 max_out: int = 100,
+                                 diou: bool = False):
     """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
     f = jax.vmap(lambda b, s: per_class_nms_padded(
-        b, s, iou_thresh, score_thresh, max_out))
+        b, s, iou_thresh, score_thresh, max_out, diou))
     return f(boxes, class_scores)

@@ -113,6 +113,14 @@ class EvalConfig:
     # exclusive with exact_nms and nms_prefilter.
     soft_nms: str = ""
     soft_nms_sigma: float = 0.5
+    # DIoU-NMS (Zheng et al. 2020, evaluation/nms): greedy suppression
+    # on IoU - rho^2/c^2 > nms_thresh instead of plain IoU — the
+    # center-distance penalty spares far-apart boxes of equal overlap
+    # (occluded same-class objects). Still a static pairwise criterion,
+    # so it rides the one-shot suppression scan at unchanged cost;
+    # composes with exact_nms and nms_prefilter. Mutually exclusive
+    # with soft_nms (that replaces the erasure rule itself).
+    diou_nms: bool = False
     # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
     # Default OFF: the reformulation is exact and tested, but measured
     # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
@@ -145,6 +153,11 @@ class EvalConfig:
                 "soft_nms is mutually exclusive with exact_nms / "
                 "nms_prefilter: those select variants of GREEDY erasure "
                 "NMS, soft-NMS replaces the erasure rule itself")
+        if self.soft_nms and self.diou_nms:
+            raise ValueError(
+                "soft_nms and diou_nms are mutually exclusive: diou_nms "
+                "changes the greedy erasure criterion, soft_nms replaces "
+                "erasure with score decay")
 
 
 def _resize_dtype(precision):
@@ -231,7 +244,8 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                 corners, class_scores,
                 iou_thresh=config.nms_thresh,
                 score_thresh=config.conf_thresh,
-                max_out=config.max_detections)
+                max_out=config.max_detections,
+                diou=config.diou_nms)
         elif config.nms_prefilter > 0:
             sel, scores, valid = batched_per_class_nms_prefiltered(
                 corners, class_scores,
@@ -239,14 +253,16 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                 score_thresh=config.conf_thresh,
                 max_out=config.max_detections,
                 prefilter=config.nms_prefilter,
-                exact_prefilter=config.exact_nms_prefilter)
+                exact_prefilter=config.exact_nms_prefilter,
+                diou=config.diou_nms)
         else:
             sel, scores, valid = batched_per_class_nms(
                 corners, class_scores,
                 iou_thresh=config.nms_thresh,
                 score_thresh=config.conf_thresh,
                 max_out=config.max_detections,
-                exact_prefilter=config.exact_nms_prefilter)
+                exact_prefilter=config.exact_nms_prefilter,
+                diou=config.diou_nms)
         # (B, C, K, 4) normalized -> source pixels, on device
         sel = corners_to_image(sel, img_w[:, None, None],
                                img_h[:, None, None],
