@@ -516,6 +516,32 @@ def test_eval_cli_nms_switches(tmp_path):
     assert rc == 0
 
 
+def test_eval_cli_soft_and_diou_nms(tmp_path):
+    """--soft-nms / --diou-nms reach the pipeline through the public CLI
+    surface; invalid combinations are usage errors, not tracebacks."""
+    from modelcompression_tpu.cli import eval as eval_cli
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=2, image_size=96,
+                             seed=13)
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2",
+                        "--max-det", "8", "--soft-nms", "gaussian"])
+    assert rc == 0
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--batch", "2",
+                        "--max-det", "8", "--diou-nms", "--exact-nms"])
+    assert rc == 0
+    # exclusive combinations fail fast with rc=2
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--soft-nms", "linear",
+                        "--exact-nms"])
+    assert rc == 2
+    rc = eval_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--soft-nms", "linear",
+                        "--diou-nms"])
+    assert rc == 2
+
+
 def test_eval_cli_int8(tmp_path):
     """eval --int8 through the public CLI surface: full-int8 and hybrid
     (--int8-layers) runs complete; the bitmatch combination is rejected
