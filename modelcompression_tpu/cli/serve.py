@@ -32,6 +32,7 @@ import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 import numpy as np
 
@@ -108,19 +109,33 @@ class ServeState:
         self.max_wait = max(0.0, args.max_wait_ms) / 1e3
         self.timeout_s = args.timeout_s
         self.verbose = args.verbose
-        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        # BOUNDED queue = backpressure: a burst beyond device throughput
+        # gets an immediate 503 from submit() instead of accumulating
+        # letterboxed uint8 canvases in memory while every waiter blocks
+        # toward --timeout-s and burns a late 503 anyway. 4 batches of
+        # depth keeps the dispatcher fed across its gather window.
+        self.q: "queue.Queue[_Pending]" = queue.Queue(
+            maxsize=max(4 * self.batch, 16))
         self.stop = threading.Event()
         self.lock = threading.Lock()
         self.n_requests = 0
         self.n_images = 0
         self.n_batches = 0
+        self.n_rejected = 0
         self.t_start = time.monotonic()
 
-    def submit(self, canvas, w, h) -> _Pending:
+    def submit(self, canvas, w, h) -> Optional[_Pending]:
+        """Enqueue for the next batch; None = queue full (caller sends
+        503 immediately — the backpressure contract)."""
         item = _Pending(canvas, w, h)
         with self.lock:
             self.n_requests += 1
-        self.q.put(item)
+        try:
+            self.q.put_nowait(item)
+        except queue.Full:
+            with self.lock:
+                self.n_rejected += 1
+            return None
         return item
 
     def dispatch_loop(self):
@@ -175,6 +190,7 @@ class ServeState:
                 "requests": self.n_requests,
                 "images": self.n_images,
                 "batches": self.n_batches,
+                "rejected": self.n_rejected,
                 "mean_batch_fill": (self.n_images / self.n_batches
                                     if self.n_batches else 0.0),
                 "compiled_batch": self.batch,
@@ -243,6 +259,9 @@ def _make_handler(state: ServeState):
                 img[:, :, ::-1], state.spec.net.height,
                 state.spec.net.width)
             item = state.submit(canvas, float(w), float(h))
+            if item is None:  # bounded queue full — shed load now
+                self._send_json(503, {"error": "server overloaded"})
+                return
             if not item.event.wait(state.timeout_s):
                 # tell the dispatcher not to spend a batch slot on us
                 # (best-effort: it may already have gathered this item)

@@ -169,7 +169,12 @@ def _fpgm_scores_jit(ws: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     for k, w in ws.items():
         x = w.astype(jnp.float32).reshape(-1, w.shape[-1]).T  # (O, D)
         sq = jnp.sum(x * x, axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+        # HIGHEST precision: the ||a||²+||b||²−2ab form cancels badly for
+        # near-identical filters (exactly what FPGM ranks), and the TPU's
+        # default bf16 MXU pass would drown those distances in rounding.
+        # Pruning is one-shot/offline, so the fp32 matmul cost is trivial.
+        gram = jnp.matmul(x, x.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * gram
         out[k] = jnp.sum(jnp.sqrt(jnp.maximum(d2, 0.0)), axis=1)
     return out
 

@@ -79,20 +79,24 @@ def _lamp_masks_jit(ws: Dict[str, jnp.ndarray], n_zero: jnp.ndarray
 _lamp_masks_compiled = jax.jit(_lamp_masks_jit)
 
 
+# module-level (like _lamp_masks_compiled) so repeat diagnostic calls with
+# the same weight signature reuse the executable — a closure-local @jax.jit
+# would retrace per call, paying the 20-50 s remote compile every time
+@jax.jit
+def _lamp_scores_compiled(ws: Dict[str, jnp.ndarray]
+                          ) -> Dict[str, jnp.ndarray]:
+    return {k: lamp_scores_flat(w).reshape(w.shape)
+            for k, w in ws.items()}
+
+
 def lamp_scores_device(params: Params, spec: NetworkSpec,
                        skip: Sequence[int] = ()
                        ) -> Dict[str, jnp.ndarray]:
     """Per-weight LAMP scores for every prunable conv (diagnostic /
-    test surface). One jitted program."""
+    test surface). One jitted program, cached at module level."""
     keys = [conv_key(i) for i, l in enumerate(spec.layers)
             if isinstance(l, ConvLayer) and i not in skip]
-
-    @jax.jit
-    def score(ws):
-        return {k: lamp_scores_flat(w).reshape(w.shape)
-                for k, w in ws.items()}
-
-    return score({k: params[k]["w"] for k in keys})
+    return _lamp_scores_compiled({k: params[k]["w"] for k in keys})
 
 
 def lamp_masks(params: Params, spec: NetworkSpec, sparsity: float,

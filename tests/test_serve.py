@@ -175,3 +175,24 @@ def test_keepalive_after_error_paths(server):
     body, _ = _img_bytes(12)
     status, out = _post(port, body)
     assert status == 200 and "detections" in out
+
+
+def test_submit_backpressure_bounded_queue():
+    """The dispatcher queue is bounded: once full, submit() returns None
+    immediately (the handler sends 503) instead of accumulating
+    letterboxed canvases while waiters burn toward --timeout-s."""
+    import argparse
+    args = argparse.Namespace(batch=1, max_wait_ms=0.0, timeout_s=1.0,
+                              verbose=False)
+    # no dispatcher thread: nothing drains the queue
+    state = serve.ServeState(spec=None, params=None, step=None,
+                             names=["c"], args=args)
+    canvas = np.zeros((4, 4, 3), np.uint8)
+    cap = state.q.maxsize
+    assert cap >= 16
+    for _ in range(cap):
+        assert state.submit(canvas, 4.0, 4.0) is not None
+    # queue full now — immediate rejection, counted in stats
+    assert state.submit(canvas, 4.0, 4.0) is None
+    st = state.stats()
+    assert st["rejected"] == 1 and st["requests"] == cap + 1
