@@ -378,6 +378,7 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
 
     n_images = 0
     t_loop0 = time.perf_counter()
+    first_dev = []  # first batch's device arrays (single-batch steady timing)
 
     def batch_results():
         """Dispatch batch i, then fetch batch i-1's (tiny) outputs while
@@ -388,6 +389,8 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
         pending = None
         for chunk, (batch, img_w, img_h) in prefetch_to_device(
                 host_batches(), depth=2, put=put):
+            if not first_dev:
+                first_dev.append((batch, img_w, img_h))
             outs = step(params, batch, img_w, img_h)  # async dispatch
             if pending is not None:
                 p_chunk, p_w, p_h, p_outs = pending
@@ -402,9 +405,20 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     max_cand = 0
     n_pf_overflow = 0
     max_any = 0
+    n_batches = 0
+    t_first = None
+    n_first = 0
     try:
         for chunk, img_w, img_h, (boxes, scores, valid, n_cand, n_any) \
                 in batch_results():
+            n_batches += 1
+            if t_first is None:
+                # first results arriving marks the end of the one-off
+                # costs (XLA compile — 20-50 s on the remote-compile TPU
+                # path — plus first host prep/transfer); everything after
+                # is the steady-state pipeline
+                t_first = time.perf_counter()
+                n_first = len(chunk)
             n_images += len(chunk)
             real = n_cand[:len(chunk)]  # exclude batch padding rows
             n_cells += real.size
@@ -447,7 +461,21 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     # inference time — images_per_sec is end-to-end pipeline throughput.
     # Chip-only throughput numbers come from bench.py's salted
     # min-over-windows methodology, never from here.
-    wall_time = time.perf_counter() - t_loop0
+    t_end = time.perf_counter()
+    wall_time = t_end - t_loop0
+    # steady-state pipeline throughput: exclude the first batch (compile-
+    # dominated on cold runs — on short fixture runs the overall figure
+    # is effectively a compile measurement, VERDICT r2 weak #4). Single-
+    # batch runs re-execute the already-compiled program once instead.
+    compile_s = (t_first - t_loop0) if t_first is not None else 0.0
+    if n_batches > 1 and t_first is not None:
+        ips_steady = (n_images - n_first) / max(t_end - t_first, 1e-9)
+    elif n_batches == 1 and first_dev:
+        t0 = time.perf_counter()
+        jax.device_get(step(params, *first_dev[0]))
+        ips_steady = n_first / max(time.perf_counter() - t0, 1e-9)
+    else:
+        ips_steady = 0.0
     m, per_class = mean_ap(dets, gts, iou_thresh=config.map_iou,
                            use_07_metric=config.use_07_metric,
                            devkit_iou=config.devkit_iou)
@@ -460,6 +488,8 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
         map50=m, per_class_ap=per_class, detections=dets,
         n_images=n_images,
         images_per_sec=n_images / wall_time if wall_time else 0.0,
+        images_per_sec_steady=ips_steady,
+        compile_s=compile_s,
         use_07_metric=config.use_07_metric,
         map_iou=config.map_iou,
         nms_overflow_frac=(n_overflow / n_cells if n_cells else 0.0),
@@ -482,9 +512,19 @@ class EvalResult:
     detections: Dict[str, List[Detection]]
     n_images: int
     # end-to-end PIPELINE WALL throughput (host prep + transfers + device
-    # compute + fetch); chip-only numbers are bench.py's job
+    # compute + fetch); chip-only numbers are bench.py's job.
+    # INCLUDES the first batch's one-off costs (XLA compile) — kept with
+    # its historical semantics; use images_per_sec_steady for the figure
+    # that excludes them.
     images_per_sec: float
     use_07_metric: bool
+    # steady-state pipeline throughput: first batch excluded (single-batch
+    # runs time one re-execution of the compiled program instead); the
+    # number that means something on short runs
+    images_per_sec_steady: float = 0.0
+    # wall time until the first batch's results (host prep + transfer +
+    # XLA compile + execute + fetch) — compile-dominated on cold TPU runs
+    compile_s: float = 0.0
     map_iou: float = 0.5
     # NMS truncation observability ("no silent caps", VERDICT r1 #4):
     # fraction of (image, class) cells whose above-threshold candidate
@@ -520,6 +560,11 @@ class EvalResult:
         lines.append(f"mAP@{at} ({proto}): {self.map50 * 100:.2f}  "
                      f"[{self.n_images} images, "
                      f"{self.images_per_sec:.1f} img/s pipeline wall]")
+        if self.images_per_sec_steady > 0.0:
+            lines.append(
+                f"throughput: {self.images_per_sec_steady:.1f} img/s "
+                f"steady-state pipeline (first batch excluded: "
+                f"{self.compile_s:.1f}s incl. XLA compile)")
         if self.map_coco is not None:
             lines.append(f"mAP@[.50:.95] (all-point, COCO IoU ladder): "
                          f"{self.map_coco * 100:.2f}")

