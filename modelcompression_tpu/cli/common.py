@@ -109,6 +109,65 @@ def resolve_batch_subdivisions(args, spec):
     return batch, subdiv
 
 
+# bench.py's measured deployment configuration (docs/PERF.md headline:
+# conf 0.01, K=32, class-agnostic NMS prefilter 128) — the --deployment
+# preset makes the production serving surfaces reproduce the exact
+# configuration the headline number is measured in (BASELINE.json:11).
+DEPLOYMENT_PRESET = {"conf": 0.01, "max_detections": 32,
+                     "nms_prefilter": 128}
+
+
+def add_serving_nms_args(p: argparse.ArgumentParser):
+    """The serving-surface NMS knob set shared by serve and detect (the
+    eval CLI keeps its own mAP-protocol defaults). Defaults are None so
+    --deployment can fill in the measured preset without clobbering
+    explicit flags."""
+    p.add_argument("--conf", type=float, default=None,
+                   help="confidence threshold (default 0.25; "
+                        "--deployment: 0.01)")
+    p.add_argument("--nms", type=float, default=0.45, help="NMS IoU")
+    p.add_argument("--max-detections", type=int, default=None,
+                   help="per-class NMS output cap K (default 50; "
+                        "--deployment: 32)")
+    p.add_argument("--nms-prefilter", type=int, default=None,
+                   help="class-agnostic top-N' candidate prefilter before "
+                        "the per-class NMS sorts (0 = off, the default; "
+                        "--deployment: 128). Measured +10-14%% on the "
+                        "pruned pipeline (docs/PERF.md)")
+    p.add_argument("--soft-nms", choices=("linear", "gaussian"),
+                   default=None,
+                   help="Soft-NMS score decay instead of greedy erasure "
+                        "(accuracy knob for dense/overlapping scenes)")
+    p.add_argument("--diou-nms", action="store_true",
+                   help="DIoU-NMS: greedy suppression on IoU minus the "
+                        "center-distance penalty (occluded objects)")
+    p.add_argument("--deployment", action="store_true",
+                   help="apply bench.py's measured deployment "
+                        "configuration (conf 0.01, K=32, NMS prefilter "
+                        "128 — docs/PERF.md headline); explicit flags "
+                        "still win")
+
+
+def resolve_serving_eval_config(args):
+    """(serve/detect) --conf/--nms/--max-detections/--nms-prefilter/
+    --soft-nms/--diou-nms/--deployment -> EvalConfig. Explicit flags
+    override the --deployment preset; without --deployment the classic
+    demo defaults (conf 0.25, K=50, prefilter off) apply."""
+    from modelcompression_tpu.evaluation import EvalConfig
+    preset = DEPLOYMENT_PRESET if getattr(args, "deployment", False) \
+        else {"conf": 0.25, "max_detections": 50, "nms_prefilter": 0}
+
+    def pick(name):
+        v = getattr(args, name, None)
+        return preset[name] if v is None else v
+
+    return EvalConfig(conf_thresh=pick("conf"), nms_thresh=args.nms,
+                      max_detections=pick("max_detections"),
+                      nms_prefilter=pick("nms_prefilter"),
+                      soft_nms=args.soft_nms or "",
+                      diou_nms=args.diou_nms)
+
+
 def resolve_mask_backend(args) -> str:
     """--use-pallas is an alias for --mask-backend pallas (prune and
     finetune CLIs share the flag pair)."""
@@ -213,16 +272,20 @@ def prepare_serving(spec, params, quantized: bool, cfg):
     return fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
 
 
-def run_padded_batch(step, params, canvases, ws, hs, batch: int):
-    """Run the ONE fused serving program on a host-side gather, padding
-    to the compiled batch size by repeating the last entry (padded rows
-    are never read back per image). The single place ``detect --dir``,
-    ``detect --video`` and the serve dispatcher share the padded-batch
-    contract — including the exact input avals (uint8 canvases, non-weak
-    float32 sizes), so every caller hits the same compiled executable.
+def dispatch_padded_batch(step, params, canvases, ws, hs, batch: int):
+    """DISPATCH the ONE fused serving program on a host-side gather,
+    padding to the compiled batch size by repeating the last entry
+    (padded rows are never read back per image). The single place
+    ``detect --dir``, ``detect --video`` and the serve dispatcher share
+    the padded-batch contract — including the exact input avals (uint8
+    canvases, non-weak float32 sizes), so every caller hits the same
+    compiled executable.
 
-    Returns numpy ``(sel, scores, valid)`` (read-back forces execution).
-    """
+    Returns the program's DEVICE outputs without blocking (JAX dispatch
+    is async): callers overlap host work with device execution and call
+    ``fetch_batch`` when they need the results — the same
+    dispatch-then-fetch-previous pattern the eval pipeline uses
+    (evaluation/pipeline.py batch_results)."""
     import jax.numpy as jnp
     canvases, ws, hs = list(canvases), list(ws), list(hs)
     while len(canvases) < batch:
@@ -232,7 +295,20 @@ def run_padded_batch(step, params, canvases, ws, hs, batch: int):
     sel, sc, valid, _, _ = step(
         params, jnp.asarray(np.stack(canvases)),
         jnp.asarray(ws, jnp.float32), jnp.asarray(hs, jnp.float32))
-    return tuple(np.asarray(a) for a in (sel, sc, valid))
+    return sel, sc, valid
+
+
+def fetch_batch(dev_outs):
+    """Block on + read back a ``dispatch_padded_batch`` result as numpy
+    (the device->host read forces execution)."""
+    return tuple(np.asarray(a) for a in dev_outs)
+
+
+def run_padded_batch(step, params, canvases, ws, hs, batch: int):
+    """dispatch_padded_batch + fetch_batch in one call (the synchronous
+    convenience for single-shot callers like the serve warm-up)."""
+    return fetch_batch(
+        dispatch_padded_batch(step, params, canvases, ws, hs, batch))
 
 
 def unpack_detections(sel, scores, valid, w, h):

@@ -21,12 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from modelcompression_tpu.cli.common import (
-    add_model_args, enable_compilation_cache, load_serving_model,
-    prepare_serving, run_padded_batch, unpack_detections,
+    add_model_args, add_serving_nms_args, dispatch_padded_batch,
+    enable_compilation_cache, fetch_batch, load_serving_model,
+    prepare_serving, resolve_serving_eval_config, unpack_detections,
 )
 from modelcompression_tpu.data.preprocess import letterbox_host
 from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
-from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
+from modelcompression_tpu.evaluation import make_eval_step
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -51,17 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "MJPG codec — always available offline; other "
                         "extensions try mp4v)")
     p.add_argument("--batch", type=int, default=16,
-                   help="with --dir/--video: device batch size "
-                        "(one compile)")
-    p.add_argument("--conf", type=float, default=0.25)
-    p.add_argument("--nms", type=float, default=0.45)
-    p.add_argument("--soft-nms", choices=("linear", "gaussian"),
-                   default=None,
-                   help="Soft-NMS score decay instead of greedy erasure "
-                        "(accuracy knob for dense/overlapping scenes)")
-    p.add_argument("--diou-nms", action="store_true",
-                   help="DIoU-NMS: greedy suppression on IoU minus the "
-                        "center-distance penalty (occluded objects)")
+                   help="with --dir/--video: device batch size (one "
+                        "compile; 64 is the measured headline point, 128 "
+                        "the peak-throughput point — docs/PERF.md batch "
+                        "scaling)")
+    add_serving_nms_args(p)
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
                    help="serve a saved int8 deployment artifact "
@@ -98,7 +93,12 @@ def _draw_detections(img_bgr, sel, scores, valid, names, w, h,
 def _detect_dir(args, spec, folded, cfg, names) -> int:
     """Directory mode: letterbox on host, run the fused eval step at a
     fixed batch (final partial batch padded by repetition — padded rows'
-    outputs are simply not read back per image)."""
+    outputs are simply not read back per image).
+
+    PIPELINED like evaluation/pipeline.batch_results: dispatch batch i,
+    then draw/write batch i-1 and host-prep batch i+1 while the device
+    computes — the fetch read-back never serializes with device
+    execution (on the tunnel each blocking fetch costs a full RTT)."""
     import os
 
     import cv2
@@ -115,6 +115,21 @@ def _detect_dir(args, spec, folded, cfg, names) -> int:
     step = make_eval_step(spec, cfg)
     b = max(1, args.batch)
     total = n_images = 0
+
+    def drain(pending):
+        nonlocal total, n_images
+        kept, imgs, ws, hs, dev = pending
+        sel, sc, valid = fetch_batch(dev)
+        for j, (pth, im) in enumerate(zip(kept, imgs)):
+            n = _draw_detections(im, sel[j], sc[j], valid[j], names,
+                                 int(ws[j]), int(hs[j]), quiet=True)
+            out = os.path.join(args.out_dir, os.path.basename(pth))
+            cv2.imwrite(out, im)
+            print(f"{pth}: {n} detections -> {out}")
+            total += n
+            n_images += 1
+
+    pending = None
     for i in range(0, len(paths), b):
         chunk = paths[i:i + b]
         imgs, canvases, ws, hs, kept = [], [], [], [], []
@@ -132,16 +147,12 @@ def _detect_dir(args, spec, folded, cfg, names) -> int:
             kept.append(pth)
         if not kept:
             continue
-        sel, sc, valid = run_padded_batch(step, folded, canvases,
-                                          ws, hs, b)
-        for j, (pth, im) in enumerate(zip(kept, imgs)):
-            n = _draw_detections(im, sel[j], sc[j], valid[j], names,
-                                 int(ws[j]), int(hs[j]), quiet=True)
-            out = os.path.join(args.out_dir, os.path.basename(pth))
-            cv2.imwrite(out, im)
-            print(f"{pth}: {n} detections -> {out}")
-            total += n
-            n_images += 1
+        dev = dispatch_padded_batch(step, folded, canvases, ws, hs, b)
+        if pending is not None:
+            drain(pending)
+        pending = (kept, imgs, ws, hs, dev)
+    if pending is not None:
+        drain(pending)
     print(f"{total} detections over {n_images} images -> {args.out_dir}")
     return 0
 
@@ -170,7 +181,38 @@ def _detect_video(args, spec, folded, cfg, names) -> int:
     size0 = None
     total = frames = 0
     t0 = time.time()
-    while True:
+
+    def drain(pending):
+        """Fetch + draw + write one dispatched batch; returns an error
+        code (0 = ok). Runs while the NEXT batch computes on device."""
+        nonlocal writer, size0, total, frames
+        ims, ws, hs, dev = pending
+        sel, sc, valid = fetch_batch(dev)
+        for j, im in enumerate(ims):
+            total += _draw_detections(im, sel[j], sc[j], valid[j], names,
+                                      int(ws[j]), int(hs[j]), quiet=True)
+            if writer is None:
+                size0 = (im.shape[1], im.shape[0])
+                writer = cv2.VideoWriter(args.out_video, fourcc, fps, size0)
+                if not writer.isOpened():
+                    print(f"error: cannot open writer for "
+                          f"{args.out_video} (codec "
+                          f"{'MJPG' if ext == '.avi' else 'mp4v'})",
+                          file=sys.stderr)
+                    return 2
+            if (im.shape[1], im.shape[0]) != size0:
+                print("error: variable frame size mid-stream",
+                      file=sys.stderr)
+                return 2
+            writer.write(im)
+            frames += 1
+        return 0
+
+    # pipelined: decode+letterbox batch i+1 and write batch i while
+    # batch i+1 executes on device (same pattern as _detect_dir)
+    pending = None
+    rc = 0
+    while rc == 0:
         ims = []
         while len(ims) < b:
             ok, im = cap.read()
@@ -185,30 +227,17 @@ def _detect_video(args, spec, folded, cfg, names) -> int:
             canvases.append(canvas)
             hs.append(float(im.shape[0]))
             ws.append(float(im.shape[1]))
-        sel, sc, valid = run_padded_batch(step, folded, canvases,
-                                          ws, hs, b)
-        for j, im in enumerate(ims):
-            total += _draw_detections(im, sel[j], sc[j], valid[j], names,
-                                      int(ws[j]), int(hs[j]), quiet=True)
-            if writer is None:
-                size0 = (im.shape[1], im.shape[0])
-                writer = cv2.VideoWriter(args.out_video, fourcc, fps, size0)
-                if not writer.isOpened():
-                    print(f"error: cannot open writer for "
-                          f"{args.out_video} (codec "
-                          f"{'MJPG' if ext == '.avi' else 'mp4v'})",
-                          file=sys.stderr)
-                    cap.release()
-                    return 2
-            if (im.shape[1], im.shape[0]) != size0:
-                print("error: variable frame size mid-stream",
-                      file=sys.stderr)
-                cap.release()
-                writer.release()
-                return 2
-            writer.write(im)
-            frames += 1
+        dev = dispatch_padded_batch(step, folded, canvases, ws, hs, b)
+        if pending is not None:
+            rc = drain(pending)
+        pending = (ims, ws, hs, dev)
+    if rc == 0 and pending is not None:
+        rc = drain(pending)
     cap.release()
+    if rc:
+        if writer is not None:
+            writer.release()
+        return rc
     if writer is None:
         print(f"error: no frames decoded from {args.video}",
               file=sys.stderr)
@@ -242,9 +271,7 @@ def main(argv=None) -> int:
     if len(names) != region.classes:
         names = [f"class{i}" for i in range(region.classes)]
 
-    cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
-                     max_detections=50, soft_nms=args.soft_nms or "",
-                     diou_nms=args.diou_nms)
+    cfg = resolve_serving_eval_config(args)
     folded = prepare_serving(spec, params, quantized, cfg)
 
     if args.dir:

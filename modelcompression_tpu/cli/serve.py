@@ -26,6 +26,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import queue
 import sys
@@ -37,12 +38,14 @@ from typing import Optional
 import numpy as np
 
 from modelcompression_tpu.cli.common import (
-    add_model_args, enable_compilation_cache, load_serving_model,
-    prepare_serving, run_padded_batch, unpack_detections,
+    add_model_args, add_serving_nms_args, dispatch_padded_batch,
+    enable_compilation_cache, fetch_batch, load_serving_model,
+    prepare_serving, resolve_serving_eval_config, run_padded_batch,
+    unpack_detections,
 )
 from modelcompression_tpu.data.preprocess import letterbox_host
 from modelcompression_tpu.data.voc import VOC_CLASSES, read_names
-from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
+from modelcompression_tpu.evaluation import make_eval_step
 
 MAX_BODY = 64 * 1024 * 1024
 
@@ -56,21 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch", type=int, default=16,
                    help="compiled device batch size (requests are "
-                        "gathered up to this many per dispatch)")
+                        "gathered up to this many per dispatch; 64 is "
+                        "the measured headline point, 128 the "
+                        "peak-throughput point — docs/PERF.md batch "
+                        "scaling)")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="how long the dispatcher waits to fill a batch "
                         "after the first request arrives (latency vs "
                         "batch-fill trade)")
-    p.add_argument("--conf", type=float, default=0.25)
-    p.add_argument("--nms", type=float, default=0.45)
-    p.add_argument("--soft-nms", choices=("linear", "gaussian"),
-                   default=None,
-                   help="Soft-NMS score decay instead of greedy erasure "
-                        "(accuracy knob for dense/overlapping scenes)")
-    p.add_argument("--diou-nms", action="store_true",
-                   help="DIoU-NMS: greedy suppression on IoU minus the "
-                        "center-distance penalty (occluded objects)")
-    p.add_argument("--max-detections", type=int, default=50)
+    add_serving_nms_args(p)
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
                    help="serve a saved int8 deployment artifact")
@@ -85,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 class _Pending:
     __slots__ = ("canvas", "w", "h", "event", "result", "error",
-                 "abandoned")
+                 "abandoned", "t_submit")
 
     def __init__(self, canvas, w, h):
         self.canvas = canvas
@@ -95,6 +92,7 @@ class _Pending:
         self.result = None
         self.error = None
         self.abandoned = False  # set by a waiter that already timed out
+        self.t_submit = time.monotonic()  # for /stats latency percentiles
 
 
 class ServeState:
@@ -122,6 +120,8 @@ class ServeState:
         self.n_images = 0
         self.n_batches = 0
         self.n_rejected = 0
+        self.n_overlapped = 0  # batches dispatched while one was in flight
+        self.latencies_ms = collections.deque(maxlen=4096)
         self.t_start = time.monotonic()
 
     def submit(self, canvas, w, h) -> Optional[_Pending]:
@@ -138,59 +138,122 @@ class ServeState:
             return None
         return item
 
-    def dispatch_loop(self):
-        """Single thread owning the device: gather -> pad -> one fused
-        execution -> distribute. Runs until ``stop`` is set."""
-        while not self.stop.is_set():
+    def _gather(self, first_timeout: float):
+        """Collect up to one batch: block up to ``first_timeout`` for the
+        first request, then up to max_wait to fill. Waiters that already
+        timed out (503 sent) are dropped — don't burn a batch slot on
+        results nobody will read."""
+        try:
+            first = self.q.get(timeout=first_timeout)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(items) < self.batch:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
             try:
-                first = self.q.get(timeout=0.1)
+                items.append(self.q.get(timeout=left))
             except queue.Empty:
-                continue
-            items = [first]
-            deadline = time.monotonic() + self.max_wait
-            while len(items) < self.batch:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    items.append(self.q.get(timeout=left))
-                except queue.Empty:
-                    break
-            # drop waiters that already timed out (503 sent) — don't burn
-            # a device batch on results nobody will read
-            items = [it for it in items if not it.abandoned]
-            if not items:
-                continue
-            try:
-                sel, sc, valid = run_padded_batch(
-                    self.step, self.params,
-                    [it.canvas for it in items],
-                    [it.w for it in items],
-                    [it.h for it in items], self.batch)
-            except Exception as e:  # surface the failure to every waiter
-                for it in items:
-                    it.error = f"inference failed: {e!r}"
-                    it.event.set()
-                continue
-            for j, it in enumerate(items):
-                dets = unpack_detections(sel[j], sc[j], valid[j],
-                                         it.w, it.h)
-                for d in dets:
-                    d["name"] = self.names[d["class_id"]]
-                it.result = dets
+                break
+        return [it for it in items if not it.abandoned]
+
+    def _dispatch(self, items):
+        """Async-dispatch one padded batch; on a dispatch-time failure
+        (tracing/shape errors) fail the waiters and return None."""
+        try:
+            return dispatch_padded_batch(
+                self.step, self.params,
+                [it.canvas for it in items],
+                [it.w for it in items],
+                [it.h for it in items], self.batch)
+        except Exception as e:
+            for it in items:
+                it.error = f"inference failed: {e!r}"
                 it.event.set()
-            with self.lock:
-                self.n_images += len(items)
-                self.n_batches += 1
+            return None
+
+    def _distribute(self, items, dev):
+        """Fetch one dispatched batch's results and wake its waiters."""
+        try:
+            sel, sc, valid = fetch_batch(dev)
+        except Exception as e:  # surface the failure to every waiter
+            for it in items:
+                it.error = f"inference failed: {e!r}"
+                it.event.set()
+            return
+        now = time.monotonic()
+        for j, it in enumerate(items):
+            dets = unpack_detections(sel[j], sc[j], valid[j],
+                                     it.w, it.h)
+            for d in dets:
+                d["name"] = self.names[d["class_id"]]
+            it.result = dets
+            it.event.set()
+        with self.lock:
+            self.n_images += len(items)
+            self.n_batches += 1
+            self.latencies_ms.extend(
+                (now - it.t_submit) * 1e3 for it in items)
+
+    def dispatch_loop(self):
+        """Single thread owning the device: gather -> pad -> dispatch ->
+        distribute, PIPELINED: while batch i executes on device, batch
+        i+1 is gathered and dispatched, and only then are batch i's
+        results fetched and unpacked (the eval pipeline's
+        dispatch-then-fetch-previous pattern, evaluation/pipeline.py
+        batch_results). Under load the device never waits for the host's
+        fetch+decode window — on the tunnel each blocking fetch costs a
+        full RTT. When the queue is idle there is nothing to overlap and
+        the loop degenerates to the serial path (no added latency).
+        Runs until ``stop`` is set."""
+        pending = None  # (items, device outputs) in flight
+        while not self.stop.is_set():
+            if pending is None:
+                items = self._gather(first_timeout=0.1)
+                if not items:
+                    continue
+                dev = self._dispatch(items)
+                pending = (items, dev) if dev is not None else None
+            else:
+                # non-blocking peek: overlap only if work is already
+                # queued; otherwise fetch the in-flight batch straight
+                # away rather than holding its waiters
+                items = self._gather(first_timeout=0.0)
+                nxt = None
+                if items:
+                    dev = self._dispatch(items)
+                    if dev is not None:
+                        nxt = (items, dev)
+                        with self.lock:
+                            self.n_overlapped += 1
+                self._distribute(*pending)
+                pending = nxt
+        if pending is not None:  # shutdown: don't strand waiters
+            self._distribute(*pending)
 
     def stats(self) -> dict:
         with self.lock:
             wall = time.monotonic() - self.t_start
+            lats = sorted(self.latencies_ms)
+
+            def pct(p):  # nearest-rank percentile over the window
+                if not lats:
+                    return 0.0
+                return round(lats[min(len(lats) - 1,
+                                      int(p / 100.0 * len(lats)))], 2)
+
             return {
                 "requests": self.n_requests,
                 "images": self.n_images,
                 "batches": self.n_batches,
                 "rejected": self.n_rejected,
+                "overlapped_batches": self.n_overlapped,
+                "queue_depth": self.q.qsize(),
+                "latency_ms_p50": pct(50),
+                "latency_ms_p99": pct(99),
+                "latency_window": len(lats),
                 "mean_batch_fill": (self.n_images / self.n_batches
                                     if self.n_batches else 0.0),
                 "compiled_batch": self.batch,
@@ -221,11 +284,15 @@ def _make_handler(state: ServeState):
 
         def do_GET(self):
             if self.path == "/healthz":
+                cfg = getattr(state, "cfg", None)
                 self._send_json(200, {
                     "ok": True,
                     "classes": state.spec.region.classes,
                     "net": [state.spec.net.height, state.spec.net.width],
                     "batch": state.batch,
+                    "conf": cfg.conf_thresh if cfg else None,
+                    "max_detections": cfg.max_detections if cfg else None,
+                    "nms_prefilter": cfg.nms_prefilter if cfg else None,
                 })
             elif self.path == "/stats":
                 self._send_json(200, state.stats())
@@ -288,13 +355,11 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     names = read_names(args.names) if args.names else list(VOC_CLASSES)
     if len(names) != spec.region.classes:
         names = [f"class{i}" for i in range(spec.region.classes)]
-    cfg = EvalConfig(conf_thresh=args.conf, nms_thresh=args.nms,
-                     max_detections=args.max_detections,
-                     soft_nms=args.soft_nms or "",
-                     diou_nms=args.diou_nms)
+    cfg = resolve_serving_eval_config(args)
     folded = prepare_serving(spec, params, quantized, cfg)
     step = make_eval_step(spec, cfg)
     state = ServeState(spec, folded, step, names, args)
+    state.cfg = cfg  # resolved EvalConfig (incl. --deployment preset)
 
     # warm-up: pay the (remote) compile before the first request. Goes
     # through run_padded_batch — the dispatcher's exact call path — so
@@ -333,7 +398,10 @@ def main(argv=None) -> int:
     host, port = httpd.server_address[:2]
     print(f"serving on http://{host}:{port}  "
           f"(batch {state.batch}, wait {state.max_wait * 1e3:.0f} ms, "
-          f"conf {args.conf})", file=sys.stderr)
+          f"conf {state.cfg.conf_thresh}, K {state.cfg.max_detections}, "
+          f"prefilter {state.cfg.nms_prefilter}"
+          f"{', deployment preset' if args.deployment else ''})",
+          file=sys.stderr)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

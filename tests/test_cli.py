@@ -448,6 +448,32 @@ def test_detect_cli_smoke(tmp_path):
     assert detect.main(["--cfg", cfg_path, "--image", img_path]) == 2
 
 
+def test_detect_cli_deployment_preset(tmp_path):
+    """detect --deployment: the measured headline NMS configuration
+    (conf 0.01, K=32, class-agnostic prefilter 128 — docs/PERF.md) is
+    reachable from the public demo surface (VERDICT r2 #4)."""
+    from modelcompression_tpu.cli import detect
+    from modelcompression_tpu.data.fixtures import tiny_region_cfg
+
+    root = str(tmp_path / "data")
+    make_fake_voc(root, n_images=1, image_size=160, seed=9)
+    img_path = root + "/images/img0000.png"
+
+    spec_txt = tiny_region_cfg(num_classes=3, width=96, height=96)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(spec_txt)
+    spec = parse_cfg(spec_txt)
+    params = init_params(spec, jax.random.key(0))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+
+    out = str(tmp_path / "pred.png")
+    rc = detect.main(["--cfg", cfg_path, "--weights", wpath,
+                      "--image", img_path, "--out", out, "--deployment"])
+    assert rc == 0
+    assert os.path.exists(out)
+
+
 def test_detect_cli_video(tmp_path):
     """detect --video: every frame batched through the fused step (final
     partial batch padded), annotated video written frame-for-frame."""

@@ -177,6 +177,91 @@ def test_keepalive_after_error_paths(server):
     assert status == 200 and "detections" in out
 
 
+def test_pipelined_dispatch_overlap_and_latency(server):
+    """VERDICT r2 #2: under sustained load the dispatcher must PIPELINE —
+    dispatch batch i+1 before fetching batch i's results (the eval
+    pipeline's dispatch-then-fetch-previous pattern), observable as
+    ``overlapped_batches`` > 0 in /stats — and report latency
+    percentiles over the request window."""
+    port, state, spec = server
+    n_req = 12  # >> compiled batch of 2: keeps the queue non-empty
+    results = []
+    lock = threading.Lock()
+
+    def go(seed):
+        body, _ = _img_bytes(seed % 5 + 1)
+        code = _post(port, body)[0]
+        with lock:
+            results.append(code)
+
+    threads = [threading.Thread(target=go, args=(s,))
+               for s in range(n_req)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert results == [200] * n_req
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+        st = json.loads(r.read())
+    # batches genuinely overlapped: at least one dispatch happened while
+    # a previous batch was still in flight on the device
+    assert st["overlapped_batches"] >= 1
+    # latency percentiles over the sliding window are present and sane
+    assert st["latency_window"] >= n_req
+    assert 0.0 < st["latency_ms_p50"] <= st["latency_ms_p99"]
+    assert "queue_depth" in st
+
+
+def test_deployment_preset_resolution():
+    """--deployment applies bench.py's measured configuration (conf 0.01,
+    K=32, NMS prefilter 128 — docs/PERF.md headline); explicit flags
+    override the preset; without it the classic demo defaults hold."""
+    from modelcompression_tpu.cli.common import (
+        DEPLOYMENT_PRESET, resolve_serving_eval_config,
+    )
+    parser = serve.build_parser()
+    base = ["--cfg", "x.cfg", "--weights", "w.weights"]
+
+    cfg = resolve_serving_eval_config(parser.parse_args(base))
+    assert (cfg.conf_thresh, cfg.max_detections, cfg.nms_prefilter) == \
+        (0.25, 50, 0)
+
+    cfg = resolve_serving_eval_config(
+        parser.parse_args(base + ["--deployment"]))
+    assert cfg.conf_thresh == DEPLOYMENT_PRESET["conf"] == 0.01
+    assert cfg.max_detections == DEPLOYMENT_PRESET["max_detections"] == 32
+    assert cfg.nms_prefilter == DEPLOYMENT_PRESET["nms_prefilter"] == 128
+
+    # explicit flags beat the preset, field by field
+    cfg = resolve_serving_eval_config(parser.parse_args(
+        base + ["--deployment", "--conf", "0.2",
+                "--nms-prefilter", "64"]))
+    assert cfg.conf_thresh == 0.2
+    assert cfg.nms_prefilter == 64
+    assert cfg.max_detections == 32  # untouched preset field survives
+
+    # detect shares the same knob surface
+    from modelcompression_tpu.cli import detect
+    dcfg = resolve_serving_eval_config(detect.build_parser().parse_args(
+        ["--cfg", "x.cfg", "--weights", "w.weights", "--image", "i.png",
+         "--deployment"]))
+    assert (dcfg.conf_thresh, dcfg.max_detections, dcfg.nms_prefilter) \
+        == (0.01, 32, 128)
+
+
+def test_healthz_reports_resolved_nms_config(server):
+    """/healthz surfaces the resolved serving configuration so an
+    operator can confirm which NMS point the daemon is running."""
+    port, state, spec = server
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["conf"] == pytest.approx(0.05)  # fixture's explicit --conf
+    assert h["max_detections"] == 50 and h["nms_prefilter"] == 0
+
+
 def test_submit_backpressure_bounded_queue():
     """The dispatcher queue is bounded: once full, submit() returns None
     immediately (the handler sends 503) instead of accumulating
