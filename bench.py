@@ -9,6 +9,16 @@ Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": <pruned img/s/chip>, "unit": "img/s/chip",
    "vs_baseline": <pruned / unpruned speedup>, ...extra diagnostics}
 
+``--quick [pruned|unpruned|pruned_int8|unpruned_int8]`` measures ONE
+configuration (default: the pruned-bf16 headline pipeline) with one
+compile — ~1 min wall vs ~15 for the full run — for per-commit
+regression checks and experiment A/Bs. Every invocation (full or quick)
+appends its numbers to ``PERF_LEDGER.jsonl`` stamped with timestamp +
+git commit (utils/perf_ledger.py; SURVEY.md §4.7 "images/sec/chip
+recorded per commit"); ``--note`` tags an entry so adopt/reject
+decisions can cite ≥2 ledger runs (docs/PERF.md "Measurement
+variance").
+
 "vs_baseline" is the speedup over the unpruned bf16 YOLOv2 measured the
 same way in the same run (the de-facto baseline per SURVEY.md §6 — the
 reference published no numbers, BASELINE.json:13). The build target is
@@ -34,6 +44,7 @@ Two measurements, both honest about what they are:
   numbers dominate. All progress goes to stderr.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -46,7 +57,26 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> int:
+QUICK_CONFIGS = ("pruned", "unpruned", "pruned_int8", "unpruned_int8")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--quick", nargs="?", const="pruned",
+                   choices=QUICK_CONFIGS, default=None,
+                   help="measure ONE configuration (one compile, ~1 min "
+                        "wall): per-commit regression checks and "
+                        "experiment A/Bs (default config: pruned)")
+    p.add_argument("--note", default="",
+                   help="free-form tag recorded in PERF_LEDGER.jsonl "
+                        "(e.g. the experiment an A/B run belongs to)")
+    p.add_argument("--no-ledger", action="store_true",
+                   help="skip the PERF_LEDGER.jsonl append")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     import jax
     import jax.numpy as jnp
     # NOTE: the persistent compilation cache is deliberately NOT enabled —
@@ -62,6 +92,7 @@ def main() -> int:
     from modelcompression_tpu.models import (
         fold_batchnorm, init_params, num_conv_flops, num_params, yolov2_voc,
     )
+    from modelcompression_tpu.utils import perf_ledger
     from modelcompression_tpu.utils.timing import measure_rtt, time_fn
 
     PEAK_BF16_TFLOPS = 197.0  # TPU v5 lite (v5e) chip peak, bf16
@@ -161,6 +192,40 @@ def main() -> int:
         log(f"{name}: {ips:.1f} img/s ({sec * 1e3:.2f} ms/batch, "
             f"{tflops:.1f} TFLOPS = {tflops / PEAK_BF16_TFLOPS:.0%} MFU)")
         return ips, folded, step
+
+    if args.quick:
+        # ONE configuration, one compile (~1 min wall): the per-commit
+        # regression / experiment-A/B mode. vs_baseline is null — no
+        # in-run baseline is measured; compare ledger entries instead.
+        qspec, qparams = ((slim_spec, slim_params)
+                          if args.quick.startswith("pruned")
+                          else (spec, params))
+        int8 = "off"
+        if args.quick.endswith("int8"):
+            int8 = (int8_layers_auto(slim_spec, min_channels=64)
+                    if args.quick == "pruned_int8" else None)
+        label = {"pruned": "75%-filter-pruned",
+                 "unpruned": "unpruned",
+                 "pruned_int8": "75%-pruned+int8(auto:64)",
+                 "unpruned_int8": "unpruned+int8"}[args.quick]
+        ips, _, _ = bench_chip(qspec, qparams, label, int8_layers=int8)
+        if not args.no_ledger:
+            entry = perf_ledger.append({
+                "mode": f"quick:{args.quick}", "note": args.note,
+                "img_per_sec": round(ips, 1),
+                "rtt_ms": round(rtt * 1e3, 1)})
+            log(f"ledger: {entry['commit']} {entry['mode']} "
+                f"{entry['img_per_sec']} img/s")
+        print(json.dumps({
+            "metric": f"yolov2_416 {label} fused "
+                      "letterbox+infer+decode+NMS, batch 64 (quick)",
+            "value": round(ips, 1),
+            "unit": "img/s/chip",
+            "vs_baseline": None,
+            "quick": args.quick,
+            "tunnel_rtt_ms": round(rtt * 1e3, 1),
+        }))
+        return 0
 
     unpruned_ips, _, _ = bench_chip(spec, params, "unpruned")
     pruned_ips, folded, step = bench_chip(slim_spec, slim_params,
@@ -307,6 +372,22 @@ def main() -> int:
     log(f"pallas top-k/mask == XLA on hardware: {pallas_equal} "
         f"({pallas_secs:.2f}s incl. compile, "
         f"{sum(m.size for m in masks_pl.values()) / 1e6:.1f}M weights)")
+
+    if not args.no_ledger:
+        entry = perf_ledger.append({
+            "mode": "full", "note": args.note,
+            "img_per_sec": round(best_ips, 1),
+            "best_label": best_label,
+            "vs_baseline": round(speedup, 3),
+            "unpruned_img_per_sec": round(unpruned_ips, 1),
+            "pruned_bf16_img_per_sec": round(pruned_ips, 1),
+            "pruned_int8_img_per_sec":
+                round(pruned_int8_ips, 1) if pruned_int8_ips else None,
+            "streaming_img_per_sec": round(stream_ips, 1),
+            "pruned_finetune_img_per_sec":
+                round(train_ips, 1) if train_ips else None,
+            "rtt_ms": round(rtt * 1e3, 1)})
+        log(f"ledger: {entry['commit']} full {entry['img_per_sec']} img/s")
 
     print(json.dumps({
         "metric": f"yolov2_416 {best_label} fused "
