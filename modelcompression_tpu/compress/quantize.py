@@ -287,7 +287,11 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
                       spec: NetworkSpec,
                       precision: Precision = FAST) -> jnp.ndarray:
     """Quantized (possibly hybrid) forward; ``x`` float images in [0, 1]
-    (letterboxed canvas).
+    (letterboxed canvas), or an INT8 canvas already on the network-input
+    grid (``data.preprocess.quantize_canvas`` with the calibrated
+    ``input_scale`` — the integer-domain input stage: the producer fused
+    the quantize into the letterbox, so the first int8 conv consumes the
+    canvas directly and no float canvas ever touches HBM).
 
     Returns the raw f32 detection map, same contract as
     ``darknet.forward_folded``. Within an int8 region activations flow
@@ -308,6 +312,11 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
     outputs: List[jnp.ndarray] = []
     scales: List[Optional[jnp.ndarray]] = []
     y, y_scale = x, None
+    if x.dtype == jnp.int8:
+        # int8-input contract: the producer quantized with THIS pytree's
+        # input_scale (the scale travels with the params, so a
+        # recalibration changes both sides together)
+        y_scale = qparams["__net__"]["input_scale"]
 
     def dequant(t, s):
         return t.astype(cdt) * s.astype(cdt)

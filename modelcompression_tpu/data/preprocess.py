@@ -76,8 +76,25 @@ def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     return t.transpose(0, 2, 3, 1)
 
 
+def quantize_canvas(x: jnp.ndarray, quant_scale) -> jnp.ndarray:
+    """[0,1] float canvas -> int8 on the network-input grid
+    (``quant_scale`` = the calibrated input step, normally 1/127).
+
+    The rounding runs in f32 — exactly `forward_quantized`'s input
+    quantize — so an int8-emitting letterbox is BIT-EQUAL to the float
+    letterbox followed by the forward's own quantize (the f32 cast fuses
+    into the resize epilogue; nothing extra touches HBM). This is the
+    integer-domain input stage's producer half: the 416² canvas is
+    written to HBM at 1 byte/px instead of 2 (bf16) or 4 (f32), and the
+    first int8 conv consumes it with no separate quantize op.
+    """
+    q = jnp.round(x.astype(jnp.float32)
+                  / jnp.asarray(quant_scale, jnp.float32))
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
 def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int,
-                     dtype=jnp.float32) -> jnp.ndarray:
+                     dtype=jnp.float32, quant_scale=None) -> jnp.ndarray:
     """Aspect-preserving resize + center pad, jittable.
 
     Args:
@@ -86,8 +103,15 @@ def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int,
         the FAST eval pipeline passes bf16 (the conv stack consumes bf16
         anyway, so resizing in bf16 only moves the rounding one op
         earlier while halving the resize's HBM traffic).
+      quant_scale: when set (float or traced f32 scalar), the canvas is
+        emitted as INT8 on the network-input grid (``quantize_canvas``)
+        — resize still runs in ``dtype``, the quantize fuses into its
+        epilogue, and the gray padding is applied on the int8 grid
+        (bit-equal to quantizing the padded float canvas: round is
+        applied to the same value either way).
     Returns:
-      (B, net_h, net_w, 3) ``dtype`` in [0, 1].
+      (B, net_h, net_w, 3) ``dtype`` in [0, 1], or int8 when
+      ``quant_scale`` is set.
     """
     b, h, w, c = images.shape
     r = min(net_w / w, net_h / h)
@@ -95,21 +119,29 @@ def letterbox_device(images: jnp.ndarray, net_h: int, net_w: int,
     x = images.astype(dtype) / jnp.asarray(255.0, dtype) \
         if images.dtype == jnp.uint8 else images.astype(dtype)
     x = _bilinear_resize(x, new_h, new_w)
+    pad_value = GRAY / 255.0
+    if quant_scale is not None:
+        x = quantize_canvas(x, quant_scale)
+        pad_value = quantize_canvas(
+            jnp.asarray(pad_value, jnp.float32), quant_scale)
     pad_top = (net_h - new_h) // 2
     pad_left = (net_w - new_w) // 2
     return jnp.pad(
         x, ((0, 0), (pad_top, net_h - new_h - pad_top),
             (pad_left, net_w - new_w - pad_left), (0, 0)),
-        constant_values=GRAY / 255.0)  # same canvas value as letterbox_host
+        constant_values=pad_value)  # same canvas value as letterbox_host
 
 
 def stretch_resize_device(images: jnp.ndarray, net_h: int, net_w: int,
-                          dtype=jnp.float32) -> jnp.ndarray:
+                          dtype=jnp.float32, quant_scale=None) -> jnp.ndarray:
     """Plain stretch resize to net size (the pytorch-yolo2 valid.py mode).
-    ``dtype`` as in ``letterbox_device``."""
+    ``dtype`` / ``quant_scale`` as in ``letterbox_device``."""
     x = images.astype(dtype) / jnp.asarray(255.0, dtype) \
         if images.dtype == jnp.uint8 else images.astype(dtype)
-    return _bilinear_resize(x, net_h, net_w)
+    x = _bilinear_resize(x, net_h, net_w)
+    if quant_scale is not None:
+        x = quantize_canvas(x, quant_scale)
+    return x
 
 
 def letterbox_host(image: np.ndarray, net_h: int, net_w: int

@@ -36,7 +36,8 @@ import numpy as np
 
 from modelcompression_tpu.core.precision import Precision, FAST
 from modelcompression_tpu.data.preprocess import (
-    letterbox_device, letterbox_host, stretch_resize_device,
+    letterbox_device, letterbox_host, quantize_canvas,
+    stretch_resize_device,
 )
 from modelcompression_tpu.data.streaming import prefetch_to_device
 from modelcompression_tpu.data.voc import Sample
@@ -134,6 +135,16 @@ class EvalConfig:
     # in here with its quantized pytree as ``params``; fold_bn/precision
     # are ignored for the net when set (pre/post stages keep them).
     forward_fn: Optional[object] = None
+    # Integer-domain input stage: the letterbox emits an INT8 canvas on
+    # the network-input grid (quantize fused into the resize epilogue —
+    # the 416² canvas moves through HBM at 1 byte/px and the first int8
+    # conv consumes it with no separate quantize op). Requires a
+    # ``forward_fn`` that accepts int8 input (forward_quantized does:
+    # it reads the grid step from the pytree's __net__/input_scale, so
+    # producer and consumer always share one scale). Bit-equal to the
+    # float letterbox + the forward's own input quantize
+    # (data/preprocess.quantize_canvas docstring; tests/test_quantize.py).
+    int8_input: bool = False
 
     def __post_init__(self):
         if not 0.0 < self.map_iou <= 1.0:
@@ -158,6 +169,11 @@ class EvalConfig:
                 "soft_nms and diou_nms are mutually exclusive: diou_nms "
                 "changes the greedy erasure criterion, soft_nms replaces "
                 "erasure with score decay")
+        if self.int8_input and self.forward_fn is None:
+            raise ValueError(
+                "int8_input requires a forward_fn that accepts an int8 "
+                "canvas (compress.forward_quantized) — the standard "
+                "float forward has no input grid to land on")
 
 
 def _resize_dtype(precision):
@@ -212,13 +228,21 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
 
     def step(params: Params, images: jnp.ndarray,
              img_w: jnp.ndarray, img_h: jnp.ndarray):
+        # integer-domain input stage: quantize on the pytree's own input
+        # grid, so recalibrated params change producer+consumer together
+        qs = (params["__net__"]["input_scale"] if config.int8_input
+              else None)
         if src_hw is not None:
-            x = (letterbox_device(images, net_h, net_w, dtype=rs_dtype)
+            x = (letterbox_device(images, net_h, net_w, dtype=rs_dtype,
+                                  quant_scale=qs)
                  if config.letterbox
                  else stretch_resize_device(images, net_h, net_w,
-                                            dtype=rs_dtype))
+                                            dtype=rs_dtype,
+                                            quant_scale=qs))
         else:
             x = images.astype(rs_dtype) / jnp.asarray(255.0, rs_dtype)
+            if qs is not None:
+                x = quantize_canvas(x, qs)
         raw = fwd(params, x, spec, config.precision)
         boxes, obj, cls = decode_region(raw, region)
         class_scores = obj[..., None] * cls  # (B, N, C)

@@ -355,3 +355,78 @@ num=1
     assert abs(in_scale - 1.0 / 127.0) < 1e-9
     # the head group is untouched
     assert abs(out_scale[2] - 80.0 / 127.0) < 1e-9
+
+
+def test_int8_input_bit_equals_float_input():
+    """Integer-domain input stage: an int8 canvas quantized by
+    ``quantize_canvas`` on the pytree's own input grid produces the
+    BIT-SAME forward as the float canvas (forward_quantized applies the
+    identical f32 round internally), and the fused eval program with
+    ``int8_input=True`` returns bit-identical detections on both the
+    src_hw (device letterbox) and generic paths."""
+    import dataclasses
+
+    from modelcompression_tpu.data.preprocess import quantize_canvas
+    from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = fold_batchnorm(init_params(spec, jax.random.key(2)), spec)
+    rng = np.random.default_rng(3)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+    q = quantize_from_batches(params, spec, batches)
+
+    # raw forward level
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    x8 = quantize_canvas(x, q["__net__"]["input_scale"])
+    assert x8.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(forward_quantized(q, x, spec)),
+        np.asarray(forward_quantized(q, x8, spec)))
+
+    # fused eval program level (letterbox emits the int8 canvas)
+    cfg = EvalConfig(batch_size=2, max_detections=10, conf_thresh=0.01,
+                     forward_fn=lambda p, xx, s: forward_quantized(p, xx, s))
+    cfg8 = dataclasses.replace(cfg, int8_input=True)
+    w = jnp.asarray([80.0, 80.0])
+    h = jnp.asarray([48.0, 48.0])
+    for src_hw in ((48, 80), None):
+        shape = (2, *src_hw, 3) if src_hw else (2, 64, 64, 3)
+        imgs = jnp.asarray(rng.integers(0, 255, shape, np.uint8))
+        out = make_eval_step(spec, cfg, src_hw=src_hw)(q, imgs, w, h)
+        out8 = make_eval_step(spec, cfg8, src_hw=src_hw)(q, imgs, w, h)
+        for a, b in zip(out, out8):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_input_with_float_first_conv_dequants():
+    """Hybrid whose FIRST conv stays float still accepts an int8 canvas:
+    the forward dequantizes at the boundary (tracking the input grid),
+    so the result tracks the float-input hybrid within the input-quant
+    error. (Perf note: this combination re-materializes a float canvas,
+    so production int8_input pairs with an int8 first conv.)"""
+    from modelcompression_tpu.data.preprocess import quantize_canvas
+    from modelcompression_tpu.models.cfg import ConvLayer
+
+    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=64, height=64))
+    params = fold_batchnorm(init_params(spec, jax.random.key(4)), spec)
+    rng = np.random.default_rng(5)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)]
+    conv_ids = [i for i, l in enumerate(spec.layers)
+                if isinstance(l, ConvLayer)]
+    qh = quantize_from_batches(params, spec, batches,
+                               int8_layers=conv_ids[1:])
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    x8 = quantize_canvas(x, qh["__net__"]["input_scale"])
+    yf = np.asarray(forward_quantized(qh, x, spec))
+    y8 = np.asarray(forward_quantized(qh, x8, spec))
+    # int8 input adds one quantization of the canvas (step 1/127): small
+    # relative to the head's dynamic range on this random net
+    assert np.max(np.abs(yf - y8)) < 0.15 * max(1.0, np.max(np.abs(yf)))
+
+
+def test_int8_input_requires_quantized_forward():
+    from modelcompression_tpu.evaluation import EvalConfig
+
+    import pytest
+    with pytest.raises(ValueError, match="int8_input"):
+        EvalConfig(int8_input=True)
