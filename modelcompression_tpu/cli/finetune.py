@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Darknet crop-jitter fraction in [0, 0.5); "
                         "default: the cfg's [region] jitter value; "
                         "pass 0 to disable")
+    p.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                   help="maintain an exponential moving average of the "
+                        "weights (ema = d*ema + (1-d)*w after every "
+                        "update, inside the jitted step) and SAVE/EVAL "
+                        "the EMA model — the modern-YOLO convention for "
+                        "smoother fine-tune endpoints. Typical decay "
+                        "0.999-0.9999. Single-pass mode only (not "
+                        "--iterate)")
     p.add_argument("--bn-l1", type=float, default=0.0,
                    help="network-slimming sparsity training (Liu et al. "
                         "2017): add this L1 penalty on all BN gammas to "
@@ -211,8 +219,20 @@ def main(argv=None) -> int:
         print("error: --pack entropy-codes a saved artifact; it "
               "requires --save-qmodel", file=sys.stderr)
         return 2
+    if args.ema is not None:
+        if not 0.0 < args.ema < 1.0:
+            print(f"error: --ema decay must be in (0, 1), got {args.ema}",
+                  file=sys.stderr)
+            return 2
+        if args.iterate:
+            print("error: --ema is single-pass only: the iterative loop "
+                  "repacks the architecture each round, which would "
+                  "orphan the EMA buffers", file=sys.stderr)
+            return 2
 
     overrides = {}
+    if args.ema is not None:
+        overrides["ema_decay"] = args.ema
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
     if args.jitter is not None:
@@ -369,13 +389,20 @@ def main(argv=None) -> int:
     # early-training prior term, which must not re-trigger on a converged
     # model; the UPDATED count is written back to the output header
     state = TrainState.create(params, tx, jax.random.key(args.seed),
-                              weight_masks=weight_masks, seen=seen)
+                              weight_masks=weight_masks, seen=seen,
+                              ema=args.ema is not None)
     state = train(state, spec, config, loader, n_steps=args.steps,
                   logger=logger, mesh=mesh, tp=tp, distill=distill_plan)
+    # with --ema the DELIVERED model is the EMA shadow (weights + BN
+    # running stats); the live SGD iterate stays in the state only
+    out_params = state["ema_params"] if args.ema is not None \
+        else state["params"]
     save_weights(args.out, spec,
-                 jax.tree.map(np.asarray, state["params"]),
+                 jax.tree.map(np.asarray, out_params),
                  seen=int(state["seen"]))
-    print(f"wrote {args.out}")
+    print(f"wrote {args.out}"
+          + (f" (EMA weights, decay {args.ema:g})"
+             if args.ema is not None else ""))
     if gmp_spec is not None:
         masks = state["weight_masks"]
         n_total = sum(int(np.asarray(m).size) for m in masks.values())
@@ -384,7 +411,7 @@ def main(argv=None) -> int:
               f"({n_zero}/{n_total} weights zeroed; zero pattern is baked "
               f"into {args.out} — fine-tune further with "
               f"--preserve-sparsity)")
-    res = evaluate(state["params"], spec, eval_samples, eval_names,
+    res = evaluate(out_params, spec, eval_samples, eval_names,
                    EvalConfig(batch_size=batch))
     print(res.summary())
     if qat_spec is not None:
@@ -394,7 +421,7 @@ def main(argv=None) -> int:
         from modelcompression_tpu.compress import (
             forward_quantized, quantize_qat,
         )
-        qparams = quantize_qat(state["params"], spec, qat_spec)
+        qparams = quantize_qat(out_params, spec, qat_spec)
         qres = evaluate(qparams, spec, eval_samples, eval_names,
                         EvalConfig(batch_size=batch,
                                    forward_fn=forward_quantized))

@@ -116,6 +116,15 @@ class TrainConfig:
     # sparsify-while-training as an alternative to prune-then-fine-tune.
     # TrainState must be created with weight_masks=gmp_init_masks(...).
     gmp: Optional["GMPSpec"] = None
+    # exponential moving average of the FULL param pytree (weights AND BN
+    # running stats — the modern-YOLO convention; beyond the reference,
+    # which serves the last SGD iterate): ema = d*ema + (1-d)*params
+    # after every update, inside the same jitted program (one fused
+    # elementwise pass, no extra HBM round trips beyond the EMA buffers).
+    # 0 disables. Requires TrainState.create(..., ema=True). Typical
+    # decay 0.999-0.9999 for thousand-step fine-tunes. Pruned zeros stay
+    # exactly zero in the EMA (both sides of the fold are zero).
+    ema_decay: float = 0.0
 
     @classmethod
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
@@ -150,7 +159,8 @@ class TrainState(dict):
     def create(params: Params, tx, rng: jax.Array,
                weight_masks: Optional[Dict[str, jnp.ndarray]] = None,
                channel_masks: Optional[Dict[int, jnp.ndarray]] = None,
-               copy: bool = True, seen: int = 0) -> "TrainState":
+               copy: bool = True, seen: int = 0,
+               ema: bool = False) -> "TrainState":
         """Build a fresh train state.
 
         ``copy=True`` (default) copies params/masks into new device
@@ -170,7 +180,7 @@ class TrainState(dict):
             weight_masks = jax.tree.map(dup, dict(weight_masks or {}))
             channel_masks = jax.tree.map(dup, dict(channel_masks or {}))
         trainable, _ = split_trainable(params)
-        return TrainState(
+        state = TrainState(
             params=params,
             opt_state=tx.init(trainable),
             step=jnp.zeros((), jnp.int32),
@@ -179,6 +189,10 @@ class TrainState(dict):
             weight_masks=dict(weight_masks or {}),
             channel_masks=dict(channel_masks or {}),
         )
+        if ema:  # TrainConfig.ema_decay: shadow copy of the full pytree
+            state["ema_params"] = jax.tree.map(
+                lambda v: jnp.array(v, copy=True), params)
+        return state
 
 
 def split_trainable(params: Params) -> Tuple[Params, Params]:
@@ -481,8 +495,9 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
             stats[k]["var"], _ = jax.lax.scan(fold, stats[k]["var"],
                                               bs["var"])
 
+        new_params = merge_params(trainable, stats)
         new_state = TrainState(
-            params=merge_params(trainable, stats),
+            params=new_params,
             opt_state=opt_state,
             step=state["step"] + 1,
             seen=state["seen"] + images.shape[0],
@@ -490,6 +505,18 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
             weight_masks=weight_masks,
             channel_masks=state["channel_masks"],
         )
+        if "ema_params" in state:
+            ema = state["ema_params"]
+            if config.ema_decay > 0:
+                d = config.ema_decay
+                ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                                   ema, new_params)
+            new_state["ema_params"] = ema
+        elif config.ema_decay > 0:
+            raise ValueError(
+                "config.ema_decay > 0 requires a train state created "
+                "with TrainState.create(..., ema=True) — there is no "
+                "EMA buffer to fold into")
         out = dict(metrics)
         out["lr"] = darknet_lr_schedule(config)(state["step"])
         if config.gmp is not None:
