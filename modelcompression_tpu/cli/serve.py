@@ -233,6 +233,45 @@ class ServeState:
         if pending is not None:  # shutdown: don't strand waiters
             self._distribute(*pending)
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (v0.0.4) of the /stats counters —
+        the scrape surface a production deployment points its monitoring
+        at. Counter/gauge types follow the semantics of each stat."""
+        s = self.stats()
+        rows = [
+            ("requests_total", "counter", s["requests"],
+             "HTTP /detect requests accepted"),
+            ("images_total", "counter", s["images"],
+             "images inferred (completed batches)"),
+            ("batches_total", "counter", s["batches"],
+             "device batches dispatched and fetched"),
+            ("rejected_total", "counter", s["rejected"],
+             "requests rejected by queue backpressure (503)"),
+            ("overlapped_batches_total", "counter", s["overlapped_batches"],
+             "batches dispatched while a previous batch was in flight"),
+            ("queue_depth", "gauge", s["queue_depth"],
+             "requests waiting for a dispatch slot"),
+            ("latency_ms_p50", "gauge", s["latency_ms_p50"],
+             "p50 submit-to-result latency over the sliding window (ms)"),
+            ("latency_ms_p99", "gauge", s["latency_ms_p99"],
+             "p99 submit-to-result latency over the sliding window (ms)"),
+            ("mean_batch_fill", "gauge", s["mean_batch_fill"],
+             "mean images per dispatched batch"),
+            ("compiled_batch", "gauge", s["compiled_batch"],
+             "compiled device batch size"),
+            ("uptime_seconds", "gauge", s["uptime_s"],
+             "seconds since server start"),
+            ("images_per_second_wall", "gauge", s["img_per_sec_wall"],
+             "lifetime wall-clock image throughput"),
+        ]
+        out = []
+        for name, typ, val, help_ in rows:
+            full = f"mc_tpu_serve_{name}"
+            out.append(f"# HELP {full} {help_}")
+            out.append(f"# TYPE {full} {typ}")
+            out.append(f"{full} {val}")
+        return "\n".join(out) + "\n"
+
     def stats(self) -> dict:
         with self.lock:
             wall = time.monotonic() - self.t_start
@@ -296,6 +335,14 @@ def _make_handler(state: ServeState):
                 })
             elif self.path == "/stats":
                 self._send_json(200, state.stats())
+            elif self.path == "/metrics":
+                body = state.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send_json(404, {"error": "not found"})
 

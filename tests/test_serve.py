@@ -262,6 +262,31 @@ def test_healthz_reports_resolved_nms_config(server):
     assert h["max_detections"] == 50 and h["nms_prefilter"] == 0
 
 
+def test_metrics_endpoint_prometheus_format(server):
+    """/metrics: Prometheus text exposition of the stats counters."""
+    port, state, spec = server
+    body, _ = _img_bytes(21)
+    assert _post(port, body)[0] == 200
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/metrics")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    lines = text.strip().split("\n")
+    # every metric has HELP + TYPE + value, prefixed consistently
+    metrics = {}
+    for ln in lines:
+        if ln.startswith("#"):
+            assert ln.split()[2].startswith("mc_tpu_serve_")
+        else:
+            name, val = ln.split()
+            metrics[name] = float(val)
+    assert metrics["mc_tpu_serve_requests_total"] >= 1
+    assert metrics["mc_tpu_serve_images_total"] >= 1
+    assert metrics["mc_tpu_serve_compiled_batch"] == 2
+    assert "mc_tpu_serve_latency_ms_p99" in metrics
+    assert text.count("# HELP") == text.count("# TYPE") == len(metrics)
+
+
 def test_submit_backpressure_bounded_queue():
     """The dispatcher queue is bounded: once full, submit() returns None
     immediately (the handler sends 503) instead of accumulating
