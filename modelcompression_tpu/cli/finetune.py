@@ -31,6 +31,7 @@ from modelcompression_tpu.cli.common import (
 from modelcompression_tpu.compress import DEFAULT_MASK_BACKEND, MASK_BACKENDS
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
 from modelcompression_tpu.models import save_weights
+from modelcompression_tpu.models.cfg import ConvLayer
 from modelcompression_tpu.train import (
     BatchLoader, TrainConfig, TrainState, iterative_prune_finetune,
     make_optimizer, train,
@@ -64,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Darknet crop-jitter fraction in [0, 0.5); "
                         "default: the cfg's [region] jitter value; "
                         "pass 0 to disable")
+    p.add_argument("--freeze", type=int, default=0, metavar="N",
+                   help="freeze the first N conv layers (Darknet .conv.N "
+                        "counting): inference BN on running stats, no "
+                        "gradient or weight/stat updates — pairs with "
+                        "--partial darknet19.conv.N for head-only "
+                        "transfer learning, and skips the frozen prefix's "
+                        "backward entirely (docs/PERF.md)")
     p.add_argument("--ema", type=float, default=None, metavar="DECAY",
                    help="maintain an exponential moving average of the "
                         "weights (ema = d*ema + (1-d)*w after every "
@@ -219,6 +227,11 @@ def main(argv=None) -> int:
         print("error: --pack entropy-codes a saved artifact; it "
               "requires --save-qmodel", file=sys.stderr)
         return 2
+    n_convs = sum(1 for l in spec.layers if isinstance(l, ConvLayer))
+    if not 0 <= args.freeze < n_convs:
+        print(f"error: --freeze {args.freeze} must leave at least one "
+              f"trainable conv (network has {n_convs})", file=sys.stderr)
+        return 2
     if args.ema is not None:
         if not 0.0 < args.ema < 1.0:
             print(f"error: --ema decay must be in (0, 1), got {args.ema}",
@@ -315,6 +328,7 @@ def main(argv=None) -> int:
                                    augment_hsv=args.hsv,
                                    subdivisions=subdiv, qat=qat_spec,
                                    bn_l1=args.bn_l1, gmp=gmp_spec,
+                                   freeze_prefix=args.freeze,
                                    **overrides)
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,

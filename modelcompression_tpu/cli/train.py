@@ -20,6 +20,7 @@ from modelcompression_tpu.cli.common import (
     resolve_batch_subdivisions,
 )
 from modelcompression_tpu.evaluation import EvalConfig, evaluate
+from modelcompression_tpu.models.cfg import ConvLayer
 from modelcompression_tpu.train import (
     BatchLoader, TrainConfig, TrainState, make_optimizer, train,
 )
@@ -51,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "2017): L1 penalty on all BN gammas, polarizing "
                         "channel importances for a later prune "
                         "--mode bn_gamma; 0 = off")
+    p.add_argument("--freeze", type=int, default=0, metavar="N",
+                   help="freeze the first N conv layers (Darknet .conv.N "
+                        "counting; pairs with --partial backbone files): "
+                        "inference BN, no gradients or updates for the "
+                        "prefix")
     p.add_argument("--mosaic", action="store_true")
     p.add_argument("--hsv", action="store_true")
     p.add_argument("--jitter", type=float, default=None,
@@ -94,6 +100,11 @@ def main(argv=None) -> int:
     overrides = {}
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
+    n_convs = sum(1 for l in spec.layers if isinstance(l, ConvLayer))
+    if not 0 <= args.freeze < n_convs:
+        print(f"error: --freeze {args.freeze} must leave at least one "
+              f"trainable conv (network has {n_convs})", file=sys.stderr)
+        return 2
     jitter = args.jitter if args.jitter is not None else spec.region.jitter
     if not 0.0 <= jitter < 0.5:
         print(f"error: --jitter must be in [0, 0.5), got {jitter}",
@@ -107,7 +118,8 @@ def main(argv=None) -> int:
     config = TrainConfig.from_spec(
         spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
         augment_jitter=jitter, subdivisions=subdiv,
-        max_boxes=args.max_boxes, bn_l1=args.bn_l1, **overrides)
+        max_boxes=args.max_boxes, bn_l1=args.bn_l1,
+        freeze_prefix=args.freeze, **overrides)
     # default: the cfg's [region] random flag (Darknet trains multi-scale
     # whenever random=1)
     use_ms = (args.multi_scale if args.multi_scale is not None

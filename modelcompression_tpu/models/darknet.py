@@ -133,13 +133,17 @@ def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
     out_w = (w + pad_total - k) // s + 1
     pad_h_end = max(0, (out_h - 1) * s + k - h - pad_begin)
     pad_w_end = max(0, (out_w - 1) * s + k - w - pad_begin)
-    # NOTE a reshape+axis-max form of the 2x2/2 VALID case measured 2.3x
-    # faster STANDALONE (309 vs 723 us at (64,416,416,8)) but exactly
-    # NEUTRAL inside the fused pipeline (4.31 vs 4.28 ms/batch — XLA
-    # already fuses the reduce_window in context), so reduce_window stays:
-    # its SelectAndScatter VJP routes gradient to ONE argmax like
-    # Darknet/torch, where reduce-max's VJP credits every tied element
-    # (tools/experiment_maxpool.py; docs/PERF.md explored-and-rejected).
+    # NOTE two replacements for the 2x2/2 VALID case were measured and
+    # rejected (docs/PERF.md explored-and-rejected): a reshape+axis-max
+    # forward twin (neutral in the fused eval pipeline) and a custom
+    # first-argmax VJP for the train backward (a scatter-based reassembly
+    # lowered to 4 full-res pads+copies and lost ~1.6 ms/step; the optimal
+    # elementwise winner-index form tied SelectAndScatter to 0.1% in an
+    # interleaved A/B — tools/experiment_maxpool_vjp.py). reduce_window
+    # stays: same speed, supports higher-order/forward-mode autodiff, and
+    # its SelectAndScatter VJP routes gradient to the FIRST argmax like
+    # Darknet/torch (tie rule pinned vs torch in
+    # tests/test_model_oracle.py::test_maxpool2x2_grad_matches_oracle_on_ties).
     # -inf (not finfo.min): JAX only recognizes the differentiable
     # reduce_window_max pattern with a -inf identity element
     neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)

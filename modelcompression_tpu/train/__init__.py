@@ -5,8 +5,8 @@ from modelcompression_tpu.train.region_loss import (
     RegionLossMetrics, region_loss,
 )
 from modelcompression_tpu.train.train_step import (
-    TrainConfig, TrainState, darknet_lr_schedule, make_optimizer,
-    make_train_step, merge_params, split_trainable,
+    TrainConfig, TrainState, augment_batch, darknet_lr_schedule,
+    make_optimizer, make_train_step, merge_params, split_trainable,
 )
 from modelcompression_tpu.train.loader import BatchLoader, load_sample
 from modelcompression_tpu.train.loop import (
@@ -16,7 +16,8 @@ from modelcompression_tpu.train.loop import (
 __all__ = [
     "DistillPlan", "distill_loss", "make_distill_plan",
     "RegionLossMetrics", "region_loss", "TrainConfig", "TrainState",
-    "darknet_lr_schedule", "make_optimizer", "make_train_step",
+    "augment_batch", "darknet_lr_schedule", "make_optimizer",
+    "make_train_step",
     "merge_params", "split_trainable", "BatchLoader", "load_sample",
     "IterativeRound", "iterative_prune_finetune", "train",
 ]

@@ -34,7 +34,7 @@ import optax
 from modelcompression_tpu.core.precision import Precision, FAST
 from modelcompression_tpu.models.cfg import ConvLayer, NetworkSpec
 from modelcompression_tpu.models.darknet import (
-    BN_EPS, Params, _activate, _conv, conv_key, maxpool, reorg,
+    BN_EPS, Params, _activate, _conv, conv_bn_act, conv_key, maxpool, reorg,
 )
 from modelcompression_tpu.models.cfg import (
     MaxPoolLayer, RegionLayer, ReorgLayer, RouteLayer,
@@ -125,6 +125,18 @@ class TrainConfig:
     # decay 0.999-0.9999 for thousand-step fine-tunes. Pruned zeros stay
     # exactly zero in the EMA (both sides of the fold are zero).
     ema_decay: float = 0.0
+    # freeze the first N conv layers (network order — the same counting as
+    # Darknet's `.conv.N` partial-weights convention, so `--partial
+    # darknet19.conv.23 --freeze 23` trains only the head on a fixed
+    # backbone). Frozen convs run INFERENCE-style BN (running stats, no
+    # stat updates — torch's requires_grad=False + bn.eval() idiom) with
+    # stop_gradient'd weights, and their params are restored bit-identical
+    # after every optimizer update (weight decay can't creep). Because the
+    # frozen prefix starts at the input, NO backward flows through it at
+    # all: XLA drops the prefix's dW/dX programs entirely — on the pruned
+    # fine-tune step conv1's dW alone is 2.2 ms of 19.2 ms (docs/PERF.md
+    # "Where the train-step time goes").
+    freeze_prefix: int = 0
 
     @classmethod
     def from_spec(cls, spec: NetworkSpec, **overrides) -> "TrainConfig":
@@ -268,6 +280,31 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def augment_batch(config: TrainConfig, x: jnp.ndarray, targets: jnp.ndarray,
+                  keys) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The train step's augment chain on a normalized f32 batch, factored
+    out so diagnostics (tools/profile_train.py) time exactly the
+    production chain. ``keys`` = (k_flip, k_hsv, k_mosaic, k_jitter) — the
+    caller's key-split order is part of the step's reproducibility
+    contract, so the helper takes the split keys rather than re-deriving
+    them."""
+    k_flip, k_hsv, k_mosaic, k_jitter = keys
+    # jitter BEFORE mosaic: each source image gets its own random
+    # crop/stretch, so the composed tiles carry crop variety (the
+    # Darknet/YOLOv4 mosaic samples per-tile crops the same way)
+    if config.augment_jitter > 0:
+        x, targets = random_jitter(x, targets, k_jitter,
+                                   jitter=config.augment_jitter)
+    if config.augment_mosaic:
+        x, targets = mosaic4(x, targets, k_mosaic)
+    if config.augment_flip:
+        x, targets = random_flip(x, targets, k_flip)
+    if config.augment_hsv:
+        x = distort_hsv(x, k_hsv, hue=config.hue,
+                        sat=config.saturation, expo=config.exposure)
+    return x, targets
+
+
 def _conv_block_train(y: jnp.ndarray, p: Dict[str, jnp.ndarray],
                       l: ConvLayer, precision: Precision):
     """One conv + (batch-stat BN | bias) + activation; returns
@@ -275,8 +312,17 @@ def _conv_block_train(y: jnp.ndarray, p: Dict[str, jnp.ndarray],
     y = _conv(y, p["w"], l, precision)
     stats = None
     if l.batch_normalize:
-        mu = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
-        var = jnp.var(y.astype(jnp.float32), axis=(0, 1, 2))
+        # ONE fused read of the conv output for both statistics: XLA
+        # multi-output-fuses sum(y) and sum(y*y), where jnp.var's
+        # two-pass form pays an extra full pass over every (often
+        # 416²-sized) activation (measured in docs/PERF.md "Where the
+        # train-step time goes"). f32 accumulation; E[x²]−µ² cancellation
+        # is ≤ µ²·2⁻²³ ≈ 1e-5·var at these scales, inside BN_EPS, and
+        # clamped at 0 for the near-constant-channel edge.
+        y32 = y.astype(jnp.float32)
+        mu = jnp.mean(y32, axis=(0, 1, 2))
+        var = jnp.maximum(
+            jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mu), 0.0)
         stats = {"mean": mu, "var": var}
         inv = jax.lax.rsqrt(var + BN_EPS)
         y = (y - mu.astype(y.dtype)) \
@@ -291,7 +337,8 @@ def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
                    precision: Precision,
                    channel_masks: Dict[int, jnp.ndarray],
                    remat: bool = False,
-                   qat: Optional[QATSpec] = None
+                   qat: Optional[QATSpec] = None,
+                   freeze: frozenset = frozenset(),
                    ) -> Tuple[jnp.ndarray, Dict[str, Dict[str, jnp.ndarray]]]:
     """Training forward with batch statistics; also returns the per-layer
     batch (mean, var) so the step can update running stats. With ``remat``
@@ -306,20 +353,28 @@ def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
     y = precision.cast_in(x)
     for i, l in enumerate(spec.layers):
         if isinstance(l, ConvLayer):
-            p = params[conv_key(i)]
+            key = conv_key(i)
+            p = params[key]
             q_out = None
             if qat is not None and i in qat.int8:
                 p = dict(p, w=fake_quant_weight(p["w"]))
                 y = fake_quant(y, qat.in_scale[i])
                 q_out = qat.out_scale.get(i)
 
-            def blk(y_, p_, l_=l):
-                return _conv_block_train(y_, p_, l_, precision)
-            if remat:
-                blk = jax.checkpoint(blk)
-            y, stats = blk(y, p)
+            if key in freeze:
+                # frozen conv (TrainConfig.freeze_prefix): inference-style
+                # BN on running stats, no batch stats, no gradient — the
+                # prefix's backward programs never exist
+                y = conv_bn_act(y, jax.lax.stop_gradient(p), l, precision)
+                stats = None
+            else:
+                def blk(y_, p_, l_=l):
+                    return _conv_block_train(y_, p_, l_, precision)
+                if remat:
+                    blk = jax.checkpoint(blk)
+                y, stats = blk(y, p)
             if stats is not None:
-                batch_stats[conv_key(i)] = stats
+                batch_stats[key] = stats
             if i in channel_masks:
                 y = y * channel_masks[i].astype(y.dtype)[None, None, None, :]
             if q_out is not None:
@@ -338,7 +393,8 @@ def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
 
 def make_train_step(spec: NetworkSpec, config: TrainConfig,
                     tx: Optional[optax.GradientTransformation] = None,
-                    distill: Optional[DistillPlan] = None):
+                    distill: Optional[DistillPlan] = None,
+                    jit_step: bool = True):
     """Build the jitted train step.
 
     step(state, images_uint8 (B,H,W,3), targets (B,M,5)) -> (state, metrics)
@@ -368,6 +424,15 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
     tx = tx or make_optimizer(config)
     subdivisions = max(int(config.subdivisions), 1)
 
+    conv_indices = [i for i, l in enumerate(spec.layers)
+                    if isinstance(l, ConvLayer)]
+    if not 0 <= config.freeze_prefix < len(conv_indices):
+        raise ValueError(
+            f"freeze_prefix={config.freeze_prefix} must leave at least one "
+            f"trainable conv (network has {len(conv_indices)})")
+    freeze_keys = frozenset(
+        conv_key(i) for i in conv_indices[:config.freeze_prefix])
+
     def loss_fn(trainable, stats, images_f32, targets, seen, channel_masks,
                 weight_masks, t_raw=None):
         params = merge_params(trainable, stats)
@@ -378,7 +443,7 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
                 for k, p in params.items()}
         raw, batch_stats = _forward_train(
             params, images_f32, spec, config.precision, channel_masks,
-            remat=config.remat, qat=config.qat)
+            remat=config.remat, qat=config.qat, freeze=freeze_keys)
         metrics = region_loss(raw, targets, region, seen)
         # aux must be a pytree: return the metrics as a plain dict
         md = metrics.as_dict()
@@ -405,22 +470,26 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
              t_params: Optional[Params] = None):
         rng, k_aug1, k_aug2, k_aug3, k_aug4 = jax.random.split(
             state["rng"], 5)
-        x = images.astype(jnp.float32)
-        if images.dtype == jnp.uint8:
-            x = x / 255.0
-        # jitter BEFORE mosaic: each source image gets its own random
-        # crop/stretch, so the composed tiles carry crop variety (the
-        # Darknet/YOLOv4 mosaic samples per-tile crops the same way)
-        if config.augment_jitter > 0:
-            x, targets = random_jitter(x, targets, k_aug4,
-                                       jitter=config.augment_jitter)
-        if config.augment_mosaic:
-            x, targets = mosaic4(x, targets, k_aug3)
-        if config.augment_flip:
-            x, targets = random_flip(x, targets, k_aug1)
-        if config.augment_hsv:
-            x = distort_hsv(x, k_aug2, hue=config.hue,
-                            sat=config.saturation, expo=config.exposure)
+        if (images.dtype == jnp.uint8 and config.augment_flip
+                and config.augment_jitter == 0
+                and not config.augment_mosaic):
+            # fine-tune fast path: flip the uint8 batch BEFORE the f32
+            # normalize — the reverse+select moves 4x fewer bytes and the
+            # /255 convert then fuses into the conv input chain. Flip is a
+            # pure permutation+select, so this is bitwise-identical to
+            # flipping after normalize (same k_aug1 stream); jitter/mosaic
+            # interpolate in float and keep the general chain below.
+            images_f, targets = random_flip(images, targets, k_aug1)
+            x = images_f.astype(jnp.float32) / 255.0
+            if config.augment_hsv:
+                x = distort_hsv(x, k_aug2, hue=config.hue,
+                                sat=config.saturation, expo=config.exposure)
+        else:
+            x = images.astype(jnp.float32)
+            if images.dtype == jnp.uint8:
+                x = x / 255.0
+            x, targets = augment_batch(config, x, targets,
+                                       (k_aug1, k_aug2, k_aug3, k_aug4))
 
         # teacher inference on the SAME augmented batch (full effective
         # batch — no grads, so its activation memory is one live layer)
@@ -465,8 +534,14 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
             grads = jax.tree.map(lambda g: g * inv_s, g_sum)
             metrics = jax.tree.map(lambda a: jnp.mean(a, axis=0), mets)
 
+        # frozen prefix: restore bit-identical after the update (grads are
+        # exactly zero via stop_gradient, but add_decayed_weights would
+        # still decay frozen weights through the optimizer)
+        frozen_saved = {k: trainable[k] for k in freeze_keys}
         updates, opt_state = tx.update(grads, state["opt_state"], trainable)
         trainable = optax.apply_updates(trainable, updates)
+        for k, v in frozen_saved.items():
+            trainable[k] = v
 
         # gradual magnitude pruning: recompute the masks from the freshly
         # updated weights when the schedule fires (on-device bisection,
@@ -486,8 +561,18 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
                     trainable[k]["w"].dtype)
 
         # BN running stats (torch momentum convention), one sequential
-        # update per micro-batch forward in order — Darknet's pacing
+        # update per micro-batch forward in order — Darknet's pacing.
+        # subdivisions == 1 folds directly (same float ops): the length-1
+        # lax.scan form paid one TPU while-loop per (layer, stat) — 44
+        # loop setups/step on YOLOv2 — for nothing.
         for k, bs in stats_updates.items():
+            if subdivisions == 1:
+                stats[k]["mean"] = (1 - BN_MOMENTUM) * stats[k]["mean"] \
+                    + BN_MOMENTUM * bs["mean"][0]
+                stats[k]["var"] = (1 - BN_MOMENTUM) * stats[k]["var"] \
+                    + BN_MOMENTUM * bs["var"][0]
+                continue
+
             def fold(r, s_):
                 return (1 - BN_MOMENTUM) * r + BN_MOMENTUM * s_, None
             stats[k]["mean"], _ = jax.lax.scan(fold, stats[k]["mean"],
@@ -528,6 +613,10 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
             out["sparsity"] = 1.0 - n_kept / n_total
         return new_state, out
 
+    if not jit_step:
+        # diagnostics hook (tools/profile_train.py): the raw traceable fn,
+        # for embedding the step inside a timing fori_loop program
+        return step
     jitted = jax.jit(step, donate_argnums=(0,))
     if distill is None:
         return jitted

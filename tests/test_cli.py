@@ -218,6 +218,41 @@ def test_finetune_cli_full_augment_smoke(tmp_path):
     assert rc == 2
 
 
+def test_finetune_cli_freeze_smoke(tmp_path):
+    """finetune --freeze N: the frozen backbone prefix survives a training
+    step byte-identical in the written .weights (head-only transfer
+    learning, pairs with --partial)."""
+    from modelcompression_tpu.cli import finetune
+    from modelcompression_tpu.models import load_weights, parse_cfg
+    cfg_path, wpath, spec = _write_model(tmp_path)
+    out = str(tmp_path / "frozen.weights")
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=9)
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "2", "--batch", "2",
+                        "--max-boxes", "8", "--freeze", "1", "--out", out])
+    assert rc == 0
+    p0, _ = load_weights(wpath, spec)
+    p1, _ = load_weights(out, spec)
+    ck = sorted((k for k in p0 if k.startswith("conv")),
+                key=lambda k: int(k[4:]))
+    k_frozen = ck[0]
+    for name, v in p1[k_frozen].items():
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(p0[k_frozen][name]))
+    # a later layer trained
+    k_other = ck[-1]
+    assert any(
+        not np.array_equal(np.asarray(p1[k_other][n]),
+                           np.asarray(p0[k_other][n]))
+        for n in p0[k_other])
+    # freezing every conv is rejected up front
+    rc = finetune.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--data", data_cfg, "--steps", "1", "--batch", "2",
+                        "--freeze", "99", "--out", out])
+    assert rc != 0
+
+
 def test_eval_cli_cluster_roundtrip(tmp_path, capsys):
     """Weight sharing on the public surface: eval --cluster-bits saves a
     standalone artifact; eval/detect --cmodel serve it with identical

@@ -15,6 +15,7 @@ from modelcompression_tpu.models import (
 from tests.oracle.torch_ref import torch_forward, torch_maxpool, torch_reorg
 
 import torch
+import torch.nn.functional as F
 
 
 def nhwc(x_nchw):
@@ -42,6 +43,28 @@ def test_maxpool_matches_oracle(size, stride, hw):
     got = nchw(np.asarray(maxpool(
         jnp.asarray(nhwc(x)),
         MaxPoolLayer(size=size, stride=stride))))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_maxpool2x2_grad_matches_oracle_on_ties():
+    """The 2x2/2 fast path's custom VJP must route each window's cotangent
+    to the FIRST maximal element in row-major window order — exactly
+    torch's max_pool2d backward (and XLA SelectAndScatter's) tie rule.
+    Values from a 3-symbol alphabet force many exact ties."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 3, (2, 4, 8, 8)).astype(np.float32)  # NCHW
+    gw = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    yt = F.max_pool2d(xt, kernel_size=2, stride=2)
+    yt.backward(torch.from_numpy(gw))
+    want = xt.grad.numpy()
+
+    def f(xin):
+        return jnp.sum(maxpool(xin, MaxPoolLayer(size=2, stride=2))
+                       * jnp.asarray(nhwc(gw)))
+
+    got = nchw(np.asarray(jax.grad(f)(jnp.asarray(nhwc(x)))))
     np.testing.assert_array_equal(got, want)
 
 
