@@ -45,6 +45,7 @@ Two measurements, both honest about what they are:
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -155,7 +156,6 @@ def main(argv=None) -> int:
         else:
             folded = quantize_from_batches(folded, spec_, calib,
                                            int8_layers=int8_layers)
-            import dataclasses
             cfg_ = dataclasses.replace(
                 cfg, forward_fn=lambda q, x, s: forward_quantized(q, x, s))
         step = make_eval_step(spec_, cfg_, src_hw=(SRC_H, SRC_W))
@@ -347,6 +347,30 @@ def main(argv=None) -> int:
     except Exception as e:
         log(f"[warn] train throughput measurement skipped: {e}")
 
+    # frozen-backbone variant (finetune --freeze 1): conv1's dW/pool-VJP/
+    # BN backward are the training twin of the input-stage wall, and
+    # freezing the first conv drops them at compile time (docs/PERF.md
+    # "--freeze N"). Best-effort, never fails the gate.
+    train_freeze_ips = None
+    try:
+        fcfg = dataclasses.replace(tcfg, freeze_prefix=1)
+        ftx = make_optimizer(fcfg)
+        fstate = TrainState.create(slim_params, ftx, jax.random.key(2))
+        fstep = make_train_step(slim_spec, fcfg, ftx)
+        fholder = {"s": fstate}
+
+        def one_freeze_step():
+            s, m = fstep(fholder["s"], timgs, tg)
+            fholder["s"] = s
+            return m["loss"]
+
+        sec = time_fn(one_freeze_step, iters=30, windows=3, rtt=rtt)
+        train_freeze_ips = BATCH / sec
+        log(f"75%-pruned fine-tune step, --freeze 1: "
+            f"{train_freeze_ips:.1f} img/s ({sec * 1e3:.2f} ms/step)")
+    except Exception as e:
+        log(f"[warn] freeze train measurement skipped: {e}")
+
     # --- Pallas-vs-XLA equality on the real chip, re-proven every round ---
     # XLA side = the PRODUCTION default (compress/backend.py 'fused': the
     # one-program segmented bisection); the per-shape argsort 'reference'
@@ -386,6 +410,8 @@ def main(argv=None) -> int:
             "streaming_img_per_sec": round(stream_ips, 1),
             "pruned_finetune_img_per_sec":
                 round(train_ips, 1) if train_ips else None,
+            "pruned_finetune_freeze1_img_per_sec":
+                round(train_freeze_ips, 1) if train_freeze_ips else None,
             "rtt_ms": round(rtt * 1e3, 1)})
         log(f"ledger: {entry['commit']} full {entry['img_per_sec']} img/s")
 
@@ -407,6 +433,8 @@ def main(argv=None) -> int:
         "pallas_equal_xla": pallas_equal,
         "pruned_finetune_img_per_sec":
             round(train_ips, 1) if train_ips else None,
+        "pruned_finetune_freeze1_img_per_sec":
+            round(train_freeze_ips, 1) if train_freeze_ips else None,
     }))
     return 0
 
