@@ -267,9 +267,8 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     names = read_names(args.names) if args.names else list(VOC_CLASSES)
-    region = spec.region
-    if len(names) != region.classes:
-        names = [f"class{i}" for i in range(region.classes)]
+    if len(names) != spec.classes:
+        names = [f"class{i}" for i in range(spec.classes)]
 
     cfg = resolve_serving_eval_config(args)
     folded = prepare_serving(spec, params, quantized, cfg)

@@ -326,7 +326,7 @@ def _make_handler(state: ServeState):
                 cfg = getattr(state, "cfg", None)
                 self._send_json(200, {
                     "ok": True,
-                    "classes": state.spec.region.classes,
+                    "classes": state.spec.classes,
                     "net": [state.spec.net.height, state.spec.net.width],
                     "batch": state.batch,
                     "conf": cfg.conf_thresh if cfg else None,
@@ -400,8 +400,8 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     callers (main / tests) only serve_forever()/shutdown()."""
     spec, params, quantized = load_serving_model(args)
     names = read_names(args.names) if args.names else list(VOC_CLASSES)
-    if len(names) != spec.region.classes:
-        names = [f"class{i}" for i in range(spec.region.classes)]
+    if len(names) != spec.classes:
+        names = [f"class{i}" for i in range(spec.classes)]
     cfg = resolve_serving_eval_config(args)
     folded = prepare_serving(spec, params, quantized, cfg)
     step = make_eval_step(spec, cfg)

@@ -314,3 +314,145 @@ absolute=1
 thresh=.6
 random=0
 """
+
+
+def tiny_yolo3_cfg(num_classes: int = 3, width: int = 64,
+                   height: int = 64) -> str:
+    """A minimal YOLOv3-FAMILY cfg for fixture tests: exercises every
+    v3-only layer type — [shortcut] residual add, [upsample], a 2-scale
+    FPN with route-concat, and two [yolo] heads with anchor masks
+    (anchors in network-input pixels). Downsamples to stride 8 (coarse
+    head) / 4 (fine head)."""
+    det = 2 * (5 + num_classes)
+    return f"""
+[net]
+batch=4
+subdivisions=1
+width={width}
+height={height}
+channels=3
+learning_rate=0.001
+momentum=0.9
+decay=0.0005
+max_batches=500
+policy=constant
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=48
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters={det}
+activation=linear
+
+[yolo]
+mask = 2,3
+anchors = 8,8,  16,16,  24,24,  48,48
+classes={num_classes}
+num=4
+jitter=.3
+ignore_thresh = .7
+truth_thresh = 1
+random=0
+
+[route]
+layers=-3
+
+[convolutional]
+batch_normalize=1
+filters=24
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[upsample]
+stride=2
+
+[route]
+layers=-1, 6
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters={det}
+activation=linear
+
+[yolo]
+mask = 0,1
+anchors = 8,8,  16,16,  24,24,  48,48
+classes={num_classes}
+num=4
+jitter=.3
+ignore_thresh = .7
+truth_thresh = 1
+random=0
+"""

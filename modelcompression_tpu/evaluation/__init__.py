@@ -1,5 +1,6 @@
 from modelcompression_tpu.evaluation.decode import (
-    center_to_corners, corners_to_image, decode_region,
+    center_to_corners, corners_to_image, decode_heads, decode_region,
+    decode_yolo,
 )
 from modelcompression_tpu.evaluation.nms import (
     batched_per_class_nms, batched_per_class_nms_padded,
@@ -21,7 +22,8 @@ from modelcompression_tpu.evaluation.recall import (
 )
 
 __all__ = [
-    "center_to_corners", "corners_to_image", "decode_region",
+    "center_to_corners", "corners_to_image", "decode_heads",
+    "decode_region", "decode_yolo",
     "batched_per_class_nms", "batched_per_class_nms_padded",
     "batched_per_class_nms_prefiltered", "per_class_nms_prefiltered",
     "batched_per_class_soft_nms", "per_class_soft_nms", "soft_nms_topk",

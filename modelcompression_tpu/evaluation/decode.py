@@ -25,7 +25,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from modelcompression_tpu.models.cfg import RegionLayer
+from modelcompression_tpu.models.cfg import (
+    NetworkSpec, RegionLayer, YoloLayer,
+)
 
 
 def decode_region(raw: jnp.ndarray, region: RegionLayer
@@ -61,6 +63,69 @@ def decode_region(raw: jnp.ndarray, region: RegionLayer
     n = h * w * a
     boxes = jnp.stack([bx, by, bw, bh], axis=-1).reshape(b, n, 4)
     return boxes, obj.reshape(b, n), cls.reshape(b, n, c)
+
+
+def decode_yolo(raw: jnp.ndarray, layer: YoloLayer,
+                net_h: int, net_w: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode one [yolo] head's raw map (YOLOv3, yolo_layer.c semantics).
+
+    Differences from [region] (decode_region): anchors are in
+    NETWORK-INPUT PIXELS (normalized here by net_w/net_h, not the grid),
+    only this scale's ``mask`` anchors apply, and class probabilities are
+    independent SIGMOIDS (multi-label), not a softmax.
+
+    Args:
+      raw: (B, H, W, A*(5+C)) float32, A = len(layer.mask).
+    Returns:
+      boxes (B, H*W*A, 4) center-format normalized [0,1],
+      objectness (B, H*W*A), class_probs (B, H*W*A, C).
+    """
+    b, h, w, _ = raw.shape
+    a = layer.n
+    c = layer.classes
+    raw = raw.reshape(b, h, w, a, 5 + c)
+
+    cy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    anchors = jnp.asarray(layer.anchor_pairs, jnp.float32)  # (A, 2) pixels
+
+    tx, ty, tw, th, to = (raw[..., i] for i in range(5))
+    bx = (jax.nn.sigmoid(tx) + cx[None, :, :, None]) / w
+    by = (jax.nn.sigmoid(ty) + cy[None, :, :, None]) / h
+    bw = anchors[None, None, None, :, 0] * jnp.exp(tw) / net_w
+    bh = anchors[None, None, None, :, 1] * jnp.exp(th) / net_h
+    obj = jax.nn.sigmoid(to)
+    cls = jax.nn.sigmoid(raw[..., 5:])
+
+    n = h * w * a
+    boxes = jnp.stack([bx, by, bw, bh], axis=-1).reshape(b, n, 4)
+    return boxes, obj.reshape(b, n), cls.reshape(b, n, c)
+
+
+def decode_heads(raws, spec: NetworkSpec
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Family-generic decode: one call for both detector families.
+
+    ``raws`` is forward()'s return value — a single (B,H,W,A*(5+C)) map
+    for [region] specs (YOLOv2) or a tuple of per-scale maps for [yolo]
+    specs (YOLOv3). Multi-scale candidates concatenate along N so the
+    downstream NMS/mAP machinery is family-agnostic.
+    """
+    if not spec.is_multi_head:
+        raw = raws[0] if isinstance(raws, (tuple, list)) else raws
+        return decode_region(raw, spec.region)
+    heads = [spec.layers[i] for i in spec.head_indices()]
+    if not isinstance(raws, (tuple, list)) or len(raws) != len(heads):
+        raise ValueError(
+            f"multi-head spec has {len(heads)} [yolo] layers but forward "
+            f"returned {1 if not isinstance(raws, (tuple, list)) else len(raws)} maps")
+    net_h, net_w = spec.net.height, spec.net.width
+    parts = [decode_yolo(r, l, net_h, net_w) for r, l in zip(raws, heads)]
+    boxes = jnp.concatenate([p[0] for p in parts], axis=1)
+    obj = jnp.concatenate([p[1] for p in parts], axis=1)
+    cls = jnp.concatenate([p[2] for p in parts], axis=1)
+    return boxes, obj, cls
 
 
 def center_to_corners(boxes: jnp.ndarray) -> jnp.ndarray:

@@ -42,7 +42,7 @@ from modelcompression_tpu.data.preprocess import (
 from modelcompression_tpu.data.streaming import prefetch_to_device
 from modelcompression_tpu.data.voc import Sample
 from modelcompression_tpu.evaluation.decode import (
-    center_to_corners, corners_to_image, decode_region,
+    center_to_corners, corners_to_image, decode_heads,
 )
 from modelcompression_tpu.evaluation.nms import (
     batched_per_class_nms, batched_per_class_nms_padded,
@@ -205,7 +205,7 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
     ``images_uint8`` is (B, net, net, 3) when ``src_hw is None``, else
     (B, src_h, src_w, 3) raw source frames (letterbox fused on device).
     """
-    region = spec.region
+    spec.head_indices()  # validate: every spec has [region] or [yolo] heads
     net_h, net_w = spec.net.height, spec.net.width
     fuse = config.fuse_input_stage
     if fuse:
@@ -244,7 +244,7 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
             if qs is not None:
                 x = quantize_canvas(x, qs)
         raw = fwd(params, x, spec, config.precision)
-        boxes, obj, cls = decode_region(raw, region)
+        boxes, obj, cls = decode_heads(raw, spec)
         class_scores = obj[..., None] * cls  # (B, N, C)
         corners = center_to_corners(boxes)
         # truncation observability: candidates above threshold per

@@ -36,7 +36,7 @@ from modelcompression_tpu.data.preprocess import (
 )
 from modelcompression_tpu.data.voc import Sample
 from modelcompression_tpu.evaluation.decode import (
-    center_to_corners, corners_to_image, decode_region,
+    center_to_corners, corners_to_image, decode_heads,
 )
 from modelcompression_tpu.evaluation.nms import nms_topk, pairwise_iou
 from modelcompression_tpu.evaluation.pipeline import EvalConfig, _prep_batch
@@ -55,7 +55,7 @@ def make_recall_step(spec: NetworkSpec, config: EvalConfig,
     ``n_cand`` counts objectness candidates above conf_thresh per image —
     the top-k NMS prefilter's observability counter (candidates beyond
     ``max_detections`` cannot become proposals)."""
-    region = spec.region
+    spec.head_indices()  # validate heads exist ([region] or [yolo])
     net_h, net_w = spec.net.height, spec.net.width
     if config.forward_fn is not None:
         def fwd(p, x, s, prec):
@@ -79,7 +79,7 @@ def make_recall_step(spec: NetworkSpec, config: EvalConfig,
         else:
             x = images.astype(rs_dtype) / jnp.asarray(255.0, rs_dtype)
         raw = fwd(params, x, spec, config.precision)
-        boxes, obj, _cls = decode_region(raw, region)
+        boxes, obj, _cls = decode_heads(raw, spec)
         corners = center_to_corners(boxes)
         n_cand = jnp.sum(obj > config.conf_thresh, axis=-1).astype(jnp.int32)
         sel, _scores, valid = jax.vmap(

@@ -84,6 +84,53 @@ class ReorgLayer:
 
 
 @dataclasses.dataclass
+class ShortcutLayer:
+    """Darknet residual add (YOLOv3): out = prev + outputs[from_layer].
+
+    ``from_layer`` is stored as an ABSOLUTE layer index (resolved at parse
+    time like RouteLayer). Darknet's shortcut supports mismatched channel
+    counts by zero-extending; YOLOv3's cfgs only ever add equal shapes, so
+    we require equality (checked at channel-resolution time)."""
+    from_layer: int
+    activation: str = "linear"
+
+
+@dataclasses.dataclass
+class UpsampleLayer:
+    """Nearest-neighbor spatial upsample (YOLOv3 FPN top-down path)."""
+    stride: int = 2
+
+
+@dataclasses.dataclass
+class YoloLayer:
+    """Darknet [yolo] detection head (YOLOv3): multi-scale, multi-label.
+
+    Unlike [region]: anchors are in NETWORK-INPUT PIXELS (not cells),
+    ``mask`` selects this scale's anchor subset from the shared list, and
+    class probabilities are independent sigmoids (multi-label), not a
+    softmax. ``num`` is the TOTAL anchor count across scales; this head
+    predicts len(mask) boxes per cell."""
+    mask: Tuple[int, ...] = ()
+    anchors: Tuple[float, ...] = ()
+    classes: int = 80
+    num: int = 9
+    jitter: float = 0.3
+    ignore_thresh: float = 0.7
+    truth_thresh: float = 1.0
+    random: bool = False
+
+    @property
+    def anchor_pairs(self) -> Tuple[Tuple[float, float], ...]:
+        """This scale's (w, h) anchors in network-input pixels."""
+        a = self.anchors
+        return tuple((a[2 * m], a[2 * m + 1]) for m in self.mask)
+
+    @property
+    def n(self) -> int:
+        return len(self.mask)
+
+
+@dataclasses.dataclass
 class RegionLayer:
     anchors: Tuple[float, ...] = ()
     classes: int = 20
@@ -107,7 +154,8 @@ class RegionLayer:
         return tuple((a[2 * i], a[2 * i + 1]) for i in range(len(a) // 2))
 
 
-Layer = Union[ConvLayer, MaxPoolLayer, RouteLayer, ReorgLayer, RegionLayer]
+Layer = Union[ConvLayer, MaxPoolLayer, RouteLayer, ReorgLayer, RegionLayer,
+              ShortcutLayer, UpsampleLayer, YoloLayer]
 
 
 @dataclasses.dataclass
@@ -121,6 +169,27 @@ class NetworkSpec:
             if isinstance(l, RegionLayer):
                 return l
         raise ValueError("spec has no [region] layer")
+
+    def head_indices(self) -> List[int]:
+        """Layer indices of detection heads: the [region] layer (YOLOv2,
+        always exactly one) or every [yolo] layer (YOLOv3, one per scale,
+        in network order — the order forward() returns raw maps)."""
+        idx = [i for i, l in enumerate(self.layers)
+               if isinstance(l, (RegionLayer, YoloLayer))]
+        if not idx:
+            raise ValueError("spec has no [region] or [yolo] layer")
+        return idx
+
+    @property
+    def is_multi_head(self) -> bool:
+        """True for [yolo]-family specs: forward returns one raw map per
+        head and decode is the YOLOv3 sigmoid-class form."""
+        return any(isinstance(l, YoloLayer) for l in self.layers)
+
+    @property
+    def classes(self) -> int:
+        l = self.layers[self.head_indices()[0]]
+        return l.classes
 
     def conv_indices(self) -> List[int]:
         return [i for i, l in enumerate(self.layers)
@@ -207,6 +276,29 @@ def parse_cfg(text: str) -> NetworkSpec:
             layers.append(RouteLayer(layers=absolute))
         elif name == "reorg":
             layers.append(ReorgLayer(stride=int(o.get("stride", 2))))
+        elif name == "shortcut":
+            rel = int(o["from"])
+            absolute = rel if rel >= 0 else idx + rel
+            if not (0 <= absolute < idx):
+                raise ValueError(f"shortcut at layer {idx} references "
+                                 f"{absolute}")
+            layers.append(ShortcutLayer(
+                from_layer=absolute,
+                activation=o.get("activation", "linear"),
+            ))
+        elif name == "upsample":
+            layers.append(UpsampleLayer(stride=int(o.get("stride", 2))))
+        elif name == "yolo":
+            layers.append(YoloLayer(
+                mask=_ints(o.get("mask", "")),
+                anchors=_floats(o.get("anchors", "")),
+                classes=int(o.get("classes", 80)),
+                num=int(o.get("num", 9)),
+                jitter=float(o.get("jitter", 0.3)),
+                ignore_thresh=float(o.get("ignore_thresh", 0.7)),
+                truth_thresh=float(o.get("truth_thresh", 1.0)),
+                random=bool(int(float(o.get("random", 0)))),
+            ))
         elif name == "region":
             layers.append(RegionLayer(
                 anchors=_floats(o.get("anchors", "")),
@@ -253,7 +345,12 @@ def _resolve_channels(spec: NetworkSpec) -> None:
             c = sum(channels[a] for a in l.layers)
         elif isinstance(l, ReorgLayer):
             c = c * l.stride * l.stride
-        elif isinstance(l, RegionLayer):
+        elif isinstance(l, ShortcutLayer):
+            if channels[l.from_layer] != c:
+                raise ValueError(
+                    f"shortcut at layer {i}: channel mismatch "
+                    f"{c} vs {channels[l.from_layer]} (layer {l.from_layer})")
+        elif isinstance(l, (RegionLayer, UpsampleLayer, YoloLayer)):
             pass
         channels.append(c)
 
@@ -313,6 +410,21 @@ def dump_cfg(spec: NetworkSpec) -> str:
             out.write(f"[route]\nlayers={rel}\n")
         elif isinstance(l, ReorgLayer):
             out.write(f"[reorg]\nstride={l.stride}\n")
+        elif isinstance(l, ShortcutLayer):
+            out.write(f"[shortcut]\nfrom={l.from_layer - i}\n"
+                      f"activation={l.activation}\n")
+        elif isinstance(l, UpsampleLayer):
+            out.write(f"[upsample]\nstride={l.stride}\n")
+        elif isinstance(l, YoloLayer):
+            out.write("[yolo]\n")
+            out.write("mask = " + ",".join(str(m) for m in l.mask) + "\n")
+            out.write("anchors = " + ",".join(
+                f"{a:g}" for a in l.anchors) + "\n")
+            out.write(f"classes={l.classes}\nnum={l.num}\n"
+                      f"jitter={l.jitter}\n"
+                      f"ignore_thresh = {l.ignore_thresh}\n"
+                      f"truth_thresh = {l.truth_thresh}\n"
+                      f"random={int(l.random)}\n")
         elif isinstance(l, RegionLayer):
             out.write("[region]\n")
             out.write("anchors = " + ",".join(

@@ -33,6 +33,7 @@ import numpy as np
 from modelcompression_tpu.core.precision import Precision, BITMATCH
 from modelcompression_tpu.models.cfg import (
     ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
+    ShortcutLayer, UpsampleLayer, YoloLayer,
 )
 
 # Matches torch.nn.BatchNorm2d default (the reference repo class is
@@ -173,11 +174,21 @@ def reorg(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
     return x.reshape(b, h // s, w // s, s * s * c)
 
 
+def upsample_nearest(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
+    """Darknet [upsample]: nearest-neighbor, NHWC. Each source pixel tiles
+    an s×s output block (upsample_layer.c indexing: in[i/s, j/s])."""
+    b, h, w, c = x.shape
+    s = stride
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c))
+    return x.reshape(b, h * s, w * s, c)
+
+
 def _forward_impl(params: Params, x: jnp.ndarray, spec: NetworkSpec,
                   precision: Precision, train_stats: bool, folded: bool,
                   channel_masks, fuse_input_stage: bool = False
                   ) -> jnp.ndarray:
     outputs: List[Optional[jnp.ndarray]] = []
+    heads: List[jnp.ndarray] = []  # raw maps at [yolo] layers (YOLOv3)
     start = 0
     if fuse_input_stage:
         # conv1+bias+leaky+maxpool as one matmul-shaped op (Pallas on TPU)
@@ -220,9 +231,20 @@ def _forward_impl(params: Params, x: jnp.ndarray, spec: NetworkSpec,
             y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
         elif isinstance(l, ReorgLayer):
             y = reorg(y, l.stride)
+        elif isinstance(l, ShortcutLayer):
+            y = _activate(y + outputs[l.from_layer], l.activation)
+        elif isinstance(l, UpsampleLayer):
+            y = upsample_nearest(y, l.stride)
+        elif isinstance(l, YoloLayer):
+            # multi-scale head: record the raw map; y passes through
+            # unchanged (Darknet's yolo layer copies input to output, and
+            # later [route]s index past it, e.g. yolov3-tiny's `route -4`)
+            heads.append(y.astype(jnp.float32))
         elif isinstance(l, RegionLayer):
             pass  # decode handled by evaluation.decode on the raw map
         outputs.append(y)
+    if heads:
+        return tuple(heads)
     return y.astype(jnp.float32)
 
 
@@ -231,7 +253,9 @@ def forward(params: Params, x: jnp.ndarray, spec: NetworkSpec,
             train_stats: bool = False,
             channel_masks=None) -> jnp.ndarray:
     """Run the network; returns the raw detection feature map
-    (B, H/32, W/32, num_anchors*(5+classes)) before region decode.
+    (B, H/32, W/32, num_anchors*(5+classes)) before region decode — or,
+    for multi-head [yolo] specs (YOLOv3), a TUPLE of per-scale raw maps
+    in network order (decode via evaluation.decode.decode_heads).
 
     ``x``: NHWC float images in [0, 1] (Darknet normalization is /255 only).
     ``channel_masks``: optional {layer_idx: (C,) 0/1 vector} applied to conv
@@ -304,6 +328,8 @@ def num_conv_flops(spec: NetworkSpec) -> int:
             w = (w + l.pad_total - l.size) // l.stride + 1
         elif isinstance(l, ReorgLayer):
             h, w = h // l.stride, w // l.stride
+        elif isinstance(l, UpsampleLayer):
+            h, w = h * l.stride, w * l.stride
         elif isinstance(l, RouteLayer):
             h, w = hw[l.layers[0]]
         hw.append((h, w))

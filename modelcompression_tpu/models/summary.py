@@ -20,7 +20,7 @@ import numpy as np
 
 from modelcompression_tpu.models.cfg import (
     ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer,
-    RouteLayer,
+    RouteLayer, ShortcutLayer, UpsampleLayer, YoloLayer,
 )
 from modelcompression_tpu.models.darknet import Params, conv_key
 
@@ -62,6 +62,9 @@ def layer_shapes(spec: NetworkSpec) -> List[tuple]:
         elif isinstance(l, ReorgLayer):
             h, w = h // l.stride, w // l.stride
             c = c * l.stride * l.stride
+        elif isinstance(l, UpsampleLayer):
+            h, w = h * l.stride, w * l.stride
+        # shortcut/yolo/region: pass-through shapes
         hwc.append((h, w, c))
     return hwc
 
@@ -115,6 +118,19 @@ def network_table(spec: NetworkSpec,
             lines.append(
                 f"{i:>4} {'reorg':<7} {'':>7} {'/' + str(l.stride):>9} "
                 f"{in_w:>5}x{in_h}x{in_c:<4} {w:>5}x{h}x{c:<4}")
+        elif isinstance(l, ShortcutLayer):
+            lines.append(
+                f"{i:>4} {'short':<7} {l.from_layer:>7} {'':>9} {'':>16} "
+                f"{w:>5}x{h}x{c:<4}")
+        elif isinstance(l, UpsampleLayer):
+            lines.append(
+                f"{i:>4} {'upsamp':<7} {'':>7} {'x' + str(l.stride):>9} "
+                f"{in_w:>5}x{in_h}x{in_c:<4} {w:>5}x{h}x{c:<4}")
+        elif isinstance(l, YoloLayer):
+            lines.append(
+                f"{i:>4} {'yolo':<7} {l.n:>4}x{5 + l.classes}"
+                f" mask={','.join(str(m) for m in l.mask)}"
+                f" classes={l.classes}")
         elif isinstance(l, RegionLayer):
             lines.append(
                 f"{i:>4} {'region':<7} {l.num:>4}x{1 + l.coords + l.classes}"

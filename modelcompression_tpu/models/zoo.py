@@ -31,6 +31,25 @@ def tiny_yolov2_coco() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "tiny-yolo-coco.cfg"))
 
 
+def yolov3_coco() -> NetworkSpec:
+    """Full YOLOv3 (Darknet-53 + 3-scale FPN head, 80 classes) — second
+    detector family beyond the reference's YOLOv2 (generated canonical
+    cfg shape: tools/gen_yolov3_cfg.py)."""
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov3.cfg"))
+
+
+def yolov3_voc() -> NetworkSpec:
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov3-voc.cfg"))
+
+
+def yolov3_tiny_coco() -> NetworkSpec:
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov3-tiny.cfg"))
+
+
+def yolov3_tiny_voc() -> NetworkSpec:
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov3-tiny-voc.cfg"))
+
+
 def coco_names_path() -> str:
     return os.path.join(CONFIG_DIR, "coco.names")
 

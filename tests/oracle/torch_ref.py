@@ -16,6 +16,7 @@ import torch.nn.functional as F
 
 from modelcompression_tpu.models.cfg import (
     ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
+    ShortcutLayer, UpsampleLayer, YoloLayer,
 )
 from modelcompression_tpu.models.darknet import BN_EPS, conv_key
 
@@ -52,10 +53,14 @@ def torch_maxpool(x: torch.Tensor, size: int, stride: int) -> torch.Tensor:
 def torch_forward(params, x_nchw: np.ndarray, spec: NetworkSpec,
                   train_stats: bool = False) -> np.ndarray:
     """Run the oracle forward pass. ``params`` is the JAX-side pytree
-    (HWIO numpy arrays); transposed to OIHW here."""
+    (HWIO numpy arrays); transposed to OIHW here.
+
+    For multi-head [yolo] specs (YOLOv3) returns a LIST of per-scale raw
+    maps (NCHW) in network order, mirroring darknet.forward's tuple."""
     with torch.no_grad():
         y = torch.from_numpy(np.asarray(x_nchw, dtype=np.float32))
         outputs = []
+        heads = []
         for i, l in enumerate(spec.layers):
             if isinstance(l, ConvLayer):
                 p = params[conv_key(i)]
@@ -93,7 +98,19 @@ def torch_forward(params, x_nchw: np.ndarray, spec: NetworkSpec,
                 y = torch.cat([outputs[a] for a in l.layers], dim=1)
             elif isinstance(l, ReorgLayer):
                 y = torch_reorg(y, l.stride)
+            elif isinstance(l, ShortcutLayer):
+                y = y + outputs[l.from_layer]
+                if l.activation == "leaky":
+                    y = F.leaky_relu(y, 0.1)
+                elif l.activation != "linear":
+                    raise ValueError(l.activation)
+            elif isinstance(l, UpsampleLayer):
+                y = F.interpolate(y, scale_factor=l.stride, mode="nearest")
+            elif isinstance(l, YoloLayer):
+                heads.append(y.numpy())
             elif isinstance(l, RegionLayer):
                 pass
             outputs.append(y)
+        if heads:
+            return heads
         return y.numpy()
