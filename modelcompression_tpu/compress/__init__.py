@@ -19,6 +19,10 @@ from modelcompression_tpu.compress.taylor import (
 from modelcompression_tpu.compress.codebook import (
     cluster_layer, cluster_network, load_cmodel, reconstruct, save_cmodel,
 )
+from modelcompression_tpu.compress.graph import (
+    channel_source_convs, head_producer_convs, protected_conv_indices,
+    prunable_conv_indices, tied_conv_groups,
+)
 from modelcompression_tpu.compress.gmp import (
     GMPSpec, gmp_init_masks, gmp_mask_update, gmp_masks, gmp_sparsity,
 )
@@ -58,6 +62,8 @@ __all__ = [
     "magnitude_masks_global", "magnitude_masks_perlayer", "mask_sparsity",
     "GMPSpec", "gmp_init_masks", "gmp_mask_update", "gmp_masks",
     "gmp_sparsity",
+    "channel_source_convs", "head_producer_convs",
+    "protected_conv_indices", "prunable_conv_indices", "tied_conv_groups",
     "channel_masks_from_keep", "propagate_keep_sets", "repack",
     "uniform_filter_fraction_keep_sets",
     "collect_act_absmax", "forward_quantized", "int8_layers_auto",

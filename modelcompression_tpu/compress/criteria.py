@@ -17,6 +17,7 @@ from typing import Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
+from modelcompression_tpu.compress.graph import protected_conv_indices
 from modelcompression_tpu.models.cfg import ConvLayer, NetworkSpec
 from modelcompression_tpu.models.darknet import Params, conv_key
 
@@ -106,12 +107,13 @@ def l1_filter_scores_device(params: Params, spec: NetworkSpec,
                             ) -> Dict[int, "np.ndarray"]:
     """All prunable convs' filter scores as ONE device program + ONE host
     readback (the iterative loop calls this every round; per-layer eager
-    reduces would pay one tunnel round-trip per conv). The detection conv
-    (last conv) is always protected — its channel count is the decode
-    contract."""
+    reduces would pay one tunnel round-trip per conv). Structurally
+    unprunable convs are always protected (compress/graph.py): every
+    head-producing conv — its channel count is the decode contract —
+    plus shortcut-tied convs (YOLOv3 residual identity paths)."""
     import numpy as np
     conv_idx = spec.conv_indices()
-    protected = set(skip) | {conv_idx[-1]}
+    protected = set(skip) | protected_conv_indices(spec)
     ws = {conv_key(i): params[conv_key(i)]["w"]
           for i in conv_idx if i not in protected}
     scores = jax.device_get(_l1_scores_jit(ws))
@@ -131,11 +133,12 @@ def bn_gamma_scores_device(params: Params, spec: NetworkSpec,
     they fall back to their (normalized) L1 filter score so mixed cfgs
     still produce a full keep-set map — in the YOLOv2 family only the
     protected detection conv is BN-free, so the fallback is normally
-    unused. The detection conv is always protected (decode contract).
+    unused. Head-producing and shortcut-tied convs are always protected
+    (compress/graph.py).
     """
     import numpy as np
     conv_idx = spec.conv_indices()
-    protected = set(skip) | {conv_idx[-1]}
+    protected = set(skip) | protected_conv_indices(spec)
     gs, ws = {}, {}
     for i in conv_idx:
         if i in protected:
@@ -195,10 +198,11 @@ def fpgm_scores_device(params: Params, spec: NetworkSpec,
                        ) -> Dict[int, "np.ndarray"]:
     """All prunable convs' FPGM distance-sum scores as ONE device program
     + ONE host readback (same shape as ``l1_filter_scores_device``).
-    The detection conv is always protected (decode contract)."""
+    Head-producing and shortcut-tied convs are always protected
+    (compress/graph.py)."""
     import numpy as np
     conv_idx = spec.conv_indices()
-    protected = set(skip) | {conv_idx[-1]}
+    protected = set(skip) | protected_conv_indices(spec)
     ws = {conv_key(i): params[conv_key(i)]["w"]
           for i in conv_idx if i not in protected}
     scores = jax.device_get(_fpgm_scores_jit(ws))
@@ -305,7 +309,8 @@ def l1_filter_keep_sets_scheduled(params: Params, spec: NetworkSpec,
     if unknown:
         raise ValueError(
             f"fractions given for non-prunable conv indices {sorted(unknown)}"
-            " (the detection conv and skipped layers are protected)")
+            " (head-producing, shortcut-tied and skipped convs are "
+            "protected — compress/graph.py)")
     return {i: _keep_from_scores(s, fractions.get(i, default))
             for i, s in scores.items()}
 

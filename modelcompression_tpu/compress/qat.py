@@ -66,8 +66,8 @@ class QATSpec:
 
     ``int8``: conv layer indices trained with fake-quant (the deployment
     subset — see ``quantize.int8_layers_auto``). ``in_scale`` /
-    ``out_scale``: per-conv activation grids (out_scale absent for the
-    final conv, whose raw head stays float in deployment).
+    ``out_scale``: per-conv activation grids (out_scale absent for
+    head-producing convs, whose raw maps stay float in deployment).
     ``act_absmax`` / ``input_absmax`` keep the raw calibration so
     ``quantize_qat`` can export the deployed int8 pytree with EXACTLY
     the grids training rehearsed.
@@ -114,14 +114,17 @@ def qat_spec_from_absmax(spec: NetworkSpec,
                          ) -> QATSpec:
     """Build the QAT plan from a calibration profile (same inputs as
     ``quantize_network``, same grid derivation)."""
+    from modelcompression_tpu.compress.graph import head_producer_convs
     out_scales, input_scale = _layer_out_scales(spec, act_absmax,
                                                 input_absmax)
     conv_ids, int8_set = _resolve_int8_set(spec, int8_layers)
-    last_conv = max(conv_ids)
+    # head producers deploy with no output requant (raw f32 map) — same
+    # rule as quantize_network, generalized to multi-head specs
+    head_convs = head_producer_convs(spec)
     in_scale, out_scale = {}, {}
     for i in sorted(int8_set):
         in_scale[i] = input_scale if i == 0 else out_scales[i - 1]
-        if i != last_conv:
+        if i not in head_convs:
             out_scale[i] = out_scales[i]
     return QATSpec(int8=frozenset(int8_set), in_scale=in_scale,
                    out_scale=out_scale,

@@ -23,12 +23,17 @@ Scheme (standard symmetric PTQ, laid out for XLA fusion):
       a   = leaky(y)
       out = clip(round(a / s_out), -127, 127).astype(int8)
 
-  The final head conv skips requantization and returns the raw f32 map.
-* **Scale-preserving ops**: maxpool and reorg pass int8 through
-  untouched (max and layout commute with a positive scale). ``route``
-  concats require all inputs to share one scale — calibration merges the
-  scale groups of every route's inputs (max over the group), so concat
-  is exact rather than silently mixing scales.
+  Head-producing convs skip requantization and return the raw f32 map
+  (YOLOv2: the last conv; YOLOv3: one conv per [yolo] scale).
+* **Scale-preserving ops**: maxpool, reorg and upsample pass int8
+  through untouched (max, layout and nearest-replication commute with a
+  positive scale). ``route`` concats require all inputs to share one
+  scale — calibration merges the scale groups of every route's inputs
+  (max over the group), so concat is exact rather than silently mixing
+  scales. ``shortcut`` residual adds (YOLOv3) are float boundaries: the
+  sum lives on neither operand's grid, so both inputs dequantize, the
+  add runs in the compute dtype, and the consumer requantizes on the
+  shortcut's own calibrated scale.
 * **Calibration** runs the f32 folded forward over a few batches and
   records per-layer output absmax (optionally a quantile, to shed
   outliers). ~100 images is plenty for per-tensor absmax.
@@ -60,10 +65,10 @@ import numpy as np
 from modelcompression_tpu.core.precision import FAST, Precision
 from modelcompression_tpu.models.cfg import (
     ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
-    dump_cfg, parse_cfg,
+    ShortcutLayer, UpsampleLayer, YoloLayer, dump_cfg, parse_cfg,
 )
 from modelcompression_tpu.models.darknet import (
-    Params, _activate, conv_key, maxpool, reorg,
+    Params, _activate, conv_key, maxpool, reorg, upsample_nearest,
 )
 
 QParams = Dict[str, Dict[str, jnp.ndarray]]
@@ -104,13 +109,20 @@ def _scale_groups(spec: NetworkSpec) -> List[int]:
             parent[max(ra, rb)] = min(ra, rb)
 
     for i, l in enumerate(spec.layers):
-        if isinstance(l, (MaxPoolLayer, ReorgLayer)):
+        if isinstance(l, (MaxPoolLayer, ReorgLayer, UpsampleLayer)):
+            # max / layout / nearest-replication commute with a positive
+            # per-tensor scale: int8 passes through on the producer's grid
             union(i, node(_input_layer_of(spec, i)))
         elif isinstance(l, RouteLayer):
             for a in l.layers:
                 union(i, a)
-        elif isinstance(l, RegionLayer):
+        elif isinstance(l, (RegionLayer, YoloLayer)):
+            # heads copy their input through (Darknet yolo_layer forwards
+            # its input so later routes can index past it)
             union(i, node(_input_layer_of(spec, i)))
+        # ShortcutLayer: the residual ADD produces genuinely new values —
+        # it is a float boundary with its OWN calibrated output scale
+        # (each layer starts in its own group; no union)
     return [find(i) for i in range(n + 1)]
 
 
@@ -159,6 +171,11 @@ def collect_act_absmax(folded_params: Params, spec: NetworkSpec,
                 y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
             elif isinstance(l, ReorgLayer):
                 y = reorg(y, l.stride)
+            elif isinstance(l, ShortcutLayer):
+                y = _activate(y + outputs[l.from_layer], l.activation)
+            elif isinstance(l, UpsampleLayer):
+                y = upsample_nearest(y, l.stride)
+            # Region/Yolo heads pass y through unchanged
             outputs.append(y)
             stats.append(stat(y))
         return jnp.stack(stats), stat(x)
@@ -252,10 +269,14 @@ def quantize_network(folded_params: Params, spec: NetworkSpec,
       in_scale (f32 scalar), out_scale (f32 scalar; final conv: absent);
     per float conv: w (HWIO f32), bias (Cout f32).
     """
+    from modelcompression_tpu.compress.graph import head_producer_convs
     out_scale, input_scale = _layer_out_scales(spec, act_absmax,
                                                input_absmax)
     conv_ids, int8_set = _resolve_int8_set(spec, int8_layers)
-    last_conv = max(conv_ids)
+    # head-producing convs skip output requantization and emit the raw
+    # f32 detection map (YOLOv2: the single last conv; YOLOv3: one conv
+    # per [yolo] scale — compress/graph.py)
+    head_convs = head_producer_convs(spec)
     qparams: QParams = {"__net__": {
         "input_scale": jnp.float32(input_scale)}}
     for i in conv_ids:
@@ -277,7 +298,7 @@ def quantize_network(folded_params: Params, spec: NetworkSpec,
             "bias": bias,
             "in_scale": jnp.float32(in_scale),
         }
-        if i != last_conv:
+        if i not in head_convs:
             entry["out_scale"] = jnp.float32(out_scale[i])
         qparams[conv_key(i)] = entry
     return qparams
@@ -293,7 +314,8 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
     the quantize into the letterbox, so the first int8 conv consumes the
     canvas directly and no float canvas ever touches HBM).
 
-    Returns the raw f32 detection map, same contract as
+    Returns the raw f32 detection map — or, for multi-head [yolo] specs
+    (YOLOv3), a TUPLE of per-scale raw f32 maps — same contract as
     ``darknet.forward_folded``. Within an int8 region activations flow
     as int8 between layers; the conv epilogue (rescale + bias + leaky +
     requant) is elementwise and fuses into the conv, so each layer is
@@ -305,12 +327,11 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
     is numerically valid.
     """
     cdt = precision.compute_dtype
-    last_conv = max(i for i, l in enumerate(spec.layers)
-                    if isinstance(l, ConvLayer))
     # (tensor, scale): scale is the producer's quantization step for an
     # int8 tensor, None for a float tensor — resolved at trace time
     outputs: List[jnp.ndarray] = []
     scales: List[Optional[jnp.ndarray]] = []
+    heads: List[jnp.ndarray] = []  # raw f32 maps at [yolo] layers
     y, y_scale = x, None
     if x.dtype == jnp.int8:
         # int8-input contract: the producer quantized with THIS pytree's
@@ -341,7 +362,7 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
                 yf = (y32.astype(jnp.float32) * (p["in_scale"] * p["s_w"])
                       + p["bias"])
                 yf = _activate(yf, l.activation)
-                if i == last_conv or "out_scale" not in p:
+                if "out_scale" not in p:  # head producer: raw f32 map out
                     y, y_scale = yf, None
                 else:
                     y = jnp.clip(jnp.round(yf / p["out_scale"]),
@@ -377,10 +398,29 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
                 y_scale = None
         elif isinstance(l, ReorgLayer):
             y = reorg(y, l.stride)
+        elif isinstance(l, UpsampleLayer):
+            y = upsample_nearest(y, l.stride)  # scale-preserving (int8 ok)
+        elif isinstance(l, ShortcutLayer):
+            # residual add is a float boundary (see _scale_groups): the
+            # sum lives on no operand's grid, so dequant both, add in the
+            # compute dtype, and let the CONSUMER requantize on the
+            # shortcut layer's own calibrated in_scale
+            a = dequant(y, y_scale) if y_scale is not None else y.astype(cdt)
+            o, os_ = outputs[l.from_layer], scales[l.from_layer]
+            b = dequant(o, os_) if os_ is not None else o.astype(cdt)
+            y = _activate(a + b, l.activation)
+            y_scale = None
+        elif isinstance(l, YoloLayer):
+            # record this scale's raw f32 map; y passes through unchanged
+            # (later routes may index past the head, e.g. v3-tiny)
+            heads.append((dequant(y, y_scale) if y_scale is not None
+                          else y).astype(jnp.float32))
         elif isinstance(l, RegionLayer):
             pass
         outputs.append(y)
         scales.append(y_scale)
+    if heads:
+        return tuple(heads)
     if y_scale is not None:  # head ended inside an int8 region
         y = dequant(y, y_scale)
     return y.astype(jnp.float32)

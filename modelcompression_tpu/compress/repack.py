@@ -15,6 +15,10 @@ through the graph (SURVEY.md §7.4.1):
             {s2*C + c : s2 in [0, s*s), c in K} (block-major ordering of
             space-to-depth; enumerating s2-major with K ascending keeps the
             keep-set sorted, matching the physically sliced reorg output)
+* shortcut: (YOLOv3) the residual add requires both inputs to carry the
+            SAME keep-set — validated here, guaranteed by the default
+            protection rule (compress/graph.py); passes it through
+* upsample / [yolo]: spatial / head pass-through, keep-set unchanged
 
 The invariant (tested): slimmed_forward(x) == masked_forward(x) exactly,
 where masked mode multiplies each pruned conv's *post-activation* output by
@@ -36,7 +40,7 @@ import numpy as np
 
 from modelcompression_tpu.models.cfg import (
     ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer, RouteLayer,
-    out_channels,
+    ShortcutLayer, UpsampleLayer, YoloLayer, out_channels,
 )
 from modelcompression_tpu.models.darknet import Params, conv_key
 
@@ -83,8 +87,28 @@ def propagate_keep_sets(spec: NetworkSpec,
             src_c = orig_out[i - 1]
             cur = np.concatenate([k * src_c + np.sort(cur)
                                   for k in range(s2)])
-        elif isinstance(l, RegionLayer):
-            pass
+        elif isinstance(l, ShortcutLayer):
+            # residual add: channel k of the slimmed prev tensor is added
+            # to channel k of the slimmed `from` tensor, so the two
+            # keep-sets must be IDENTICAL (same original coordinates, same
+            # ascending order) or the slimmed add silently misaligns.
+            # The default protection rule (compress/graph.py
+            # protected_conv_indices) keeps every shortcut-tied conv
+            # unpruned, which trivially satisfies this; a hand-built
+            # keep-set that violates the tie must fail loudly here.
+            other = layer_keep[l.from_layer]
+            if not np.array_equal(cur, other):
+                raise ValueError(
+                    f"shortcut at layer {i}: keep-set mismatch between its "
+                    f"two inputs (prev keeps {len(cur)} channels, layer "
+                    f"{l.from_layer} keeps {len(other)}"
+                    + ("" if len(cur) != len(other) else
+                       " — same count but different channels")
+                    + "); shortcut-tied convs must share one keep-set "
+                    "(compress/graph.py tied_conv_groups)")
+            # output channels carry the shared keep-set through unchanged
+        elif isinstance(l, (RegionLayer, UpsampleLayer, YoloLayer)):
+            pass  # spatial / head pass-through: channel identity unchanged
         layer_keep.append(cur)
     return in_keep, out_keep
 
@@ -146,7 +170,8 @@ def uniform_filter_fraction_keep_sets(spec: NetworkSpec, params: Params,
                                       criterion: str = "l1"
                                       ) -> Dict[int, np.ndarray]:
     """Convenience: filter keep-sets at one drop fraction for all
-    prunable convs (detection conv protected). ``criterion``: ``l1``
+    prunable convs (head-producing and shortcut-tied convs protected —
+    compress/graph.py). ``criterion``: ``l1``
     (Li et al. 2017) or ``bn_gamma`` (Liu et al. 2017 network
     slimming)."""
     from modelcompression_tpu.compress.criteria import l1_filter_keep_sets

@@ -54,11 +54,13 @@ from modelcompression_tpu.models.darknet import Params, conv_key, forward
 def taylor_gate_indices(spec: NetworkSpec,
                         skip: Sequence[int] = ()) -> Tuple[int, ...]:
     """Prunable conv indices for Taylor scoring: every conv except the
-    detection conv (its channel count is the decode contract) and any
-    explicitly skipped layer — the same protection rule as the L1 /
-    bn_gamma criteria (compress/criteria.py)."""
+    structurally protected set (compress/graph.py: head-producing convs,
+    whose channel count is the decode contract, plus shortcut-tied convs)
+    and any explicitly skipped layer — the same protection rule as the
+    L1 / bn_gamma / fpgm criteria (compress/criteria.py)."""
+    from modelcompression_tpu.compress.graph import protected_conv_indices
     conv_idx = spec.conv_indices()
-    protected = set(skip) | {conv_idx[-1]}
+    protected = set(skip) | protected_conv_indices(spec)
     return tuple(i for i in conv_idx if i not in protected)
 
 

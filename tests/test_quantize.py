@@ -430,3 +430,144 @@ def test_int8_input_requires_quantized_forward():
     import pytest
     with pytest.raises(ValueError, match="int8_input"):
         EvalConfig(int8_input=True)
+
+
+# ----------------------------------------------------- YOLOv3-family specs
+
+
+def _v3_setup(seed=0, n_batches=2):
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3))
+    params = fold_batchnorm(init_params(spec, jax.random.key(seed)), spec)
+    rng = np.random.default_rng(seed + 1)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+               for _ in range(n_batches)]
+    return spec, params, batches
+
+
+def test_v3_scale_groups():
+    """Shortcut output is its own scale group (float boundary); upsample
+    and [yolo] pass their input's group through; the fine-path route
+    merges the upsample group with the shortcut tap it concats."""
+    from modelcompression_tpu.compress.quantize import _scale_groups
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3))
+    g = _scale_groups(spec)
+    assert g[6] != g[5]            # shortcut: new grid, not prev's
+    assert g[6] != g[3]            # ... and not the residual tap's
+    assert g[10] == g[9]           # [yolo] head passes through
+    assert g[13] == g[12]          # upsample preserves conv12's grid
+    assert g[14] == g[13] == g[6]  # route(upsample, shortcut) merges both
+
+
+def test_v3_head_convs_skip_out_requant():
+    spec, params, batches = _v3_setup()
+    q = quantize_from_batches(params, spec, batches)
+    for i in (9, 16):  # head producers (compress/graph.py)
+        assert "out_scale" not in q[f"conv{i}"]
+        assert "w_q" in q[f"conv{i}"]  # still int8 weights
+    for i in (0, 2, 4, 5, 7, 8, 12, 15):
+        assert "out_scale" in q[f"conv{i}"]
+
+
+def test_v3_quantized_forward_close_to_f32():
+    """Full-int8 fixture v3 (through shortcut add, upsample, route concat
+    and two heads): every scale's raw map tracks f32 within PTQ error."""
+    from modelcompression_tpu.core import BITMATCH
+    from modelcompression_tpu.models.darknet import forward_folded
+
+    spec, params, batches = _v3_setup()
+    q = quantize_from_batches(params, spec, batches)
+    x = jnp.asarray(batches[0])
+    refs = forward_folded(params, x, spec, BITMATCH)
+    gots = forward_quantized(q, x, spec)
+    assert isinstance(gots, tuple) and len(gots) == 2
+    for got, ref in zip(map(np.asarray, gots), map(np.asarray, refs)):
+        assert got.shape == ref.shape
+        nrmse = np.sqrt(np.mean((got - ref) ** 2)) / (np.std(ref) + 1e-9)
+        assert nrmse < 0.15, nrmse
+
+
+def test_v3_hybrid_island_across_shortcut():
+    """An int8 island spanning the residual block (convs 4,5 + the
+    shortcut consumer 7) dequantizes at the add and requantizes at the
+    consumer — mixed subsets stay numerically sane."""
+    from modelcompression_tpu.core import BITMATCH
+    from modelcompression_tpu.models.darknet import forward_folded
+
+    spec, params, batches = _v3_setup(seed=2)
+    x = jnp.asarray(batches[0])
+    refs = forward_folded(params, x, spec, BITMATCH)
+    for sel in ([4, 5, 7], [0, 2], [15, 16]):
+        q = quantize_from_batches(params, spec, batches, int8_layers=sel)
+        gots = forward_quantized(q, x, spec)
+        for got, ref in zip(map(np.asarray, gots), map(np.asarray, refs)):
+            nrmse = np.sqrt(np.mean((got - ref) ** 2)) / (np.std(ref) + 1e-9)
+            assert nrmse < 0.15, (sel, nrmse)
+
+
+def test_v3_upsample_commutes_with_quantization():
+    """upsample(round(x/s)) == round(upsample(x)/s): nearest-neighbor
+    replication commutes with a positive per-tensor scale, so int8 flows
+    straight through (the _scale_groups union rule)."""
+    from modelcompression_tpu.models.darknet import upsample_nearest
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-3, 3, (1, 6, 6, 4)).astype(np.float32)
+    s = 3.0 / 127.0
+    q = jnp.clip(jnp.round(jnp.asarray(x) / s), -127, 127).astype(jnp.int8)
+    up_then_q = jnp.clip(jnp.round(upsample_nearest(jnp.asarray(x), 2) / s),
+                         -127, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(upsample_nearest(q, 2)),
+                                  np.asarray(up_then_q))
+
+
+def test_v3_qmodel_roundtrip(tmp_path):
+    from modelcompression_tpu.compress import load_qmodel, save_qmodel
+
+    spec, params, batches = _v3_setup(seed=4, n_batches=1)
+    q = quantize_from_batches(params, spec, batches)
+    path = str(tmp_path / "v3.qz")
+    save_qmodel(path, q, spec)
+    q2, spec2 = load_qmodel(path)
+    assert len(spec2.layers) == len(spec.layers)
+    x = jnp.asarray(batches[0])
+    for a, b in zip(forward_quantized(q, x, spec),
+                    forward_quantized(q2, x, spec2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v3_qat_spec_head_rule():
+    """QAT grids mirror deployment: head producers get in_scale but no
+    out_scale, everything else gets both."""
+    from modelcompression_tpu.compress.qat import qat_spec_from_batches
+
+    spec, params, batches = _v3_setup(seed=5, n_batches=1)
+    # qat calibrates from UNfolded params (it folds internally)
+    raw_params = init_params(spec, jax.random.key(5))
+    qat = qat_spec_from_batches(raw_params, spec, batches)
+    assert set(qat.in_scale) == set(spec.conv_indices())
+    assert 9 not in qat.out_scale and 16 not in qat.out_scale
+    assert set(qat.out_scale) == set(spec.conv_indices()) - {9, 16}
+
+
+def test_eval_pipeline_int8_v3_smoke(tmp_path):
+    """The fused eval program on a quantized MULTI-HEAD net: letterbox ->
+    int8 v3 forward (tuple of raw maps) -> decode_heads -> NMS -> AP."""
+    from modelcompression_tpu.data.fixtures import (
+        FIXTURE_CLASSES, make_fake_voc, tiny_yolo3_cfg,
+    )
+    from modelcompression_tpu.data.voc import (
+        load_list_dataset, read_data_cfg,
+    )
+    from modelcompression_tpu.evaluation import EvalConfig, evaluate
+
+    spec, params, batches = _v3_setup(seed=6, n_batches=1)
+    data_cfg = make_fake_voc(str(tmp_path), n_images=4, image_size=96,
+                             seed=7)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    q = quantize_from_batches(params, spec, batches)
+    cfg = EvalConfig(batch_size=2, max_detections=10,
+                     forward_fn=lambda p, x, s: forward_quantized(p, x, s))
+    res = evaluate(q, spec, samples, FIXTURE_CLASSES, cfg)
+    assert res.n_images == 4
+    assert 0.0 <= res.map50 <= 1.0
