@@ -105,7 +105,8 @@ def main(argv=None) -> int:
         print(f"error: --freeze {args.freeze} must leave at least one "
               f"trainable conv (network has {n_convs})", file=sys.stderr)
         return 2
-    jitter = args.jitter if args.jitter is not None else spec.region.jitter
+    head0 = spec.layers[spec.head_indices()[0]]  # [region] or first [yolo]
+    jitter = args.jitter if args.jitter is not None else head0.jitter
     if not 0.0 <= jitter < 0.5:
         print(f"error: --jitter must be in [0, 0.5), got {jitter}",
               file=sys.stderr)
@@ -120,10 +121,10 @@ def main(argv=None) -> int:
         augment_jitter=jitter, subdivisions=subdiv,
         max_boxes=args.max_boxes, bn_l1=args.bn_l1,
         freeze_prefix=args.freeze, **overrides)
-    # default: the cfg's [region] random flag (Darknet trains multi-scale
-    # whenever random=1)
+    # default: the cfg's head random flag (Darknet trains multi-scale
+    # whenever random=1; [region] and [yolo] both carry it)
     use_ms = (args.multi_scale if args.multi_scale is not None
-              else spec.region.random)
+              else head0.random)
     multi_scale = (320, 608) if use_ms else None
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,

@@ -67,11 +67,9 @@ def taylor_gate_indices(spec: NetworkSpec,
 def _make_score_step(spec: NetworkSpec, precision: Precision,
                      second_moment: bool = False):
     """One jitted program: forward (train-mode BN, gated channels) +
-    region loss + grad w.r.t. the gates + |.| (or squared) accumulate
-    into totals."""
-    region = spec.region
-
-    from modelcompression_tpu.train.region_loss import region_loss
+    detection loss ([region] or multi-head [yolo]) + grad w.r.t. the
+    gates + |.| (or squared) accumulate into totals."""
+    from modelcompression_tpu.train.yolo_loss import detection_loss
 
     @jax.jit
     def score_step(params, gates, totals, images, targets, seen):
@@ -79,7 +77,7 @@ def _make_score_step(spec: NetworkSpec, precision: Precision,
             x = images.astype(jnp.float32) / 255.0
             raw = forward(params, x, spec, precision=precision,
                           train_stats=True, channel_masks=g)
-            return region_loss(raw, targets, region, seen).loss
+            return detection_loss(raw, targets, spec, seen).loss
 
         grads = jax.grad(loss_fn)(gates)
         # gate == 1, so dL/dg_j is already sum(a_j * dL/da_j); Molchanov

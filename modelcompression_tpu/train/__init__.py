@@ -4,6 +4,7 @@ from modelcompression_tpu.train.distill import (
 from modelcompression_tpu.train.region_loss import (
     RegionLossMetrics, region_loss,
 )
+from modelcompression_tpu.train.yolo_loss import detection_loss, yolo_loss
 from modelcompression_tpu.train.train_step import (
     TrainConfig, TrainState, augment_batch, darknet_lr_schedule,
     make_optimizer, make_train_step, merge_params, split_trainable,
@@ -15,7 +16,8 @@ from modelcompression_tpu.train.loop import (
 
 __all__ = [
     "DistillPlan", "distill_loss", "make_distill_plan",
-    "RegionLossMetrics", "region_loss", "TrainConfig", "TrainState",
+    "RegionLossMetrics", "region_loss", "detection_loss", "yolo_loss",
+    "TrainConfig", "TrainState",
     "augment_batch", "darknet_lr_schedule", "make_optimizer",
     "make_train_step",
     "merge_params", "split_trainable", "BatchLoader", "load_sample",

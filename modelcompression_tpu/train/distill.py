@@ -90,6 +90,11 @@ def make_distill_plan(teacher_params: Params, teacher_spec: NetworkSpec,
     would distill the wrong boxes). Spatial grids are checked at trace
     time by shape.
     """
+    if teacher_spec.is_multi_head or student_spec.is_multi_head:
+        raise ValueError(
+            "raw-map distillation is defined for single-head [region] "
+            "specs (the loss compares one map's softmax/anchor slots); "
+            "[yolo] multi-head distillation is not supported")
     tr, sr = teacher_spec.region, student_spec.region
     if (tr.num, tr.classes) != (sr.num, sr.classes):
         raise ValueError(

@@ -35,11 +35,13 @@ from modelcompression_tpu.core.precision import Precision, FAST
 from modelcompression_tpu.models.cfg import ConvLayer, NetworkSpec
 from modelcompression_tpu.models.darknet import (
     BN_EPS, Params, _activate, _conv, conv_bn_act, conv_key, maxpool, reorg,
+    upsample_nearest,
 )
 from modelcompression_tpu.models.cfg import (
-    MaxPoolLayer, RegionLayer, ReorgLayer, RouteLayer,
+    MaxPoolLayer, RegionLayer, ReorgLayer, RouteLayer, ShortcutLayer,
+    UpsampleLayer, YoloLayer,
 )
-from modelcompression_tpu.train.region_loss import region_loss
+from modelcompression_tpu.train.yolo_loss import detection_loss
 from modelcompression_tpu.data.preprocess import (
     distort_hsv, mosaic4, random_flip, random_jitter,
 )
@@ -146,8 +148,10 @@ class TrainConfig:
         values; ``overrides`` win."""
         n = spec.net
         try:
-            jitter = spec.region.jitter
-        except ValueError:  # spec without a [region] layer
+            # both [region] and [yolo] carry a jitter= knob; multi-head
+            # specs share one value across heads in every public cfg
+            jitter = spec.layers[spec.head_indices()[0]].jitter
+        except ValueError:  # spec without a detection head
             jitter = 0.0
         kw = dict(learning_rate=n.learning_rate, momentum=n.momentum,
                   decay=n.decay, subdivisions=n.subdivisions,
@@ -349,6 +353,7 @@ def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
     in_scale, weight per-channel, post-activation output on its
     out_scale — the boundary placement of ``forward_quantized``."""
     outputs = []
+    heads = []  # raw f32 maps at [yolo] layers (multi-head specs)
     batch_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
     y = precision.cast_in(x)
     for i, l in enumerate(spec.layers):
@@ -385,9 +390,19 @@ def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
             y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
         elif isinstance(l, ReorgLayer):
             y = reorg(y, l.stride)
+        elif isinstance(l, ShortcutLayer):
+            y = _activate(y + outputs[l.from_layer], l.activation)
+        elif isinstance(l, UpsampleLayer):
+            y = upsample_nearest(y, l.stride)
+        elif isinstance(l, YoloLayer):
+            # record this scale's raw map; y passes through unchanged so
+            # later routes can index past the head (models/darknet.py)
+            heads.append(y.astype(jnp.float32))
         elif isinstance(l, RegionLayer):
             pass
         outputs.append(y)
+    if heads:
+        return tuple(heads), batch_stats
     return y.astype(jnp.float32), batch_stats
 
 
@@ -420,7 +435,7 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
     Diagnostic metrics are means over micro-batches (exactly the
     big-batch value for the /batch-normalized losses; ratio metrics like
     avg_iou become means of per-micro ratios)."""
-    region = spec.region
+    spec.head_indices()  # validate early: every spec has [region]/[yolo]
     tx = tx or make_optimizer(config)
     subdivisions = max(int(config.subdivisions), 1)
 
@@ -444,12 +459,12 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
         raw, batch_stats = _forward_train(
             params, images_f32, spec, config.precision, channel_masks,
             remat=config.remat, qat=config.qat, freeze=freeze_keys)
-        metrics = region_loss(raw, targets, region, seen)
+        metrics = detection_loss(raw, targets, spec, seen)
         # aux must be a pytree: return the metrics as a plain dict
         md = metrics.as_dict()
         loss = metrics.loss
         if t_raw is not None:
-            d = distill_loss(raw, t_raw, region, temp=distill.temp,
+            d = distill_loss(raw, t_raw, spec.region, temp=distill.temp,
                              coord_scale=distill.coord_scale,
                              obj_scale=distill.obj_scale,
                              class_scale=distill.class_scale)

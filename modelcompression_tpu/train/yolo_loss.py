@@ -1,0 +1,233 @@
+"""YOLOv3 multi-head [yolo] loss — jittable, fixed shapes.
+
+Public Darknet ``yolo_layer.c`` semantics (the v3 counterpart of
+train/region_loss.py, which documents the shared scatter formulation):
+
+* Every predictor whose best IoU against all GT is below ``ignore_thresh``
+  gets a no-object loss ``(0 - sigmoid(to))^2``; predictors above it that
+  are not assigned to a GT get NO objectness loss (the ignore band).
+* Each GT picks the best shape-only-IoU anchor among ALL ``num`` anchors
+  of the shared pixel-unit list; the GT is assigned ONLY in the head whose
+  ``mask`` contains that anchor (at the cell holding the GT center on that
+  head's grid). Assigned predictors get:
+    - coord loss: scale ``(2 - gw*gh)`` on (sigmoid(tx), sigmoid(ty),
+      tw, th) vs encoded targets — tw/th encode against the anchor in
+      NETWORK-INPUT pixels (``log(gw*net_w / anchor_w)``), v3's anchor
+      convention (models/cfg.YoloLayer);
+    - objectness: ``(1 - sigmoid(to))^2`` (v3 has no rescore option);
+    - class: independent per-class sigmoids — squared error against the
+      one-hot row, ``sum_c (onehot_c - sigmoid(cls_c))^2`` (Darknet's
+      delta_yolo_class; multi-label, NOT a softmax CE).
+* No early-training prior loss and no cfg loss scales: [yolo] has none of
+  [region]'s object/noobject/class/coord_scale knobs.
+
+Loss convention: like region_loss, each squared difference is weighted
+ONCE by its scale (Darknet folds the scale into ``delta`` and applies
+``delta`` directly as the gradient, so ``scale * (t - p)^2`` reproduces
+its update direction up to the constant 2; its printed "loss" of
+``sum(delta^2)`` would double-count the scale).
+
+``truth_thresh < 1`` (Darknet's unused multi-truth experiment: every
+predictor whose best-GT IoU exceeds it is also trained as a positive) is
+NOT implemented — every public yolov3 cfg ships ``truth_thresh = 1``,
+which makes the branch dead; a spec that enables it fails loudly here
+rather than silently training a different objective.
+
+TPU-first shape discipline: identical to region_loss — (B, M, 5) padded
+targets, scatter-built assignment grids, duplicate (cell, anchor) slots
+resolved last-row-wins, one XLA program covering ALL heads (the per-head
+grids are static shapes from the spec).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modelcompression_tpu.models.cfg import NetworkSpec, YoloLayer
+from modelcompression_tpu.train.region_loss import (
+    RegionLossMetrics, _pair_iou, region_loss,
+)
+
+
+def _head_layers(spec: NetworkSpec) -> Tuple[YoloLayer, ...]:
+    heads = tuple(spec.layers[i] for i in spec.head_indices())
+    anchors0 = heads[0].anchors
+    for h in heads:
+        if not isinstance(h, YoloLayer):
+            raise ValueError("yolo_loss needs [yolo] heads (use "
+                             "region_loss for [region] specs)")
+        if h.anchors != anchors0:
+            raise ValueError(
+                "[yolo] heads must share one anchor list (the mask= "
+                "selects each scale's subset from it)")
+        if h.truth_thresh < 1.0:
+            raise ValueError(
+                f"truth_thresh={h.truth_thresh} < 1 (multi-truth "
+                "assignment) is not supported; every public yolov3 cfg "
+                "uses truth_thresh=1")
+    return heads
+
+
+def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
+              spec: NetworkSpec) -> RegionLossMetrics:
+    """Compute the summed multi-head [yolo] loss.
+
+    Args:
+      raws: per-scale raw maps in network order (what ``forward`` returns
+        for a multi-head spec), each (B, Hk, Wk, Ak*(5+C)) float32.
+      targets: (B, M, 5) rows [cls, cx, cy, w, h] normalized; w==0 pads.
+      spec: the network spec (head layers + net input size).
+
+    Returns RegionLossMetrics (the shared train-metrics contract);
+    ``loss`` is the scalar sum over heads / batch.
+    """
+    heads = _head_layers(spec)
+    if len(raws) != len(heads):
+        raise ValueError(f"spec has {len(heads)} [yolo] heads but got "
+                         f"{len(raws)} raw maps")
+    net_h, net_w = spec.net.height, spec.net.width
+    b = raws[0].shape[0]
+    if targets.shape[1] == 0:  # keep reductions on a non-empty axis
+        targets = jnp.zeros((b, 1, 5), targets.dtype)
+    m = targets.shape[1]
+
+    gt_valid = targets[..., 3] > 0  # (B, M)
+    gt_boxes = targets[..., 1:5].astype(jnp.float32)
+    gt_cls = targets[..., 0].astype(jnp.int32)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
+
+    # best anchor per GT over the FULL shared anchor list (pixel units,
+    # shape-only IoU at origin) — decides WHICH head assigns the GT
+    all_anchors = jnp.asarray(
+        [(heads[0].anchors[2 * k], heads[0].anchors[2 * k + 1])
+         for k in range(heads[0].num)], jnp.float32)  # (num, 2)
+    gt_wh = jnp.stack([jnp.zeros_like(gt_boxes[..., 2]),
+                       jnp.zeros_like(gt_boxes[..., 3]),
+                       gt_boxes[..., 2] * net_w,
+                       gt_boxes[..., 3] * net_h], -1)  # (B, M, 4)
+    anc_wh = jnp.concatenate([jnp.zeros_like(all_anchors), all_anchors], -1)
+    shape_iou = _pair_iou(gt_wh[:, :, None, :], anc_wh[None, None, :, :])
+    ga_global = jnp.argmax(shape_iou, axis=-1)  # (B, M) in [0, num)
+
+    zero = jnp.zeros((), jnp.float32)
+    acc = dict(coord=zero, obj=zero, noobj=zero, cls=zero,
+               iou_sum=zero, recall=zero, wins=zero,
+               to_obj=zero, n_obj=zero, to_noobj=zero, n_noobj=zero)
+
+    for layer, raw in zip(heads, raws):
+        _, h, w, _ = raw.shape
+        a, c = layer.n, layer.classes
+        raw = raw.reshape(b, h, w, a, 5 + c).astype(jnp.float32)
+        anchors = jnp.asarray(layer.anchor_pairs, jnp.float32)  # (A, 2) px
+
+        tx = jax.nn.sigmoid(raw[..., 0])
+        ty = jax.nn.sigmoid(raw[..., 1])
+        tw = raw[..., 2]
+        th = raw[..., 3]
+        to = jax.nn.sigmoid(raw[..., 4])
+        cls_sig = jax.nn.sigmoid(raw[..., 5:])
+
+        cy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        cx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        px = (tx + cx[None, :, :, None]) / w
+        py = (ty + cy[None, :, :, None]) / h
+        pw = anchors[None, None, None, :, 0] * jnp.exp(tw) / net_w
+        ph = anchors[None, None, None, :, 1] * jnp.exp(th) / net_h
+        pred_boxes = jnp.stack([px, py, pw, ph], -1)  # (B,H,W,A,4)
+
+        # ignore band: predictors overlapping ANY GT above ignore_thresh
+        # get no objectness penalty even when unassigned
+        ious_all = _pair_iou(pred_boxes[:, :, :, :, None, :],
+                             gt_boxes[:, None, None, None, :, :])
+        ious_all = jnp.where(gt_valid[:, None, None, None, :], ious_all, 0.0)
+        best_iou = jnp.max(ious_all, axis=-1)  # (B,H,W,A)
+        noobj_mask = best_iou < layer.ignore_thresh
+
+        # this head owns a GT iff its best GLOBAL anchor is in mask=
+        slot_of = np.full((layer.num,), -1, np.int32)
+        for s, g in enumerate(layer.mask):
+            slot_of[g] = s
+        slot = jnp.asarray(slot_of)[ga_global]  # (B, M), -1 = other head
+        wins0 = gt_valid & (slot >= 0)
+        ga = jnp.clip(slot, 0, a - 1)
+
+        gi = jnp.clip((gt_boxes[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        gj = jnp.clip((gt_boxes[..., 1] * h).astype(jnp.int32), 0, h - 1)
+
+        # duplicate (cell, anchor) slots: last valid row wins (the
+        # reference-class sequential overwrite; see region_loss)
+        key = (gj * w + gi) * a + ga
+        later = jnp.arange(m)[None, :, None] < jnp.arange(m)[None, None, :]
+        dup_later = jnp.any(
+            later & wins0[:, None, :] & (key[:, :, None] == key[:, None, :]),
+            axis=-1)
+        wins = wins0 & ~dup_later
+        gj_s = jnp.where(wins, gj, h)  # out of bounds -> mode="drop"
+
+        def scat(values):
+            grid = jnp.zeros((b, h, w, a), jnp.float32)
+            return grid.at[batch_idx, gj_s, gi, ga].set(values, mode="drop")
+
+        assigned = jnp.zeros((b, h, w, a), jnp.bool_).at[
+            batch_idx, gj_s, gi, ga].set(True, mode="drop")
+
+        eps = 1e-9
+        t_x = scat(gt_boxes[..., 0] * w - gi.astype(jnp.float32))
+        t_y = scat(gt_boxes[..., 1] * h - gj.astype(jnp.float32))
+        t_w = scat(jnp.log(jnp.maximum(gt_boxes[..., 2] * net_w, eps)
+                           / anchors[ga][..., 0]))
+        t_h = scat(jnp.log(jnp.maximum(gt_boxes[..., 3] * net_h, eps)
+                           / anchors[ga][..., 1]))
+        coord_w = scat(2.0 - gt_boxes[..., 2] * gt_boxes[..., 3])
+        t_cls = scat(gt_cls.astype(jnp.float32)).astype(jnp.int32)
+
+        amask = assigned.astype(jnp.float32)
+        acc["coord"] += jnp.sum(coord_w * amask * (
+            (tx - t_x) ** 2 + (ty - t_y) ** 2
+            + (tw - t_w) ** 2 + (th - t_h) ** 2))
+        acc["obj"] += jnp.sum(amask * (1.0 - to) ** 2)
+        acc["noobj"] += jnp.sum(
+            jnp.where(noobj_mask & ~assigned, to ** 2, 0.0))
+        onehot = jax.nn.one_hot(t_cls, c, dtype=jnp.float32)
+        acc["cls"] += jnp.sum(amask[..., None] * (onehot - cls_sig) ** 2)
+
+        # metrics: IoU of each winning GT's assigned predictor (a TARGET
+        # for reporting only — see region_loss's stop_gradient rationale)
+        pred_at_gt = pred_boxes[batch_idx, gj, gi, ga]
+        iou_at_gt = jax.lax.stop_gradient(_pair_iou(pred_at_gt, gt_boxes))
+        vw = wins.astype(jnp.float32)
+        acc["iou_sum"] += jnp.sum(iou_at_gt * vw)
+        acc["recall"] += jnp.sum((iou_at_gt > 0.5) * vw)
+        acc["wins"] += jnp.sum(vw)
+        acc["to_obj"] += jnp.sum(to * amask)
+        acc["n_obj"] += jnp.sum(amask)
+        acc["to_noobj"] += jnp.sum(to * (1 - amask))
+        acc["n_noobj"] += jnp.sum(1 - amask)
+
+    n_assigned = jnp.maximum(acc["wins"], 1.0)
+    total = (acc["coord"] + acc["obj"] + acc["noobj"] + acc["cls"]) / b
+    return RegionLossMetrics(
+        loss=total,
+        loss_coord=acc["coord"] / b,
+        loss_obj=acc["obj"] / b,
+        loss_noobj=acc["noobj"] / b,
+        loss_cls=acc["cls"] / b,
+        avg_iou=acc["iou_sum"] / n_assigned,
+        recall50=acc["recall"] / n_assigned,
+        obj_conf=acc["to_obj"] / jnp.maximum(acc["n_obj"], 1.0),
+        noobj_conf=acc["to_noobj"] / jnp.maximum(acc["n_noobj"], 1.0),
+        n_gt=jnp.sum(gt_valid.astype(jnp.float32)))
+
+
+def detection_loss(raw, targets: jnp.ndarray, spec: NetworkSpec,
+                   seen: jnp.ndarray) -> RegionLossMetrics:
+    """Family dispatch: [region] specs -> region_loss on the single raw
+    map; [yolo] specs -> yolo_loss over the tuple of per-scale maps.
+    ``seen`` gates [region]'s early prior loss; [yolo] has none."""
+    if spec.is_multi_head:
+        return yolo_loss(raw, targets, spec)
+    return region_loss(raw, targets, spec.region, seen)

@@ -769,3 +769,64 @@ def test_eval_cli_packed_qmodel_roundtrip(tmp_path):
     rc = eval_cli.main(["--cfg", cfg_path, "--data", data_cfg,
                         "--batch", "2", "--qmodel", qm])
     assert rc == 0
+
+
+def _write_v3_model(tmp_path, num_classes=3, net=64):
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+    spec_txt = tiny_yolo3_cfg(num_classes=num_classes, width=net, height=net)
+    cfg_path = str(tmp_path / "v3.cfg")
+    open(cfg_path, "w").write(spec_txt)
+    spec = parse_cfg(spec_txt)
+    params = init_params(spec, jax.random.key(0))
+    wpath = str(tmp_path / "v3.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    return cfg_path, wpath, spec
+
+
+def test_train_cli_smoke_v3(tmp_path):
+    """train CLI on a [yolo] multi-head spec: 2 steps through the v3
+    forward + yolo loss, final checkpoint written."""
+    from modelcompression_tpu.cli import train as train_cli
+    cfg_path, wpath, spec = _write_v3_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=21)
+    ckdir = str(tmp_path / "ck")
+    rc = train_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                         "--data", data_cfg, "--steps", "2", "--batch", "2",
+                         "--max-boxes", "8", "--checkpoint-dir", ckdir])
+    assert rc == 0
+    from modelcompression_tpu.utils.checkpoint import latest_checkpoint
+    assert latest_checkpoint(ckdir) is not None
+
+
+def test_finetune_iterate_v3(tmp_path):
+    """One iterative prune->finetune->eval round on the v3 fixture: the
+    structured criterion must slim only the graph-prunable convs (head
+    producers and the shortcut-tied pair keep full width) and the slimmed
+    multi-head model must finetune + eval end to end."""
+    from modelcompression_tpu.cli import finetune
+    from modelcompression_tpu.models import load_weights
+    cfg_path, wpath, spec = _write_v3_model(tmp_path)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4, image_size=96,
+                             seed=22)
+    out = str(tmp_path / "slim.weights")
+    out_cfg = str(tmp_path / "slim.cfg")
+    rc = finetune.main([
+        "--cfg", cfg_path, "--weights", wpath,
+        "--data", data_cfg, "--steps", "2", "--batch", "2",
+        "--max-boxes", "8", "--iterate", "0.25",
+        "--iterate-mode", "l1_filter",
+        "--out", out, "--out-cfg", out_cfg,
+    ])
+    assert rc == 0
+    slim = load_cfg(out_cfg)
+    assert slim.is_multi_head
+    # protected: head producers (decode contract) + shortcut-tied pair
+    det = 2 * (5 + 3)
+    assert slim.layers[9].filters == det
+    assert slim.layers[16].filters == det
+    assert slim.layers[2].filters == 32 and slim.layers[5].filters == 32
+    # prunable convs slimmed by 25%
+    assert slim.layers[0].filters == 12
+    slim_params, _ = load_weights(out, slim)
+    assert len(slim_params) == len(slim.conv_indices())
