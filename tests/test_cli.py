@@ -830,3 +830,41 @@ def test_finetune_iterate_v3(tmp_path):
     assert slim.layers[0].filters == 12
     slim_params, _ = load_weights(out, slim)
     assert len(slim_params) == len(slim.conv_indices())
+
+
+def test_detect_cli_smoke_v3(tmp_path):
+    """detect on a multi-head [yolo] spec: the fused program decodes both
+    scales (decode_heads) and draws source-pixel boxes; the int8 qmodel
+    artifact serves through the same path."""
+    from modelcompression_tpu.cli import detect
+
+    root = str(tmp_path / "data")
+    make_fake_voc(root, n_images=1, image_size=160, seed=23)
+    img_path = root + "/images/img0000.png"
+    cfg_path, wpath, spec = _write_v3_model(tmp_path)
+    names = str(tmp_path / "f.names")
+    open(names, "w").write("redbox\ngreenbox\nbluebox\n")
+
+    out = str(tmp_path / "pred.png")
+    rc = detect.main(["--cfg", cfg_path, "--weights", wpath,
+                      "--image", img_path, "--out", out,
+                      "--conf", "0.001", "--names", names])
+    assert rc == 0
+    assert os.path.exists(out)
+
+    from modelcompression_tpu.compress import (
+        quantize_from_batches, save_qmodel,
+    )
+    from modelcompression_tpu.models import fold_batchnorm
+    rng = np.random.default_rng(24)
+    q = quantize_from_batches(
+        fold_batchnorm(init_params(spec, jax.random.key(0)), spec), spec,
+        [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)])
+    qpath = str(tmp_path / "v3.qz")
+    save_qmodel(qpath, q, spec)
+    out_q = str(tmp_path / "pred_q.png")
+    rc = detect.main(["--cfg", cfg_path, "--qmodel", qpath,
+                      "--image", img_path, "--out", out_q,
+                      "--conf", "0.001", "--names", names])
+    assert rc == 0
+    assert os.path.exists(out_q)

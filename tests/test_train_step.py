@@ -252,3 +252,43 @@ def test_tp_sharded_step_matches_single_device(dp, tp):
                 np.asarray(v), np.asarray(state2["params"][k][n]),
                 rtol=2e-4, atol=1e-5,
                 err_msg=f"{k}/{n} diverged between TP and single-device")
+
+
+def test_dp_sharded_v3_step_matches_single_device():
+    """The multi-head [yolo] train step (shortcut/upsample forward + yolo
+    loss) under DP batch sharding must match the single-device step —
+    §2.3 coverage for the second detector family."""
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3))
+    params = init_params(spec, jax.random.key(20))
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, precision=BITMATCH)
+    tx = make_optimizer(config)
+    images, targets = fixed_batch(b=8, w=64, seed=20)
+
+    def fresh_params():
+        return jax.tree.map(lambda v: jnp.asarray(np.asarray(v)), params)
+
+    state1 = TrainState.create(fresh_params(), tx, jax.random.key(21))
+    mesh = Mesh(np.array(cpu_devices()), ("data",))
+    state2 = jax.device_put(
+        TrainState.create(fresh_params(), tx, jax.random.key(21)),
+        NamedSharding(mesh, P()))
+
+    state1, m1 = make_train_step(spec, config, tx)(state1, images, targets)
+    images_s = jax.device_put(
+        images, NamedSharding(mesh, P("data", None, None, None)))
+    targets_s = jax.device_put(
+        targets, NamedSharding(mesh, P("data", None, None)))
+    state2, m2 = make_train_step(spec, config, tx)(
+        state2, images_s, targets_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for k in state1["params"]:
+        for n, v in state1["params"][k].items():
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(state2["params"][k][n]),
+                rtol=2e-4, atol=1e-5,
+                err_msg=f"{k}/{n} diverged between DP and single-device")
