@@ -36,3 +36,23 @@ def test_cli_prints_cfg_line(tmp_path, capsys):
     vals = [float(v) for v in line[len("anchors = "):].split(",") if v.strip()]
     assert len(vals) == 6
     assert all(0 < v < 13 for v in vals)  # cell units at net 416
+
+
+def test_cli_pixel_mode_for_yolo_heads(tmp_path, capsys):
+    """--pixels emits network-input-pixel anchors (the [yolo] convention):
+    exactly 32x the cell-unit values at the default stride-32 net."""
+    from gen_anchors import main
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=8, image_size=96,
+                             seed=0)
+    def anchors_from(argv):
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines()
+                if l.startswith("anchors = ")][0]
+        return np.asarray([float(v) for v in
+                           line[len("anchors = "):].split(",") if v.strip()])
+
+    cells = anchors_from(["--data", data_cfg, "--num", "3"])
+    pix = anchors_from(["--data", data_cfg, "--num", "3", "--pixels"])
+    np.testing.assert_allclose(pix, cells * 32.0, rtol=1e-4)
+    assert (pix > 1).all() and (pix < 416).all()

@@ -1,0 +1,135 @@
+"""On-chip measurement: the YOLOv3 family through the SAME fused serving
+pipeline as bench.py (letterbox -> forward -> decode_heads over all
+scales -> NMS), demonstrating the second detector family rides the
+framework's perf machinery unchanged.
+
+Structured pruning on v3 is bounded by graph protection
+(compress/graph.py): yolov3-tiny pruning touches 11 of 13 convs, but the
+full Darknet-53 graph protects the 28 shortcut-tied convs + 3 head
+producers, so a uniform 75% filter prune slims only 44 of 75 convs —
+the measured pruned/unpruned ratio quantifies what the Li et al. ResNet
+recipe leaves on the table for residual backbones (documented in
+docs/PERF.md, "YOLOv3 family" section).
+
+Usage: python tools/bench_v3.py [--configs name,name,...] [--skip-full]
+Each config is one 20-50 s remote compile; the default list is ~6.
+"""
+import argparse
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from modelcompression_tpu.compress import (
+    forward_quantized, int8_layers_auto, quantize_from_batches, repack,
+    uniform_filter_fraction_keep_sets,
+)
+from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
+from modelcompression_tpu.models import (
+    fold_batchnorm, init_params, num_conv_flops, yolov3_tiny_voc, yolov3_voc,
+)
+from modelcompression_tpu.utils.timing import measure_rtt, time_fn
+
+SRC = (384, 512)
+INNER = 10  # pipeline steps per dispatch (dispatch-proof, as bench.py)
+
+
+def build_configs(skip_full: bool):
+    tiny = yolov3_tiny_voc()
+    p_tiny = init_params(tiny, jax.random.key(0))
+    keep = uniform_filter_fraction_keep_sets(tiny, p_tiny, 0.75)
+    tiny_s, p_tiny_s = repack(tiny, p_tiny, keep)
+
+    # (name, spec, params, batch, EvalConfig overrides, int8 selector)
+    configs = {
+        "tiny3_unpruned_b64": (tiny, p_tiny, 64, {}, "off"),
+        "tiny3_pruned75_b64": (tiny_s, p_tiny_s, 64, {}, "off"),
+        "tiny3_pruned75_b64_pf128": (tiny_s, p_tiny_s, 64,
+                                     dict(nms_prefilter=128), "off"),
+        "tiny3_pruned75_b64_pf128_int8auto": (
+            tiny_s, p_tiny_s, 64, dict(nms_prefilter=128), "auto"),
+    }
+    if not skip_full:
+        full = yolov3_voc()
+        p_full = init_params(full, jax.random.key(1))
+        keep_f = uniform_filter_fraction_keep_sets(full, p_full, 0.75)
+        full_s, p_full_s = repack(full, p_full, keep_f)
+        configs.update({
+            "v3_unpruned_b32": (full, p_full, 32, {}, "off"),
+            "v3_pruned75_b32": (full_s, p_full_s, 32, {}, "off"),
+        })
+    return configs
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--configs", default=None,
+                    help="comma list; default: the standard sweep")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the full yolov3 rows (62M params: ~60 s of "
+                         "on-chip init + two long compiles)")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    rtt = measure_rtt()
+    print(f"rtt {rtt * 1e3:.0f} ms | src {SRC} | inner {INNER}",
+          file=sys.stderr)
+    CONFIGS = build_configs(args.skip_full)
+    names = (args.configs.split(",") if args.configs else list(CONFIGS))
+
+    base = EvalConfig(batch_size=64, conf_thresh=0.01, max_detections=32)
+    dev = jax.devices()[0]
+    results = {}
+    for name in names:
+        sp, pr, b, over, int8 = CONFIGS[name.strip()]
+        cfg = dataclasses.replace(base, batch_size=b, **over)
+        folded = fold_batchnorm(pr, sp)
+        if int8 != "off":
+            net = sp.net.height
+            calib = [rng.uniform(0, 1, (8, net, net, 3)).astype(np.float32)]
+            layers = (int8_layers_auto(sp, min_channels=64)
+                      if int8 == "auto" else int8)
+            folded = quantize_from_batches(folded, sp, calib,
+                                           int8_layers=layers)
+            cfg = dataclasses.replace(
+                cfg, forward_fn=lambda q, x, s: forward_quantized(q, x, s))
+        images = jax.device_put(jnp.asarray(
+            rng.integers(0, 255, (b, *SRC, 3), np.uint8)), dev)
+        img_w = jnp.full((b,), float(SRC[1]))
+        img_h = jnp.full((b,), float(SRC[0]))
+        folded = jax.device_put(folded, dev)
+        step = make_eval_step(sp, cfg, src_hw=SRC)
+
+        @jax.jit
+        def many(p, u8, w_, h_, salt, step=step):
+            def body(i, acc):
+                u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
+                boxes, scores, valid, *_ = step(p, u8_i, w_, h_)
+                return acc + jnp.sum(scores)
+            # salt carry init: distinct args per timed call, so the tunnel
+            # cannot serve repeat executes memoized (utils/timing.py)
+            return jax.lax.fori_loop(0, INNER, body, salt)
+
+        t0 = time.time()
+        jax.block_until_ready(many(folded, images, img_w, img_h,
+                                   jnp.float32(0)))
+        compile_s = time.time() - t0
+        sec = time_fn(lambda salt: many(folded, images, img_w, img_h, salt),
+                      iters=10, windows=3, rtt=rtt) / INNER
+        gf = num_conv_flops(sp) / 1e9
+        results[name] = b / sec
+        print(f"{name:34s}: {b / sec:8.0f} img/s ({sec * 1e3:6.2f} ms/batch,"
+              f" {gf:5.2f} GF/img, {gf * b / sec / 1e3:5.1f} TFLOPS;"
+              f" compile {compile_s:.0f}s)")
+
+    if results:
+        best = max(results, key=results.get)
+        print(f"best: {best} @ {results[best]:.0f} img/s")
+
+
+if __name__ == "__main__":
+    main()

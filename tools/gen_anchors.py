@@ -11,6 +11,12 @@ Usage:
   python tools/gen_anchors.py --data voc.data [--num 5] [--net-size 416]
 Prints the ready-to-paste ``anchors = ...`` cfg line and the mean
 best-anchor IoU (the clustering quality number to compare prior sets).
+
+``--pixels`` emits NETWORK-INPUT-PIXEL anchors — the ``[yolo]``
+convention (YOLOv3 family, models/cfg.YoloLayer): same clustering, the
+units just stay at net-size scale instead of dividing by the stride.
+Use ``--num 9`` for the canonical 3-scale x 3-anchor v3 layout (assign
+the 3 smallest to the finest head's mask, etc.).
 """
 
 import argparse
@@ -22,9 +28,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def box_shapes(samples, net_size: int) -> np.ndarray:
-    """(N, 2) box (w, h) in cell units at net_size (stride 32)."""
-    cells = net_size / 32.0
+def box_shapes(samples, net_size: int, pixels: bool = False) -> np.ndarray:
+    """(N, 2) box (w, h) in cell units at net_size (stride 32), or in
+    network-input pixels when ``pixels`` (the [yolo] convention)."""
+    cells = float(net_size) if pixels else net_size / 32.0
     rows = []
     for s in samples:
         if len(s.labels):
@@ -71,16 +78,20 @@ def main(argv=None) -> int:
     p.add_argument("--image-set", default="trainval")
     p.add_argument("--num", type=int, default=5)
     p.add_argument("--net-size", type=int, default=416)
+    p.add_argument("--pixels", action="store_true",
+                   help="emit network-input-pixel anchors (the [yolo]/"
+                        "YOLOv3 convention) instead of [region] cell units")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from modelcompression_tpu.cli.common import load_train_dataset
     samples, _ = load_train_dataset(args)
-    wh = box_shapes(samples, args.net_size)
+    wh = box_shapes(samples, args.net_size, pixels=args.pixels)
     anchors = kmeans_iou(wh, args.num, seed=args.seed)
     mean_iou = shape_iou(wh, anchors).max(1).mean()
-    print(f"# {len(wh)} boxes, {args.num} anchors, net {args.net_size}: "
-          f"mean best-anchor IoU {mean_iou:.4f}")
+    unit = "px" if args.pixels else "cells"
+    print(f"# {len(wh)} boxes, {args.num} anchors ({unit}), net "
+          f"{args.net_size}: mean best-anchor IoU {mean_iou:.4f}")
     print("anchors = " + ",  ".join(
         f"{w:.5g},{h:.5g}" for w, h in anchors))
     return 0
