@@ -55,6 +55,37 @@ def test_export_savedmodel_roundtrip(tmp_path):
                         "--out", out, "--batch", "0"]) == 2
 
 
+def test_export_savedmodel_yolov3(tmp_path):
+    """Multi-head [yolo] specs export through the same path: decode_heads
+    fuses the per-scale maps inside the one serving program, so the TF
+    graph signature is identical to the v2 family's."""
+    from modelcompression_tpu.cli import export
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+    from modelcompression_tpu.models import dump_cfg
+
+    txt = tiny_yolo3_cfg(num_classes=3, width=64, height=64)
+    spec = parse_cfg(txt)
+    assert spec.is_multi_head
+    cfg_path = str(tmp_path / "v3.cfg")
+    open(cfg_path, "w").write(dump_cfg(spec))
+    params = init_params(spec, jax.random.key(3))
+    w_path = str(tmp_path / "v3.weights")
+    save_weights(w_path, spec, jax.tree.map(np.asarray, params), seen=0)
+
+    out = str(tmp_path / "sm_v3")
+    rc = export.main(["--cfg", cfg_path, "--weights", w_path,
+                      "--out", out, "--batch", "1", "--conf", "0.001"])
+    assert rc == 0  # includes the CLI's own reload-and-compare
+    m = tf.saved_model.load(out)
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+    boxes, scores, valid, n_cand, n_any = m.serve(
+        imgs, np.full((1,), 96.0, np.float32),
+        np.full((1,), 72.0, np.float32))
+    assert boxes.shape[:2] == (1, 3) and boxes.shape[-1] == 4
+    assert scores.shape == valid.shape == boxes.shape[:3]
+
+
 def test_export_qmodel(tmp_path):
     """int8 deployment artifacts export too (quantized grids baked in)."""
     from modelcompression_tpu.cli import export

@@ -287,6 +287,47 @@ def test_metrics_endpoint_prometheus_format(server):
     assert text.count("# HELP") == text.count("# TYPE") == len(metrics)
 
 
+def test_serve_yolov3_family(tmp_path):
+    """The daemon serves the YOLOv3 family unchanged: the fused step is
+    family-generic (make_eval_step -> decode_heads), so a multi-head
+    [yolo] spec drives the same /detect contract."""
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3, width=64, height=64))
+    assert spec.is_multi_head
+    params = init_params(spec, jax.random.key(2))
+    cfg_path = str(tmp_path / "v3.cfg")
+    open(cfg_path, "w").write(dump_cfg(spec))
+    wpath = str(tmp_path / "v3.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+
+    args = serve.build_parser().parse_args(
+        ["--cfg", cfg_path, "--weights", wpath, "--port", "0",
+         "--batch", "1", "--max-wait-ms", "10", "--conf", "0.05"])
+    httpd, state = serve.build_server(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["classes"] == 3
+
+        body, _ = _img_bytes(31, h=72, w=96)
+        status, out = _post(port, body)
+        assert status == 200
+        assert out["width"] == 96 and out["height"] == 72
+        for d in out["detections"]:
+            x1, y1, x2, y2 = d["box"]
+            assert 0 <= x1 <= 96 and 0 <= y1 <= 72
+            assert 0 <= d["class_id"] < 3
+    finally:
+        state.stop.set()
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_submit_backpressure_bounded_queue():
     """The dispatcher queue is bounded: once full, submit() returns None
     immediately (the handler sends 503) instead of accumulating
