@@ -42,6 +42,15 @@ def yolov3_voc() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "yolov3-voc.cfg"))
 
 
+def yolov3_spp_coco() -> NetworkSpec:
+    """YOLOv3-SPP (public darknet yolov3-spp.cfg): YOLOv3 with a spatial
+    pyramid pooling block — three stride-1 maxpools (5/9/13) over the
+    13x13x512 head map, 4-way route concat (2048ch), 1x1 bottleneck —
+    inserted after the third head conv. Exercises repeated-source route
+    provenance in compress/graph.py and big stride-1 pools."""
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov3-spp.cfg"))
+
+
 def yolov3_tiny_coco() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "yolov3-tiny.cfg"))
 
