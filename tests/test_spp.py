@@ -175,6 +175,51 @@ def test_spp_repack_repeated_source_propagation():
                                   keep_sets[bottleneck])
 
 
+def test_spp_int8_ptq_close_to_float():
+    """int8 PTQ through the SPP block: the 4-way route's scale groups
+    must merge the pool outputs (all sharing the source conv's activation
+    scale), so the quantized forward stays close to float."""
+    from modelcompression_tpu.compress import (
+        forward_quantized, quantize_from_batches,
+    )
+    from modelcompression_tpu.models import fold_batchnorm
+
+    spec = parse_cfg(spp_fixture_cfg())
+    params = init_params(spec, jax.random.key(4))
+    folded = fold_batchnorm(params, spec)
+    rng = np.random.default_rng(5)
+    calib = [rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)]
+    q = quantize_from_batches(folded, spec, calib)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    from modelcompression_tpu.models import forward_folded
+    y_f = forward_folded(folded, x, spec, BITMATCH)
+    y_q = forward_quantized(q, x, spec)
+    for a, b in zip(y_q, y_f):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.15
+
+
+def test_spp_weights_roundtrip_exact():
+    """.weights codec walks the SPP graph's conv order byte-exactly."""
+    import io
+
+    from modelcompression_tpu.models.weights_io import (
+        load_weights, roundtrip_bytes,
+    )
+
+    spec = parse_cfg(spp_fixture_cfg())
+    params = init_params(spec, jax.random.key(5))
+    blob = roundtrip_bytes(spec, params, seen=7)
+    loaded, seen = load_weights(io.BytesIO(blob), spec)
+    assert seen == 7
+    for k, p in params.items():
+        for name, v in p.items():
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(loaded[k][name]))
+
+
 def test_spp_slimmed_equals_masked():
     spec = parse_cfg(spp_fixture_cfg())
     params = init_params(spec, jax.random.key(2))
