@@ -113,17 +113,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distill", default=None, metavar="WEIGHTS",
                    help="knowledge-distillation fine-tune: train against "
                         "this TEACHER model's outputs in addition to the "
-                        "ground truth (train/distill.py) — typically the "
-                        "original unpruned .weights; with --iterate every "
-                        "round's slimmed student distills from it")
+                        "ground truth (train/distill.py; [region] and "
+                        "multi-head [yolo] families both supported) — "
+                        "typically the original unpruned .weights; with "
+                        "--iterate every round's slimmed student distills "
+                        "from it")
     p.add_argument("--distill-cfg", default=None,
                    help="teacher architecture cfg (default: --cfg; must "
                         "share the student's anchors/classes head)")
     p.add_argument("--distill-weight", type=float, default=1.0,
                    help="blend of the distillation loss into the total "
-                        "(total = region + W * distill)")
+                        "(total = detection + W * distill)")
     p.add_argument("--distill-temp", type=float, default=1.0,
-                   help="softmax temperature for the class soft targets")
+                   help="softmax temperature for the class soft targets "
+                        "([region] family; [yolo] classes are multi-label "
+                        "sigmoids, distilled by MSE)")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware fine-tune: train with the "
                         "deployed int8 grids simulated in the forward "

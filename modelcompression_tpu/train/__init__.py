@@ -1,5 +1,6 @@
 from modelcompression_tpu.train.distill import (
-    DistillPlan, distill_loss, make_distill_plan,
+    DistillPlan, detection_distill_loss, distill_loss,
+    make_distill_plan,
 )
 from modelcompression_tpu.train.region_loss import (
     RegionLossMetrics, region_loss,
@@ -15,7 +16,8 @@ from modelcompression_tpu.train.loop import (
 )
 
 __all__ = [
-    "DistillPlan", "distill_loss", "make_distill_plan",
+    "DistillPlan", "detection_distill_loss", "distill_loss",
+    "make_distill_plan",
     "RegionLossMetrics", "region_loss", "detection_loss", "yolo_loss",
     "TrainConfig", "TrainState",
     "augment_batch", "darknet_lr_schedule", "make_optimizer",

@@ -17,8 +17,12 @@ never traverses it). Teacher params are threaded as runtime arguments
 (never closure constants) so the 200 MB YOLOv2 teacher is not baked into
 the executable.
 
-Loss, on the raw (B, H, W, A*(5+C)) region map, all terms summed / B to
-match ``region_loss``'s normalization:
+Loss, on the raw (B, H, W, A*(5+C)) detection map — for multi-head
+[yolo] specs (YOLOv3) the SAME map loss is summed over the per-scale
+raw maps, matched scale-for-scale (``detection_distill_loss``; plan
+validation requires both networks to share head count and per-scale
+anchor pairs) — all terms summed / B to match ``region_loss``'s
+normalization:
 
 * objectness: MSE between teacher and student sigmoids, all cells — the
   teacher's "where is anything" map, including its near-zero background.
@@ -90,21 +94,40 @@ def make_distill_plan(teacher_params: Params, teacher_spec: NetworkSpec,
     would distill the wrong boxes). Spatial grids are checked at trace
     time by shape.
     """
-    if teacher_spec.is_multi_head or student_spec.is_multi_head:
+    if teacher_spec.is_multi_head != student_spec.is_multi_head:
         raise ValueError(
-            "raw-map distillation is defined for single-head [region] "
-            "specs (the loss compares one map's softmax/anchor slots); "
-            "[yolo] multi-head distillation is not supported")
-    tr, sr = teacher_spec.region, student_spec.region
-    if (tr.num, tr.classes) != (sr.num, sr.classes):
-        raise ValueError(
-            f"teacher head ({tr.num} anchors, {tr.classes} classes) does "
-            f"not match student head ({sr.num}, {sr.classes})")
-    if tuple(tr.anchors) != tuple(sr.anchors):
-        raise ValueError(
-            "teacher and student anchor priors differ — raw-map "
-            "distillation compares tw/th per anchor slot, which is only "
-            "meaningful for identical priors")
+            "teacher and student must be the same head family — raw-map "
+            "distillation compares maps scale-for-scale ([region] vs "
+            "[yolo] cannot be slot-matched)")
+    if teacher_spec.is_multi_head:
+        th = [teacher_spec.layers[i] for i in teacher_spec.head_indices()]
+        sh = [student_spec.layers[i] for i in student_spec.head_indices()]
+        if len(th) != len(sh):
+            raise ValueError(
+                f"teacher has {len(th)} [yolo] heads, student {len(sh)} — "
+                "multi-head distillation matches scales one-for-one")
+        for k, (t, s) in enumerate(zip(th, sh)):
+            if (t.n, t.classes) != (s.n, s.classes):
+                raise ValueError(
+                    f"[yolo] head {k}: teacher ({t.n} anchors, "
+                    f"{t.classes} classes) does not match student "
+                    f"({s.n}, {s.classes})")
+            if t.anchor_pairs != s.anchor_pairs:
+                raise ValueError(
+                    f"[yolo] head {k}: teacher and student anchor priors "
+                    "differ — tw/th are offsets relative to this scale's "
+                    "priors, so slot-matching needs identical pairs")
+    else:
+        tr, sr = teacher_spec.region, student_spec.region
+        if (tr.num, tr.classes) != (sr.num, sr.classes):
+            raise ValueError(
+                f"teacher head ({tr.num} anchors, {tr.classes} classes) "
+                f"does not match student head ({sr.num}, {sr.classes})")
+        if tuple(tr.anchors) != tuple(sr.anchors):
+            raise ValueError(
+                "teacher and student anchor priors differ — raw-map "
+                "distillation compares tw/th per anchor slot, which is "
+                "only meaningful for identical priors")
     if temp <= 0:
         raise ValueError(f"temperature must be > 0, got {temp}")
     if not folded:
@@ -129,7 +152,7 @@ def distill_loss(raw_s: jnp.ndarray, raw_t: jnp.ndarray,
                  region: RegionLayer, *, temp: float = 1.0,
                  coord_scale: float = 1.0, obj_scale: float = 1.0,
                  class_scale: float = 1.0) -> jnp.ndarray:
-    """Objectness-gated distillation loss on raw region maps.
+    """Objectness-gated distillation loss on raw [region] maps.
 
     Args:
       raw_s: student (B, H, W, A*(5+C)) raw output.
@@ -138,8 +161,43 @@ def distill_loss(raw_s: jnp.ndarray, raw_t: jnp.ndarray,
     Returns a scalar, summed over cells / batch (``region_loss``'s
     normalization), exactly 0 when student == teacher.
     """
+    return _distill_loss_map(raw_s, raw_t, region.num, region.classes,
+                             bool(region.softmax), temp=temp,
+                             coord_scale=coord_scale, obj_scale=obj_scale,
+                             class_scale=class_scale)
+
+
+def detection_distill_loss(raw_s, raw_t, spec: NetworkSpec, *,
+                           temp: float = 1.0, coord_scale: float = 1.0,
+                           obj_scale: float = 1.0,
+                           class_scale: float = 1.0) -> jnp.ndarray:
+    """Family dispatcher (mirrors ``train.detection_loss``): single-head
+    [region] maps use ``distill_loss``; multi-head [yolo] specs sum the
+    same objectness-gated map loss over the per-scale raw maps (class
+    terms use the sigmoid-MSE branch — [yolo] classes are independent
+    sigmoids, so there is no temperature softening to apply)."""
+    if not spec.is_multi_head:
+        return distill_loss(raw_s, raw_t, spec.region, temp=temp,
+                            coord_scale=coord_scale, obj_scale=obj_scale,
+                            class_scale=class_scale)
+    heads = [spec.layers[i] for i in spec.head_indices()]
+    assert len(raw_s) == len(raw_t) == len(heads)
+    total = jnp.float32(0.0)
+    for rs, rt, hl in zip(raw_s, raw_t, heads):
+        total = total + _distill_loss_map(
+            rs, rt, hl.n, hl.classes, False, temp=temp,
+            coord_scale=coord_scale, obj_scale=obj_scale,
+            class_scale=class_scale)
+    return total
+
+
+def _distill_loss_map(raw_s: jnp.ndarray, raw_t: jnp.ndarray,
+                      a: int, c: int, softmax: bool, *, temp: float = 1.0,
+                      coord_scale: float = 1.0, obj_scale: float = 1.0,
+                      class_scale: float = 1.0) -> jnp.ndarray:
+    """One raw map's loss: ``a`` anchors, ``c`` classes, softmax or
+    multi-label-sigmoid class slots."""
     b, h, w, _ = raw_s.shape
-    a, c = region.num, region.classes
     rs = raw_s.reshape(b, h, w, a, 5 + c).astype(jnp.float32)
     rt = jax.lax.stop_gradient(
         raw_t.reshape(b, h, w, a, 5 + c).astype(jnp.float32))
@@ -153,7 +211,7 @@ def distill_loss(raw_s: jnp.ndarray, raw_t: jnp.ndarray,
                             + jnp.sum((wh_s - wh_t) ** 2, axis=-1)))
     obj = jnp.sum((obj_s - obj_t) ** 2)
 
-    if region.softmax:
+    if softmax:
         # KL(teacher || student) at temperature T, scaled by T^2 so the
         # soft-target gradient magnitude stays T-independent (Hinton)
         logp_s = jax.nn.log_softmax(rs[..., 5:] / temp, axis=-1)

@@ -50,7 +50,7 @@ from modelcompression_tpu.compress.qat import (
 )
 from modelcompression_tpu.compress.gmp import GMPSpec, gmp_mask_update
 from modelcompression_tpu.train.distill import (
-    DistillPlan, distill_loss, teacher_forward,
+    DistillPlan, detection_distill_loss, teacher_forward,
 )
 
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default (reference repo class)
@@ -464,10 +464,11 @@ def make_train_step(spec: NetworkSpec, config: TrainConfig,
         md = metrics.as_dict()
         loss = metrics.loss
         if t_raw is not None:
-            d = distill_loss(raw, t_raw, spec.region, temp=distill.temp,
-                             coord_scale=distill.coord_scale,
-                             obj_scale=distill.obj_scale,
-                             class_scale=distill.class_scale)
+            d = detection_distill_loss(raw, t_raw, spec,
+                                       temp=distill.temp,
+                                       coord_scale=distill.coord_scale,
+                                       obj_scale=distill.obj_scale,
+                                       class_scale=distill.class_scale)
             md["loss_distill"] = d
             loss = loss + distill.weight * d
         if config.bn_l1 > 0:

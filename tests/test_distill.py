@@ -134,6 +134,75 @@ def test_distill_metric_subdivision_consistent():
     assert vals[1] == pytest.approx(vals[2], rel=5e-2)
 
 
+def test_v3_plan_validation():
+    """Multi-head plans: family mixing rejected; per-scale head geometry
+    validated pairwise; matching v3 specs accepted."""
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+    from modelcompression_tpu.train import detection_distill_loss
+
+    v3 = parse_cfg(tiny_yolo3_cfg(num_classes=3))
+    v2 = _spec(num_classes=3)
+    t3 = init_params(v3, jax.random.key(0))
+    t2 = init_params(v2, jax.random.key(0))
+    with pytest.raises(ValueError, match="head family"):
+        make_distill_plan(t2, v2, v3)
+    with pytest.raises(ValueError, match="head family"):
+        make_distill_plan(t3, v3, v2)
+
+    # per-scale anchor mismatch (shift one shared anchor pair)
+    txt = tiny_yolo3_cfg(num_classes=3)
+    txt_b = txt.replace("anchors = 8,8,  16,16,  24,24,  48,48",
+                        "anchors = 8,8,  16,16,  24,24,  50,48")
+    v3_b = parse_cfg(txt_b)
+    with pytest.raises(ValueError, match="anchor"):
+        make_distill_plan(init_params(v3_b, jax.random.key(1)), v3_b, v3)
+
+    # matching specs build a plan, and the loss is 0 at equality
+    plan = make_distill_plan(t3, v3, v3)
+    assert plan.teacher_spec is v3
+    raws = tuple(_raw(jax.random.key(k), b=2, hw=hw, a=2, c=3)
+                 for k, hw in ((2, 8), (3, 16)))
+    val = detection_distill_loss(raws, raws, v3)
+    assert float(val) == pytest.approx(0.0, abs=1e-6)
+
+    # gradient flows to every student scale; teacher side is data
+    raws_s = tuple(_raw(jax.random.key(k), b=2, hw=hw, a=2, c=3)
+                   for k, hw in ((12, 8), (13, 16)))
+    g = jax.grad(lambda r: detection_distill_loss(r, raws, v3))(raws_s)
+    assert all(float(jnp.max(jnp.abs(gi))) > 0 for gi in g)
+    g_t = jax.grad(lambda r: detection_distill_loss(raws_s, r, v3))(raws)
+    assert all(float(jnp.max(jnp.abs(gi))) == 0.0 for gi in g_t)
+
+
+def test_v3_train_step_with_distill_pulls_toward_teacher():
+    """The one-program train step distills the multi-head family: teacher
+    forward inside the step, per-scale map losses summed, loss_distill
+    shrinking under a dominant distill weight."""
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3))
+    s_params = init_params(spec, jax.random.key(0))
+    t_params = init_params(spec, jax.random.key(7))
+    plan = make_distill_plan(t_params, spec, spec, weight=5.0)
+
+    config = TrainConfig.from_spec(spec, augment_flip=False,
+                                   augment_jitter=0.0, subdivisions=1,
+                                   learning_rate=1e-4, burn_in=0,
+                                   policy="constant")
+    tx = make_optimizer(config)
+    state = TrainState.create(s_params, tx, jax.random.key(1))
+    step = make_train_step(spec, config, tx, distill=plan)
+    imgs, tgts = _batch(jax.random.key(4), b=8)
+    first = None
+    for i in range(40):
+        state, m = step(state, imgs, tgts)
+        if i == 0:
+            first = float(m["loss_distill"])
+            assert np.isfinite(first) and first > 0
+    last = float(m["loss_distill"])
+    assert last < first * 0.5, (first, last)
+
+
 def test_distill_pulls_student_toward_teacher():
     # with ONLY the distillation signal dominating (weight >> 1, no GT
     # beyond the mandatory row), short training must shrink the
