@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(Molchanov et al. 2019) instead of the 2017 "
                         "|sum a*dL/da| — less noisy when per-batch "
                         "gradients change sign")
+    p.add_argument("--tied", default="protect",
+                   choices=("protect", "group"),
+                   help="residual ([shortcut]) graph policy for filter "
+                        "modes: 'protect' (default) keeps shortcut-tied "
+                        "convs unpruned (Li et al. 2017 §4.2 conservative "
+                        "option); 'group' prunes each tied group with ONE "
+                        "shared keep-set ranked by group-summed scores — "
+                        "slims the residual identity paths too (no effect "
+                        "on chain graphs like YOLOv2)")
     p.add_argument("--fractions", default=None,
                    help="PER-LAYER drop fractions for l1_filter mode as "
                         "'convidx:frac,convidx:frac' (e.g. '0:0.25,2:0.5')"
@@ -170,7 +179,8 @@ def _sweep(args, spec, params, seen) -> int:
             else:
                 crit = _FILTER_MODE_CRITERION[args.mode]
                 keep = uniform_filter_fraction_keep_sets(spec, params, v,
-                                                         criterion=crit)
+                                                         criterion=crit,
+                                                         tied=args.tied)
             out_spec, out_params = repack(spec, params, keep)
             achieved = 1.0 - num_params(out_params) / num_params(params)
         else:
@@ -298,6 +308,16 @@ def main(argv=None) -> int:
             print(f"error: --fraction or --fractions is required for "
                   f"{args.mode} mode", file=sys.stderr)
             return 2
+        if args.tied == "group" and (args.fractions is not None
+                                     or args.mode == "taylor"):
+            # a silent fall-through would LOOK like group pruning ran
+            print("error: --tied group composes with the uniform "
+                  "--fraction l1_filter/bn_gamma/fpgm paths only "
+                  "(tied groups share one keep-set, which has no "
+                  "per-layer schedule; taylor gate scores are not "
+                  "defined for the protected group members)",
+                  file=sys.stderr)
+            return 2
         if args.fraction is not None and not (0.0 <= args.fraction < 1.0):
             print(f"error: --fraction must be in [0, 1), got "
                   f"{args.fraction}", file=sys.stderr)
@@ -341,7 +361,8 @@ def main(argv=None) -> int:
         else:
             keep = uniform_filter_fraction_keep_sets(spec, params,
                                                      args.fraction,
-                                                     criterion=criterion)
+                                                     criterion=criterion,
+                                                     tied=args.tied)
         slim_spec, slim_params = repack(spec, params, keep)
         slim_params = jax.tree.map(np.asarray, slim_params)
         save_weights(args.out, slim_spec, slim_params, seen=seen)

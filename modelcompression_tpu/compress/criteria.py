@@ -281,6 +281,72 @@ def l1_filter_keep_sets(params: Params, spec: NetworkSpec, fraction: float,
     return {i: _keep_from_scores(s, fraction) for i, s in scores.items()}
 
 
+def tied_group_keep_sets(params: Params, spec: NetworkSpec,
+                         fraction: float, skip: Sequence[int] = (),
+                         criterion: str = "l1") -> Dict[int, "np.ndarray"]:
+    """Group-uniform structured pruning of shortcut-TIED convs: ONE
+    shared keep-set per tied group, ranked by the group-SUM of the
+    per-filter scores.
+
+    The default protection rule (graph.protected_conv_indices) leaves
+    residual identity paths unpruned — the conservative option of
+    Li et al. 2017 §4.2 for ResNet-style graphs. This is the paper's
+    aggressive alternative: prune the identity path's channels too, but
+    IDENTICALLY across the whole tied group so every [shortcut] add
+    stays channel-aligned (compress/repack.py validates exactly that
+    invariant and fails loudly on a violation). Groups containing a
+    head-producing conv (decode contract) or an explicit ``skip`` conv
+    stay fully protected.
+
+    Scores are the same per-filter criteria as the untied path
+    (``l1`` | ``bn_gamma`` | ``fpgm``); the group rank key is the sum of
+    the member scores filter-for-filter (a channel is only cheap to drop
+    if it is unimportant in EVERY member feeding the adds).
+    """
+    import numpy as np
+
+    from modelcompression_tpu.compress.graph import (
+        head_producer_convs, tied_conv_groups,
+    )
+    if criterion not in FILTER_CRITERIA:
+        raise ValueError(
+            f"unknown filter criterion {criterion!r} "
+            f"(one of {FILTER_CRITERIA})")
+    protected = head_producer_convs(spec) | set(skip)
+    groups = [sorted(g) for g in tied_conv_groups(spec)
+              if not (g & protected)]
+    members = [i for g in groups for i in g]
+    if not members:
+        return {}
+    ws = {conv_key(i): params[conv_key(i)]["w"] for i in members}
+    if criterion == "fpgm":
+        sc = jax.device_get(_fpgm_scores_jit(ws))
+    else:
+        sc = jax.device_get(_l1_scores_jit(ws))
+    sc = {k: np.asarray(v, np.float64) for k, v in sc.items()}
+    if criterion == "bn_gamma":
+        # |gamma| where BN exists (the slimming importance); the L1
+        # fallback is scale-normalized per layer like the untied path
+        for i in members:
+            k = conv_key(i)
+            if spec.layers[i].batch_normalize:
+                sc[k] = np.abs(np.asarray(params[k]["gamma"], np.float64))
+            else:
+                sc[k] = sc[k] / max(float(sc[k].max()), 1e-12)
+
+    out: Dict[int, "np.ndarray"] = {}
+    for g in groups:
+        widths = {spec.layers[i].filters for i in g}
+        assert len(widths) == 1, (
+            f"tied group {g} mixes filter counts {widths} — the cfg "
+            "channel validation should have rejected this network")
+        group_score = np.sum([sc[conv_key(i)] for i in g], axis=0)
+        keep = _keep_from_scores(group_score, fraction)
+        for i in g:
+            out[i] = keep
+    return out
+
+
 def l1_filter_keep_sets_scheduled(params: Params, spec: NetworkSpec,
                                   fractions: Dict[int, float],
                                   default: float = 0.0,

@@ -167,14 +167,28 @@ def channel_masks_from_keep(spec: NetworkSpec,
 
 def uniform_filter_fraction_keep_sets(spec: NetworkSpec, params: Params,
                                       fraction: float, skip=(),
-                                      criterion: str = "l1"
+                                      criterion: str = "l1",
+                                      tied: str = "protect"
                                       ) -> Dict[int, np.ndarray]:
     """Convenience: filter keep-sets at one drop fraction for all
-    prunable convs (head-producing and shortcut-tied convs protected —
-    compress/graph.py). ``criterion``: ``l1``
-    (Li et al. 2017) or ``bn_gamma`` (Liu et al. 2017 network
-    slimming)."""
-    from modelcompression_tpu.compress.criteria import l1_filter_keep_sets
+    prunable convs (head-producing convs always protected —
+    compress/graph.py). ``criterion``: ``l1`` (Li et al. 2017),
+    ``bn_gamma`` (Liu et al. 2017 network slimming) or ``fpgm``.
+
+    ``tied`` picks the residual-graph policy (Li et al. §4.2's two
+    ResNet options): ``protect`` (default) leaves shortcut-tied convs
+    unpruned; ``group`` prunes each tied group with ONE shared keep-set
+    ranked by group-summed scores (criteria.tied_group_keep_sets) — the
+    aggressive recipe that slims the identity paths too."""
+    from modelcompression_tpu.compress.criteria import (
+        l1_filter_keep_sets, tied_group_keep_sets,
+    )
+    if tied not in ("protect", "group"):
+        raise ValueError(f"tied must be 'protect' or 'group', got {tied!r}")
     sets = l1_filter_keep_sets(params, spec, fraction, skip=skip,
                                criterion=criterion)
+    if tied == "group":
+        sets = dict(sets)
+        sets.update(tied_group_keep_sets(params, spec, fraction, skip=skip,
+                                         criterion=criterion))
     return {i: np.asarray(k) for i, k in sets.items()}

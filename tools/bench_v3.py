@@ -58,9 +58,15 @@ def build_configs(skip_full: bool):
         p_full = init_params(full, jax.random.key(1))
         keep_f = uniform_filter_fraction_keep_sets(full, p_full, 0.75)
         full_s, p_full_s = repack(full, p_full, keep_f)
+        # --tied group: residual identity paths pruned too (72/75 convs)
+        keep_g = uniform_filter_fraction_keep_sets(full, p_full, 0.75,
+                                                   tied="group")
+        full_g, p_full_g = repack(full, p_full, keep_g)
         configs.update({
             "v3_unpruned_b32": (full, p_full, 32, {}, "off"),
             "v3_pruned75_b32": (full_s, p_full_s, 32, {}, "off"),
+            "v3_pruned75_tied_b32": (full_g, p_full_g, 32, {}, "off"),
+            "v3_pruned75_tied_b64": (full_g, p_full_g, 64, {}, "off"),
         })
     return configs
 
