@@ -4,7 +4,7 @@ Public YOLOv2 semantics (target assignment + loss scales from the [region]
 cfg section, config-driven as Appendix A.3 requires):
 
 * Every anchor box whose best IoU against all GT is below ``thresh`` gets a
-  no-object loss ``noobject_scale * (0 - sigmoid(to))^2``; anchors above
+  no-object loss ``noobject_scale * KL(0 || sigmoid(to))``; anchors above
   ``thresh`` that are not assigned to a GT get no objectness loss.
 * Early training (seen < 12800 images): all anchors get a weak prior loss
   pulling boxes to their anchor shapes (scale 0.01).
@@ -12,13 +12,22 @@ cfg section, config-driven as Appendix A.3 requires):
   the best shape-only IoU — against the anchor priors when ``bias_match=1``
   (the cfg default), against the predicted w/h at that cell when
   ``bias_match=0`` (Darknet region_layer.c). Assigned anchors get:
-    - coord loss: scale ``coord_scale * (2 - gw*gh)`` on
-      (sigmoid(tx), sigmoid(ty), tw, th) vs encoded targets,
-    - objectness: ``object_scale * (iou - sigmoid(to))^2`` (``rescore``;
+    - coord loss: scale ``coord_scale * (2 - gw*gh)`` — KL-BCE on the
+      logistic (tx, ty) logits vs fractional cell offsets, half squared
+      error on the linear (tw, th) vs encoded targets,
+    - objectness: ``object_scale * KL(iou || sigmoid(to))`` (``rescore``;
       the IoU is a stop-gradient target, as in Darknet; target 1
       otherwise),
     - class: softmax cross-entropy * ``class_scale`` (``softmax=1``) or
-      squared error on raw class outputs vs one-hot (``softmax=0``).
+      half squared error on raw class outputs vs one-hot (``softmax=0``).
+
+Every term is the antiderivative of the reference's ACTUAL update: Darknet
+folds scales into ``delta = scale * (target - output)`` and backpropagates
+delta without re-applying the logistic derivative, so the exact-parity
+objective is cross-entropy for logistic outputs and half-SE for linear
+ones — NOT ``scale*(t-sigmoid)^2``, whose gradient carries a spurious
+sigmoid' factor that saturates (see _bce_kl; measured failure in
+tests/test_learnability_v3.py's history).
 
 TPU-first shape discipline: targets arrive as a fixed (B, M, 5) padded
 array (rows with w == 0 are invalid); assignment is built with scatter
@@ -42,6 +51,39 @@ from modelcompression_tpu.models.cfg import RegionLayer
 
 PRIOR_SEEN_CUTOFF = 12800
 PRIOR_SCALE = 0.01
+
+
+def _bce_kl(z: jnp.ndarray, t) -> jnp.ndarray:
+    """KL(t || sigmoid(z)) — the exact-gradient loss for the reference
+    class's logistic outputs.
+
+    Darknet's region/yolo layers activate x, y, obj (and the v3 classes)
+    with LOGISTIC in the layer's forward, then backward_*_layer copies
+    ``delta = scale * (target - output)`` straight to the previous layer
+    WITHOUT multiplying by the logistic derivative (no gradient_array
+    call) — so the reference's true update direction w.r.t. the
+    pre-activation z is ``scale * (sigmoid(z) - t)``: exactly the BCE /
+    cross-entropy gradient, NOT the MSE-on-sigmoid gradient
+    ``2*scale*(sigmoid(z)-t)*sigmoid'(z)``.
+
+    The extra sigmoid' factor is not a cosmetic difference: it vanishes
+    at saturated logits, so an early noobj-dominated phase that pushes
+    every objectness logit negative leaves positives unable to recover
+    (measured on the v3 fixture: assigned sigma(to) collapses to 0.015 by
+    step 50 and crawls to ~0.2 by step 600, mAP@50 0.22; with this form
+    the same run converges — tests/test_learnability_v3.py).
+
+    Value convention: the entropy of the (possibly soft) target is
+    subtracted, making this the KL divergence — 0 at the optimum
+    sigmoid(z) == t even for soft targets (fractional cell offsets,
+    rescore IoU), positive for over/under-confidence. The subtraction is
+    constant in z, so the gradient is exactly the reference delta.
+    """
+    t = jnp.asarray(t, jnp.float32)
+    bce = jax.nn.softplus(z) - z * t
+    ent = -(jax.scipy.special.xlogy(t, t)
+            + jax.scipy.special.xlogy(1.0 - t, 1.0 - t))
+    return bce - ent
 
 
 def _pair_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
@@ -195,15 +237,23 @@ def region_loss(raw: jnp.ndarray, targets: jnp.ndarray,
     t_iou = scat(iou_at_gt)
 
     # ---- losses ------------------------------------------------------------
+    # Exact-gradient convention (see _bce_kl): logistic outputs (x, y,
+    # obj) take scale * KL(t || sigmoid(z)) — d/dz = scale*(sigmoid-t),
+    # the reference's straight-through delta; linear outputs (w, h; raw
+    # class scores when softmax=0) take scale/2 * (out - t)^2 — d/dout =
+    # scale*(out-t), ditto. Softmax classes take plain CE, whose gradient
+    # (prob - onehot) is already Darknet's delta.
     amask = assigned.astype(jnp.float32)
+    zx, zy, zo = raw[..., 0], raw[..., 1], raw[..., 4]
     loss_coord = jnp.sum(coord_w * amask * (
-        (tx - t_x) ** 2 + (ty - t_y) ** 2
-        + (tw - t_w) ** 2 + (th - t_h) ** 2))
+        _bce_kl(zx, t_x) + _bce_kl(zy, t_y)
+        + 0.5 * ((tw - t_w) ** 2 + (th - t_h) ** 2)))
 
     obj_target = t_iou if region.rescore else amask
-    loss_obj = region.object_scale * jnp.sum(amask * (to - obj_target) ** 2)
+    loss_obj = region.object_scale * jnp.sum(amask * _bce_kl(zo, obj_target))
+    # background target 0: KL(0 || sigmoid(z)) == softplus(z)
     loss_noobj = region.noobject_scale * jnp.sum(
-        jnp.where(noobj_mask & ~assigned, to ** 2, 0.0))
+        jnp.where(noobj_mask & ~assigned, jax.nn.softplus(zo), 0.0))
 
     if region.softmax:
         log_probs = jax.nn.log_softmax(cls_logits, axis=-1)
@@ -211,17 +261,17 @@ def region_loss(raw: jnp.ndarray, targets: jnp.ndarray,
                                   axis=-1)[..., 0]
         loss_cls = region.class_scale * jnp.sum(amask * ce)
     else:
-        # softmax=0: Darknet's delta_region_class without softmax is a
-        # squared error on the raw class outputs vs one-hot
+        # softmax=0: Darknet's delta_region_class without softmax writes
+        # scale*(onehot - out) on the RAW (linear) class outputs
         onehot = jax.nn.one_hot(t_cls, c, dtype=jnp.float32)
-        loss_cls = region.class_scale * jnp.sum(
+        loss_cls = region.class_scale * 0.5 * jnp.sum(
             amask[..., None] * (onehot - cls_logits) ** 2)
 
     # prior loss: push every unassigned box toward its anchor early on
     prior_on = (seen < PRIOR_SEEN_CUTOFF).astype(jnp.float32)
     loss_prior = prior_on * PRIOR_SCALE * jnp.sum(
-        (1 - amask) * ((tx - 0.5) ** 2 + (ty - 0.5) ** 2
-                       + tw ** 2 + th ** 2))
+        (1 - amask) * (_bce_kl(zx, 0.5) + _bce_kl(zy, 0.5)
+                       + 0.5 * (tw ** 2 + th ** 2)))
 
     n_gt = jnp.maximum(jnp.sum(vw), 1.0)
     total = (loss_coord + loss_obj + loss_noobj + loss_cls + loss_prior) / b

@@ -4,28 +4,33 @@ Public Darknet ``yolo_layer.c`` semantics (the v3 counterpart of
 train/region_loss.py, which documents the shared scatter formulation):
 
 * Every predictor whose best IoU against all GT is below ``ignore_thresh``
-  gets a no-object loss ``(0 - sigmoid(to))^2``; predictors above it that
+  gets a no-object loss ``KL(0 || sigmoid(to))``; predictors above it that
   are not assigned to a GT get NO objectness loss (the ignore band).
 * Each GT picks the best shape-only-IoU anchor among ALL ``num`` anchors
   of the shared pixel-unit list; the GT is assigned ONLY in the head whose
   ``mask`` contains that anchor (at the cell holding the GT center on that
   head's grid). Assigned predictors get:
-    - coord loss: scale ``(2 - gw*gh)`` on (sigmoid(tx), sigmoid(ty),
-      tw, th) vs encoded targets — tw/th encode against the anchor in
-      NETWORK-INPUT pixels (``log(gw*net_w / anchor_w)``), v3's anchor
+    - coord loss: scale ``(2 - gw*gh)`` — KL-BCE on the logistic
+      (tx, ty) logits vs fractional offsets, half squared error on the
+      linear (tw, th) vs encoded targets; tw/th encode against the anchor
+      in NETWORK-INPUT pixels (``log(gw*net_w / anchor_w)``), v3's anchor
       convention (models/cfg.YoloLayer);
-    - objectness: ``(1 - sigmoid(to))^2`` (v3 has no rescore option);
-    - class: independent per-class sigmoids — squared error against the
-      one-hot row, ``sum_c (onehot_c - sigmoid(cls_c))^2`` (Darknet's
-      delta_yolo_class; multi-label, NOT a softmax CE).
+    - objectness: ``KL(1 || sigmoid(to))`` (v3 has no rescore option);
+    - class: independent per-class sigmoids — summed per-class BCE
+      against the one-hot row (Darknet's delta_yolo_class; multi-label,
+      NOT a softmax CE).
 * No early-training prior loss and no cfg loss scales: [yolo] has none of
   [region]'s object/noobject/class/coord_scale knobs.
 
-Loss convention: like region_loss, each squared difference is weighted
-ONCE by its scale (Darknet folds the scale into ``delta`` and applies
-``delta`` directly as the gradient, so ``scale * (t - p)^2`` reproduces
-its update direction up to the constant 2; its printed "loss" of
-``sum(delta^2)`` would double-count the scale).
+Loss convention (region_loss._bce_kl): every term is the antiderivative
+of Darknet's actual update — yolo_layer.c activates x/y/obj/classes with
+LOGISTIC in forward and backward copies ``delta = scale*(t - output)``
+straight through (no logistic-derivative multiply), so the exact-parity
+objective is cross-entropy on the logits, NOT MSE on the sigmoids. The
+MSE surrogate's extra sigmoid' factor saturates: on the v3 fixture the
+initial noobj phase pins every objectness logit negative and assigned
+sigma(to) plateaus at ~0.2 after 600 steps (mAP@50 0.22 vs >=0.8 with
+this form) — the failure that motivated the switch.
 
 ``truth_thresh < 1`` (Darknet's unused multi-truth experiment: every
 predictor whose best-GT IoU exceeds it is also trained as a positive) is
@@ -49,7 +54,7 @@ import numpy as np
 
 from modelcompression_tpu.models.cfg import NetworkSpec, YoloLayer
 from modelcompression_tpu.train.region_loss import (
-    RegionLossMetrics, _pair_iou, region_loss,
+    RegionLossMetrics, _bce_kl, _pair_iou, region_loss,
 )
 
 
@@ -129,7 +134,6 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
         tw = raw[..., 2]
         th = raw[..., 3]
         to = jax.nn.sigmoid(raw[..., 4])
-        cls_sig = jax.nn.sigmoid(raw[..., 5:])
 
         cy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         cx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -185,15 +189,19 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
         coord_w = scat(2.0 - gt_boxes[..., 2] * gt_boxes[..., 3])
         t_cls = scat(gt_cls.astype(jnp.float32)).astype(jnp.int32)
 
+        # exact-gradient terms (module docstring / region_loss._bce_kl):
+        # KL-BCE on logistic logits, half-SE on the linear tw/th
         amask = assigned.astype(jnp.float32)
+        zx, zy, zo = raw[..., 0], raw[..., 1], raw[..., 4]
         acc["coord"] += jnp.sum(coord_w * amask * (
-            (tx - t_x) ** 2 + (ty - t_y) ** 2
-            + (tw - t_w) ** 2 + (th - t_h) ** 2))
-        acc["obj"] += jnp.sum(amask * (1.0 - to) ** 2)
-        acc["noobj"] += jnp.sum(
-            jnp.where(noobj_mask & ~assigned, to ** 2, 0.0))
+            _bce_kl(zx, t_x) + _bce_kl(zy, t_y)
+            + 0.5 * ((tw - t_w) ** 2 + (th - t_h) ** 2)))
+        acc["obj"] += jnp.sum(amask * jax.nn.softplus(-zo))  # KL(1||s(zo))
+        acc["noobj"] += jnp.sum(                             # KL(0||s(zo))
+            jnp.where(noobj_mask & ~assigned, jax.nn.softplus(zo), 0.0))
         onehot = jax.nn.one_hot(t_cls, c, dtype=jnp.float32)
-        acc["cls"] += jnp.sum(amask[..., None] * (onehot - cls_sig) ** 2)
+        acc["cls"] += jnp.sum(amask[..., None]
+                              * _bce_kl(raw[..., 5:], onehot))
 
         # metrics: IoU of each winning GT's assigned predictor (a TARGET
         # for reporting only — see region_loss's stop_gradient rationale)

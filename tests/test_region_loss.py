@@ -57,8 +57,8 @@ def test_no_gt_only_noobj():
     assert float(m.loss_coord) == 0
     assert float(m.loss_obj) == 0
     assert float(m.loss_cls) == 0
-    # sigmoid(0)=0.5 objectness everywhere: noobj = 1.0 * sum(0.5^2)
-    assert float(m.loss_noobj) == approx(H * W * A * 0.25, rel=1e-5)
+    # zero logits everywhere: noobj = 1.0 * sum(KL(0||sigmoid(0))) per slot
+    assert float(m.loss_noobj) == approx(H * W * A * np.log(2), rel=1e-5)
     assert float(m.loss) == approx(float(m.loss_noobj), rel=1e-5)
 
 
@@ -70,10 +70,13 @@ def test_perfect_prediction_near_zero_loss():
     assert float(m.recall50) == 1.0
     assert float(m.loss_coord) < 1e-4
     assert float(m.loss_cls) < 1e-6
-    assert float(m.loss_obj) < 5e-3   # (iou - sigmoid(20))^2 * 5
+    # rescore: KL(iou || sigmoid(20)) * 5 — iou is ~1 up to float error,
+    # and the KL of a 1-eps target vs an overconfident sigmoid(20) is
+    # O(eps * 14), so small but not MSE-tiny
+    assert float(m.loss_obj) < 0.05
     assert float(m.obj_conf) > 0.99
     assert float(m.noobj_conf) < 0.01
-    assert float(m.loss) < 0.05
+    assert float(m.loss) < 0.1
 
 
 def test_assignment_cell_and_anchor():

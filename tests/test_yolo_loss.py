@@ -1,7 +1,10 @@
 """[yolo] multi-head loss tests (train/yolo_loss.py): head routing by
-best global anchor, ignore-band objectness, sigmoid-MSE class loss,
-duplicate resolution, gradient sanity, and the train-step integration on
-the v3 fixture — the v3 counterpart of tests/test_region_loss.py."""
+best global anchor, ignore-band objectness, per-class sigmoid BCE (not
+softmax), duplicate resolution, gradient sanity, and the train-step
+integration on the v3 fixture — the v3 counterpart of
+tests/test_region_loss.py. Loss values follow the exact-gradient
+convention (region_loss._bce_kl): KL-BCE on logistic outputs, half-SE on
+linear tw/th."""
 
 import jax
 import jax.numpy as jnp
@@ -78,9 +81,9 @@ def test_no_gt_only_noobj():
     assert float(m.loss_coord) == 0
     assert float(m.loss_obj) == 0
     assert float(m.loss_cls) == 0
-    # sigmoid(0)=0.5 everywhere, no GT -> every predictor in the noobj
-    # band: (8*8*2 + 16*16*2) * 0.25
-    assert float(m.loss_noobj) == approx(160.0, rel=1e-5)
+    # zero logits everywhere, no GT -> every predictor in the noobj band
+    # at KL(0 || sigmoid(0)) = log 2: (8*8*2 + 16*16*2) * log(2)
+    assert float(m.loss_noobj) == approx(640 * np.log(2), rel=1e-5)
     assert float(m.loss) == approx(float(m.loss_noobj), rel=1e-5)
 
 
@@ -93,7 +96,7 @@ def test_perfect_prediction_near_zero_loss():
     assert float(m.recall50) == 1.0
     assert float(m.loss_coord) < 1e-4
     assert float(m.loss_cls) < 1e-6
-    assert float(m.loss_obj) < 1e-6  # (1 - sigmoid(20))^2
+    assert float(m.loss_obj) < 1e-6  # KL(1 || sigmoid(20)) = softplus(-20)
     assert float(m.obj_conf) > 0.99
     assert float(m.noobj_conf) < 0.01
     assert float(m.loss) < 0.05
@@ -130,14 +133,15 @@ def test_ignore_band_spares_overlapping_predictors():
     assert float(m1.loss_noobj) < float(m0.loss_noobj)
 
 
-def test_class_loss_is_sigmoid_mse_not_softmax():
-    """At zero logits every class sigmoid is 0.5: one assigned GT costs
-    (1-.5)^2 + (C-1)(0-.5)^2 = 0.25*C — a softmax CE would cost log(C)."""
+def test_class_loss_is_per_class_sigmoid_not_softmax():
+    """At zero logits every class BCE is log 2 INDEPENDENTLY per class:
+    one assigned GT costs C*log(2) — a softmax CE would cost log(C)
+    (0.693*3 = 2.08 vs 1.10 for C=3, so the forms are distinguishable)."""
     gt = jnp.asarray([[[2.0, 0.55, 0.55, 0.7, 0.7]]])
     m = yolo_loss(raws_zero(), gt, SPEC)
-    assert float(m.loss_cls) == approx(0.25 * C, rel=1e-5)
-    # objectness target is 1 (no rescore option in v3)
-    assert float(m.loss_obj) == approx(0.25, rel=1e-5)
+    assert float(m.loss_cls) == approx(C * np.log(2), rel=1e-5)
+    # objectness target is 1 (no rescore option in v3): KL(1||0.5)=log 2
+    assert float(m.loss_obj) == approx(np.log(2), rel=1e-5)
 
 
 def test_coord_scale_is_2_minus_wh():
@@ -152,11 +156,17 @@ def test_coord_scale_is_2_minus_wh():
         hi = next(k for k, l in enumerate(HEADS) if ga in l.mask)
         pw, _ = HEADS[hi].anchor_pairs[HEADS[hi].mask.index(ga)]
         gg = GRIDS[hi]
-        fx = gt[0, 0, 1] * gg - int(gt[0, 0, 1] * gg)
-        fy = 0.5 * gg - int(0.5 * gg)
+        fx = float(gt[0, 0, 1] * gg - int(gt[0, 0, 1] * gg))
+        fy = float(0.5 * gg - int(0.5 * gg))
         tw = np.log(w * 64 / pw)
-        want = (2 - w * w) * ((0.5 - fx) ** 2 + (0.5 - fy) ** 2
-                              + 2 * tw ** 2)
+
+        def kl_at_zero_logit(t):  # KL(t || sigmoid(0)) = log2 - H(t)
+            ent = 0.0 if t in (0.0, 1.0) else (
+                -t * np.log(t) - (1 - t) * np.log(1 - t))
+            return np.log(2) - ent
+
+        want = (2 - w * w) * (kl_at_zero_logit(fx) + kl_at_zero_logit(fy)
+                              + tw ** 2)  # 0.5 * 2 * tw^2
         assert float(m.loss_coord) == approx(float(want), rel=1e-4)
 
 
