@@ -7,7 +7,10 @@ Modes:
               rank over w^2 / per-layer surviving-mass suffix sums — the
               per-layer sparsity allocation becomes automatic; --sparsity
   l1_filter   L1-norm filter ranking at --fraction + physical channel
-              repack; writes a rewritten cfg alongside the slimmed weights
+              repack; writes a rewritten cfg alongside the slimmed weights.
+              All filter modes also take --target-flops F instead of a
+              fraction: automatic per-layer allocation to a conv-FLOP
+              budget (global layer-normalized rank, compress/flops.py)
   bn_gamma    network slimming (learned BN |gamma| filter ranking) —
               same repack machinery as l1_filter
   fpgm        geometric-median filter ranking (He et al. 2019): prune the
@@ -87,6 +90,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "; unlisted prunable convs use --fraction (or 0). "
                         "The Li et al. sensitivity-scheduled workflow — "
                         "measure with tools/sensitivity_scan.py first")
+    p.add_argument("--target-flops", type=float, default=None,
+                   help="filter modes: AUTOMATIC per-layer allocation to a "
+                        "conv-FLOP budget — drop globally-lowest "
+                        "layer-normalized-score filters until the network "
+                        "keeps this fraction of its conv FLOPs/img "
+                        "(compress/flops.py; replaces --fraction/"
+                        "--fractions with a deployment-speed target). "
+                        "Prints the discovered per-layer schedule")
+    p.add_argument("--min-filters", type=int, default=1,
+                   help="--target-flops: floor of surviving filters per "
+                        "prunable conv (default 1)")
+    p.add_argument("--score-norm", default="l2",
+                   choices=("l2", "mean", "none"),
+                   help="--target-flops: cross-layer score normalization "
+                        "for the global rank (default l2, Molchanov et "
+                        "al. 2019 eq. 8)")
     p.add_argument("--energy", type=float, default=0.9,
                    help="lowrank mode: per-layer rank = smallest r whose "
                         "singular values keep this fraction of the "
@@ -304,10 +323,22 @@ def main(argv=None) -> int:
               "eval/fine-tune)")
     else:  # l1_filter / bn_gamma / fpgm / taylor (structured pruning)
         criterion = _FILTER_MODE_CRITERION.get(args.mode, "l1")
-        if args.fraction is None and args.fractions is None:
-            print(f"error: --fraction or --fractions is required for "
-                  f"{args.mode} mode", file=sys.stderr)
+        if (args.fraction is None and args.fractions is None
+                and args.target_flops is None):
+            print(f"error: --fraction, --fractions or --target-flops is "
+                  f"required for {args.mode} mode", file=sys.stderr)
             return 2
+        if args.target_flops is not None:
+            if args.fraction is not None or args.fractions is not None:
+                print("error: --target-flops replaces --fraction/"
+                      "--fractions (it discovers the per-layer schedule "
+                      "itself)", file=sys.stderr)
+                return 2
+            if args.tied == "group":
+                print("error: --target-flops composes with --tied protect "
+                      "only (tied groups share one keep-set; the "
+                      "FLOP-budget rank is per-filter)", file=sys.stderr)
+                return 2
         if args.tied == "group" and (args.fractions is not None
                                      or args.mode == "taylor"):
             # a silent fall-through would LOOK like group pruning ran
@@ -329,7 +360,32 @@ def main(argv=None) -> int:
                       "measured on training batches)", file=sys.stderr)
                 return 2
             tay_scores = _taylor_scores(args, spec, params, seen)
-        if args.fractions is not None:
+        if args.target_flops is not None:
+            from modelcompression_tpu.compress import (
+                filter_scores_device, flop_targeted_keep_sets,
+                total_conv_flops,
+            )
+            scores = (tay_scores if args.mode == "taylor"
+                      else filter_scores_device(params, spec,
+                                                criterion=criterion))
+            try:
+                keep, sched = flop_targeted_keep_sets(
+                    spec, scores, args.target_flops,
+                    min_filters=args.min_filters, norm=args.score_norm)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            base_fl = total_conv_flops(spec)
+            got_fl = total_conv_flops(spec,
+                                      {i: len(k) for i, k in keep.items()})
+            print(f"flop-targeted allocation ({args.mode}, "
+                  f"norm={args.score_norm}): {base_fl / 1e9:.2f} -> "
+                  f"{got_fl / 1e9:.2f} GFLOP/img ({got_fl / base_fl:.4f} "
+                  f"of base, target {args.target_flops:g})")
+            print("  discovered schedule (reusable as --fractions): "
+                  + ",".join(f"{i}:{f:.3f}"
+                             for i, f in sorted(sched.items())))
+        elif args.fractions is not None:
             from modelcompression_tpu.compress import (
                 keep_sets_from_scores, l1_filter_keep_sets_scheduled,
             )
@@ -366,9 +422,13 @@ def main(argv=None) -> int:
         slim_spec, slim_params = repack(spec, params, keep)
         slim_params = jax.tree.map(np.asarray, slim_params)
         save_weights(args.out, slim_spec, slim_params, seen=seen)
-        what = (f"per-layer schedule {args.fractions}"
-                if args.fractions is not None
-                else f"{args.fraction:.0%} of filters per prunable conv")
+        if args.target_flops is not None:
+            what = (f"filters to a {args.target_flops:g} conv-FLOP budget "
+                    "(auto per-layer allocation)")
+        elif args.fractions is not None:
+            what = f"per-layer schedule {args.fractions}"
+        else:
+            what = f"{args.fraction:.0%} of filters per prunable conv"
         print(f"{args.mode} prune: dropped {what}; "
               f"params {n0 / 1e6:.1f}M -> "
               f"{num_params(slim_params) / 1e6:.1f}M")

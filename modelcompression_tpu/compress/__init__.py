@@ -10,6 +10,10 @@ from modelcompression_tpu.compress.criteria import (
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
+from modelcompression_tpu.compress.flops import (
+    SCORE_NORMS, conv_flops_by_layer, flop_targeted_keep_sets,
+    total_conv_flops,
+)
 from modelcompression_tpu.compress.lamp import (
     lamp_layer_sparsities, lamp_masks, lamp_scores_device,
 )
@@ -51,6 +55,8 @@ __all__ = [
     "FILTER_CRITERIA", "bn_gamma_scores_device", "filter_scores_device",
     "fpgm_filter_scores", "fpgm_scores_device",
     "lamp_layer_sparsities", "lamp_masks", "lamp_scores_device",
+    "SCORE_NORMS", "conv_flops_by_layer", "flop_targeted_keep_sets",
+    "total_conv_flops",
     "keep_sets_from_scores", "taylor_filter_keep_sets",
     "taylor_filter_scores_device", "taylor_gate_indices",
     "cluster_layer", "cluster_network", "load_cmodel", "reconstruct",

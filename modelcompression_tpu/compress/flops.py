@@ -1,0 +1,184 @@
+"""FLOP-targeted automatic per-layer filter allocation.
+
+The reference's structured workflow (SURVEY.md A.5, Li et al. 2017 §4)
+prunes a hand-chosen fraction per layer — the operator measures a
+sensitivity scan and writes a ``--fractions`` schedule. This module
+automates the allocation: rank EVERY prunable filter globally by its
+layer-normalized importance score and drop lowest-first until the
+network's conv FLOPs reach a target budget. The per-layer fractions fall
+out of the global rank (Molchanov et al. 2019 §3.3 use the same
+global-normalized-rank construction for their gate scores; LAMP does the
+analogous automatic allocation for unstructured magnitude pruning).
+
+Why a FLOP budget instead of a filter fraction: a uniform drop fraction
+cuts FLOPs quadratically in the middle of the network (both in- and
+out-channels shrink) but only linearly at the ends, so "75% of filters"
+says little about the compute that remains. The deployment question is
+"how fast must it run", which IS a FLOP budget.
+
+FLOP accounting replays the spec's channel/spatial propagation with
+per-conv alive-filter overrides, exactly mirroring what
+``repack()`` + ``models.darknet.num_conv_flops`` would produce — the
+equality is pinned in tests/test_flop_target.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from modelcompression_tpu.models.cfg import (
+    ConvLayer, MaxPoolLayer, NetworkSpec, RegionLayer, ReorgLayer,
+    RouteLayer, ShortcutLayer, UpsampleLayer, YoloLayer,
+)
+
+SCORE_NORMS = ("l2", "mean", "none")
+
+
+def conv_flops_by_layer(spec: NetworkSpec,
+                        alive: Dict[int, int] = None) -> Dict[int, int]:
+    """Per-conv MAC*2 FLOPs for one image, with optional per-conv alive
+    filter-count overrides (``alive[conv_idx] -> surviving filters``).
+
+    With ``alive=None`` this decomposes ``darknet.num_conv_flops`` exactly
+    (same spatial walk, same pool/reorg/route rules). With overrides it
+    predicts the repacked network's FLOPs: a conv's in-channel count is
+    its producer's alive count propagated through route concats, reorg
+    stride² expansion and shortcut adds — the same propagation
+    ``compress.repack`` applies physically.
+    """
+    alive = alive or {}
+    flops: Dict[int, int] = {}
+    h, w = spec.net.height, spec.net.width
+    c = spec.net.channels
+    hist: List[Tuple[int, int, int]] = []  # (h, w, channels) per layer
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, ConvLayer):
+            out_c = alive.get(i, l.filters)
+            h = (h + 2 * l.padding - l.size) // l.stride + 1
+            w = (w + 2 * l.padding - l.size) // l.stride + 1
+            flops[i] = 2 * h * w * l.size * l.size * c * out_c
+            c = out_c
+        elif isinstance(l, MaxPoolLayer):
+            h = (h + l.pad_total - l.size) // l.stride + 1
+            w = (w + l.pad_total - l.size) // l.stride + 1
+        elif isinstance(l, ReorgLayer):
+            h, w = h // l.stride, w // l.stride
+            c = c * l.stride * l.stride
+        elif isinstance(l, UpsampleLayer):
+            h, w = h * l.stride, w * l.stride
+        elif isinstance(l, RouteLayer):
+            h, w = hist[l.layers[0]][:2]
+            c = sum(hist[a][2] for a in l.layers)
+        elif isinstance(l, ShortcutLayer):
+            pass  # add: channels/dims unchanged (equality checked at parse)
+        elif isinstance(l, (RegionLayer, YoloLayer)):
+            pass
+        else:  # pragma: no cover - new layer types must be classified here
+            raise TypeError(f"unhandled layer type {type(l).__name__}")
+        hist.append((h, w, c))
+    return flops
+
+
+def total_conv_flops(spec: NetworkSpec,
+                     alive: Dict[int, int] = None) -> int:
+    """Network conv FLOPs/img under alive-filter overrides."""
+    return sum(conv_flops_by_layer(spec, alive).values())
+
+
+def _normalized(scores: Dict[int, np.ndarray],
+                norm: str) -> Dict[int, np.ndarray]:
+    """Make scores comparable ACROSS layers: raw L1/Taylor magnitudes scale
+    with fan-in and activation statistics, so a global rank over raw
+    values just prunes whole low-scale layers. 'l2' (default) divides by
+    the layer's score L2 norm (Molchanov et al. 2019 eq. 8); 'mean'
+    divides by the layer mean; 'none' ranks raw values (exposed so the
+    failure mode is demonstrable)."""
+    if norm not in SCORE_NORMS:
+        raise ValueError(f"unknown score norm {norm!r} (one of {SCORE_NORMS})")
+    out = {}
+    for i, s in scores.items():
+        s = np.asarray(s, np.float64)
+        if norm == "l2":
+            out[i] = s / max(float(np.linalg.norm(s)), 1e-12)
+        elif norm == "mean":
+            out[i] = s / max(float(np.mean(s)), 1e-12)
+        else:
+            out[i] = s
+    return out
+
+
+def flop_targeted_keep_sets(spec: NetworkSpec,
+                            scores: Dict[int, np.ndarray],
+                            target: float,
+                            min_filters: int = 1,
+                            norm: str = "l2",
+                            ) -> Tuple[Dict[int, np.ndarray],
+                                       Dict[int, float]]:
+    """Keep-sets hitting a conv-FLOP budget: drop globally-lowest
+    normalized-score filters until ``total_conv_flops <= target * base``.
+
+    ``scores`` is any per-filter score map over the PRUNABLE convs (from
+    ``filter_scores_device`` or ``taylor_filter_scores_device`` — protected
+    convs are already absent from those maps). ``target`` is the surviving
+    conv-FLOP fraction in (0, 1). Every prunable conv keeps at least
+    ``min_filters`` filters.
+
+    Returns ``(keep_sets, fractions)`` where ``fractions`` is the
+    discovered per-layer drop schedule (conv idx -> dropped fraction) —
+    directly reusable as a ``--fractions`` argument, and the evidence of
+    the non-uniform allocation.
+
+    Raises ValueError if the budget is unreachable at ``min_filters``
+    (the message states the reachable floor so the caller can re-run).
+    """
+    if not 0.0 < target < 1.0:
+        raise ValueError(f"--target-flops must be in (0, 1), got {target}")
+    if min_filters < 1:
+        raise ValueError(f"min_filters must be >= 1, got {min_filters}")
+    for i in scores:
+        if not (0 <= i < len(spec.layers)
+                and isinstance(spec.layers[i], ConvLayer)):
+            raise ValueError(f"score for non-conv layer index {i}")
+        if len(scores[i]) != spec.layers[i].filters:
+            raise ValueError(
+                f"conv[{i}] has {spec.layers[i].filters} filters but "
+                f"{len(scores[i])} scores")
+
+    base = total_conv_flops(spec)
+    budget = target * base
+    alive = {i: spec.layers[i].filters for i in scores}
+    floor = total_conv_flops(spec, {i: min_filters for i in alive})
+    if budget < floor:
+        raise ValueError(
+            f"target {target:.4f} of conv FLOPs is below the reachable "
+            f"floor {floor / base:.4f} (all prunable convs at "
+            f"min_filters={min_filters}; protected convs cannot shrink) — "
+            f"raise --target-flops or prune the graph with --tied group "
+            f"first")
+
+    ns = _normalized(scores, norm)
+    # global ascending rank; ties broken (layer idx, filter idx) so the
+    # allocation is deterministic like every criterion in criteria.py
+    cand = sorted(((float(ns[i][j]), i, j)
+                   for i in ns for j in range(len(ns[i]))))
+    dropped: Dict[int, List[int]] = {i: [] for i in scores}
+    cur = total_conv_flops(spec, alive)
+    for _, i, j in cand:
+        if cur <= budget:
+            break
+        if alive[i] - 1 < min_filters:
+            continue
+        alive[i] -= 1
+        dropped[i].append(j)
+        cur = total_conv_flops(spec, alive)
+
+    keep = {}
+    fractions = {}
+    for i in scores:
+        gone = set(dropped[i])
+        keep[i] = np.asarray(
+            [j for j in range(len(scores[i])) if j not in gone], np.int32)
+        fractions[i] = len(gone) / len(scores[i])
+    return keep, fractions

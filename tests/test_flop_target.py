@@ -1,0 +1,162 @@
+"""FLOP-targeted automatic filter allocation (compress/flops.py).
+
+Pins the three contracts:
+* the alive-count FLOP model decomposes ``darknet.num_conv_flops`` exactly
+  and predicts the PHYSICALLY REPACKED network's FLOPs (route/reorg and
+  shortcut/upsample graphs both);
+* the greedy global rank lands at (and not meaningfully under) the budget,
+  respects min_filters, and fails loudly on unreachable targets;
+* low-importance layers get pruned MORE — the non-uniform allocation the
+  feature exists to discover.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from modelcompression_tpu.compress import (
+    conv_flops_by_layer, filter_scores_device, flop_targeted_keep_sets,
+    repack, total_conv_flops,
+)
+from modelcompression_tpu.data.fixtures import tiny_region_cfg, tiny_yolo3_cfg
+from modelcompression_tpu.models import (
+    init_params, num_conv_flops, parse_cfg, yolov2_voc,
+)
+from modelcompression_tpu.models.cfg import ConvLayer
+
+
+def _spec_params(cfg_text):
+    spec = parse_cfg(cfg_text)
+    return spec, init_params(spec, jax.random.key(0))
+
+
+def test_flop_model_matches_num_conv_flops():
+    """With no overrides the per-layer decomposition sums to the model
+    module's own accounting — on the route/reorg (v2) and
+    shortcut/upsample ([yolo]) graphs both."""
+    for spec in (yolov2_voc(),
+                 parse_cfg(tiny_yolo3_cfg(num_classes=3, width=64,
+                                          height=64))):
+        by_layer = conv_flops_by_layer(spec)
+        assert set(by_layer) == set(spec.conv_indices())
+        assert sum(by_layer.values()) == num_conv_flops(spec)
+        assert total_conv_flops(spec) == num_conv_flops(spec)
+
+
+def test_flop_model_predicts_repacked_flops():
+    """alive-count prediction == num_conv_flops of the actually repacked
+    spec, keep-sets from the real target-flops path."""
+    spec = yolov2_voc()
+    spec.net.width = spec.net.height = 96
+    params = init_params(spec, jax.random.key(1))
+    scores = filter_scores_device(params, spec)
+    keep, fractions = flop_targeted_keep_sets(spec, scores, target=0.3)
+    predicted = total_conv_flops(spec, {i: len(k) for i, k in keep.items()})
+    slim_spec, _ = repack(spec, params, keep)
+    assert predicted == num_conv_flops(slim_spec)
+    # budget respected, and not overshot into oblivion: one more filter
+    # anywhere costs well under 5% of base on this graph
+    base = total_conv_flops(spec)
+    assert predicted <= 0.3 * base
+    assert predicted > 0.25 * base
+    # the discovered schedule is a real non-uniform allocation
+    assert len(set(round(f, 3) for f in fractions.values())) > 1
+
+
+def test_low_importance_layers_pruned_more():
+    """Two-conv chain, hand scores: the layer whose (normalized) scores
+    are flat-low loses filters before the layer with concentrated
+    importance."""
+    spec, params = _spec_params(tiny_region_cfg(num_classes=3, width=64,
+                                                height=64))
+    convs = spec.conv_indices()
+    a, b = convs[0], convs[1]
+    rng = np.random.default_rng(0)
+    scores = {}
+    # conv a: one dominant filter, rest near-zero -> after l2 norm the
+    # rest rank lowest globally; conv b: uniform -> each mid-ranked
+    sa = np.full(spec.layers[a].filters, 1e-3)
+    sa[0] = 1.0
+    scores[a] = sa
+    scores[b] = np.ones(spec.layers[b].filters) + rng.uniform(
+        0, 1e-6, spec.layers[b].filters)
+    for i in convs[2:-1]:
+        scores[i] = np.ones(spec.layers[i].filters)
+    keep, fractions = flop_targeted_keep_sets(spec, scores, target=0.6)
+    assert fractions[a] > fractions[b]
+    # the dominant filter of conv a always survives
+    assert 0 in keep[a]
+
+
+def test_min_filters_and_unreachable_target():
+    spec, params = _spec_params(tiny_region_cfg(num_classes=3, width=64,
+                                                height=64))
+    scores = filter_scores_device(params, spec)
+    keep, _ = flop_targeted_keep_sets(spec, scores, target=0.05,
+                                      min_filters=2)
+    assert all(len(k) >= 2 for k in keep.values())
+    with pytest.raises(ValueError, match="reachable floor"):
+        flop_targeted_keep_sets(spec, scores, target=1e-6, min_filters=4)
+    with pytest.raises(ValueError, match="target"):
+        flop_targeted_keep_sets(spec, scores, target=1.5)
+    bad = dict(scores)
+    bad[next(iter(bad))] = np.ones(3)  # wrong length
+    with pytest.raises(ValueError, match="scores"):
+        flop_targeted_keep_sets(spec, bad, target=0.5)
+
+
+def test_keep_sets_are_valid_and_deterministic():
+    spec, params = _spec_params(tiny_region_cfg(num_classes=3, width=64,
+                                                height=64))
+    scores = filter_scores_device(params, spec)
+    k1, f1 = flop_targeted_keep_sets(spec, scores, target=0.4)
+    k2, f2 = flop_targeted_keep_sets(spec, scores, target=0.4)
+    for i in k1:
+        np.testing.assert_array_equal(k1[i], k2[i])
+        assert k1[i].dtype == np.int32
+        assert np.all(np.diff(k1[i]) > 0)  # sorted, unique
+        assert 1 <= len(k1[i]) <= spec.layers[i].filters
+    assert f1 == f2
+
+
+def test_prune_cli_target_flops(tmp_path):
+    """prune --mode l1_filter --target-flops: slimmed cfg+weights written,
+    resulting conv FLOPs within budget, guards fire."""
+    from modelcompression_tpu.cli import prune
+    from modelcompression_tpu.models import load_cfg, load_weights
+
+    cfg_text = tiny_region_cfg(num_classes=3, width=64, height=64)
+    cfg_path = str(tmp_path / "net.cfg")
+    open(cfg_path, "w").write(cfg_text)
+    spec = parse_cfg(cfg_text)
+    from modelcompression_tpu.models import save_weights
+    params = init_params(spec, jax.random.key(0))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+
+    out = str(tmp_path / "slim.weights")
+    out_cfg = str(tmp_path / "slim.cfg")
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--target-flops", "0.4",
+                     "--out", out, "--out-cfg", out_cfg])
+    assert rc == 0
+    slim = load_cfg(out_cfg)
+    load_weights(out, slim)  # roundtrips against the written cfg
+    assert num_conv_flops(slim) <= 0.4 * num_conv_flops(spec)
+    # head conv protected
+    convs = [l for l in slim.layers if isinstance(l, ConvLayer)]
+    assert convs[-1].filters == 5 * (5 + 3)
+
+    # guards: composing with --fraction, with --tied group, bad range
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--target-flops", "0.4",
+                     "--fraction", "0.5", "--out", out])
+    assert rc == 2
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--target-flops", "0.4",
+                     "--tied", "group", "--out", out])
+    assert rc == 2
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--target-flops", "1.4",
+                     "--out", out])
+    assert rc == 2
