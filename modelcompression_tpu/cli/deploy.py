@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack", default="huffman",
                    choices=("huffman", "fixed", "none"),
                    help="entropy-pack the weight-sharing artifact")
+    p.add_argument("--export", default="none",
+                   choices=("none", "saved_model", "tflite", "both"),
+                   help="stage 4: also export the fused serving program "
+                        "for off-TPU deployment (TF SavedModel and/or a "
+                        "builtin-ops TFLite flatbuffer with dynamic-range "
+                        "int8 weights); exports the slimmed f32 weights — "
+                        "QAT'd if stage 2 ran")
     p.add_argument("--batch", type=int, default=None,
                    help="training batch override (default: the cfg's)")
     p.add_argument("--eval-batch", type=int, default=8,
@@ -197,6 +204,34 @@ def main(argv=None) -> int:
         if (rc := eval_cli.main(ev)) != 0:
             return rc
         report["artifacts"]["deploy.cz"] = os.path.getsize(cz)
+
+    # stage 4: off-TPU edge export of the SAME fused serving program
+    # (SavedModel for TF serving stacks; builtin-ops TFLite for LiteRT
+    # mobile/edge with dynamic-range int8 weights). Uses the slimmed f32
+    # weights — QAT'd if stage 2 ran, so the deployed model is the one
+    # training rehearsed. Both exports self-verify against the live JAX
+    # program before returning (cli/export.py).
+    if args.export != "none":
+        from modelcompression_tpu.cli import export as export_cli
+        src_w = (out("slim-qat.weights") if args.qat_steps > 0 else slim_w)
+        print(f"== stage 4: edge export ({args.export}) ==")
+        if args.export in ("saved_model", "both"):
+            sm = out("saved_model")
+            if (rc := export_cli.main(
+                    ["--cfg", slim_cfg, "--weights", src_w,
+                     "--out", sm, "--batch", "1"])) != 0:
+                return rc
+            report["artifacts"]["saved_model"] = sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, fs in os.walk(sm) for f in fs)
+        if args.export in ("tflite", "both"):
+            tfl = out("slim.tflite")
+            if (rc := export_cli.main(
+                    ["--cfg", slim_cfg, "--weights", src_w,
+                     "--out", tfl, "--tflite", "--batch", "1",
+                     "--tflite-quantize", "dynamic"])) != 0:
+                return rc
+            report["artifacts"]["slim.tflite"] = os.path.getsize(tfl)
 
     report["wall_s"] = round(time.time() - t0, 1)
     with open(out("report.json"), "w") as f:

@@ -1,5 +1,6 @@
 """Export CLI — package the fused serving program as a TensorFlow
-SavedModel for deployment off-TPU (CPU/edge TF serving stacks).
+SavedModel (CPU/edge TF serving stacks) or, with ``--tflite``, as a
+TensorFlow Lite flatbuffer for LiteRT mobile/edge runtimes.
 
 What gets exported is the SAME one-program serving pipeline eval/detect
 run on the TPU — normalize -> forward -> decode -> NMS -> source-pixel
@@ -54,7 +55,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="top-K detections per class")
     p.add_argument("--platforms", default="cpu",
                    help="comma list of StableHLO lowering targets "
-                        "(cpu, tpu, cuda)")
+                        "(cpu, tpu, cuda); SavedModel only")
+    p.add_argument("--tflite", action="store_true",
+                   help="write a TensorFlow Lite flatbuffer instead of a "
+                        "SavedModel: --out is the .tflite file. The SAME "
+                        "fused serving program, converted via the jax HLO "
+                        "bridge into BUILTIN TFLite ops only (no flex "
+                        "delegate), so the artifact runs on stock LiteRT "
+                        "mobile/edge runtimes. f32 compute (TFLite has no "
+                        "bf16): --precision fast and --qmodel are "
+                        "rejected; use --tflite-quantize for edge-side "
+                        "weight compression")
+    p.add_argument("--tflite-quantize", default="none",
+                   choices=("none", "dynamic"),
+                   help="'dynamic' = TFLite dynamic-range quantization "
+                        "(int8 weights, float compute — the LiteRT-native "
+                        "analog of this repo's qmodel; ~4x smaller file). "
+                        "Verification becomes advisory (weights are "
+                        "perturbed by design)")
     p.add_argument("--precision", default=None,
                    choices=("bitmatch", "fast"),
                    help="compute precision baked into the graph: "
@@ -71,6 +89,74 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _export_tflite(serve, args, b: int, net_h: int, net_w: int) -> int:
+    """Convert the fused serving program to a TFLite flatbuffer.
+
+    The whole pipeline — letterbox matmuls, conv stack, decode, top-k NMS,
+    source-pixel mapping — legalizes to BUILTIN TFLite ops at f32 (no
+    flex/Select-TF ops), so the artifact runs on a stock LiteRT
+    interpreter with XNNPACK. Verified here by reloading the flatbuffer
+    and comparing against the live JAX program on a random batch.
+    """
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (b, net_h, net_w, 3), dtype=np.uint8)
+    ws = np.full((b,), float(net_w), np.float32)
+    hs = np.full((b,), float(net_h), np.float32)
+
+    conv = tf.lite.TFLiteConverter.experimental_from_jax(
+        [serve], [[("images", images), ("width", ws), ("height", hs)]])
+    if args.tflite_quantize == "dynamic":
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    flatbuffer = conv.convert()
+    with open(args.out, "wb") as f:
+        f.write(flatbuffer)
+    print(f"wrote TFLite flatbuffer to {args.out} "
+          f"({len(flatbuffer) / 1e6:.2f} MB, batch {b}, {net_h}x{net_w}, "
+          f"builtin ops only, "
+          f"{'dynamic-range int8 weights' if args.tflite_quantize == 'dynamic' else 'f32 weights'})")
+    if args.no_verify:
+        return 0
+
+    interp = tf.lite.Interpreter(model_content=flatbuffer)
+    interp.allocate_tensors()
+    ins = interp.get_input_details()
+    # the converter may reorder inputs; match by declared name suffix
+    by_name = {}
+    for d in ins:
+        for key, val in (("images", images), ("width", ws), ("height", hs)):
+            if key in d["name"]:
+                by_name[d["index"]] = val
+    if len(by_name) != 3:
+        by_name = {d["index"]: v for d, v in zip(ins, (images, ws, hs))}
+    for idx, val in by_name.items():
+        interp.set_tensor(idx, val)
+    interp.invoke()
+    got = [interp.get_tensor(d["index"])
+           for d in interp.get_output_details()]
+    want = [np.asarray(t) for t in serve(jnp.asarray(images),
+                                         jnp.asarray(ws), jnp.asarray(hs))]
+    names = ("boxes", "scores", "valid", "n_cand", "n_any")
+    if args.tflite_quantize == "dynamic":
+        # weights are perturbed by design — report drift, don't gate
+        agree = float(np.mean(got[2] == want[2]))
+        sdiff = float(np.max(np.abs(got[1] - want[1])))
+        print(f"verify (dynamic-range, advisory): valid-flag agreement "
+              f"{agree:.2%}, max score drift {sdiff:.2e}")
+        return 0
+    for name, g, w in zip(names, got, want):
+        if not np.allclose(g, w, rtol=1e-5, atol=1e-4):
+            print(f"error: verify mismatch on {name}: max diff "
+                  f"{np.max(np.abs(g.astype(np.float64) - w.astype(np.float64)))}",
+                  file=sys.stderr)
+            return 1
+    n = int(got[2].sum())
+    print(f"verify ok: TFLite == JAX on a random batch ({n} detections)")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if sum(map(bool, (args.weights, args.qmodel, args.cmodel))) != 1:
@@ -80,6 +166,23 @@ def main(argv=None) -> int:
     if args.batch < 1:
         print(f"error: --batch must be >= 1, got {args.batch}",
               file=sys.stderr)
+        return 2
+    if args.tflite_quantize != "none" and not args.tflite:
+        print("error: --tflite-quantize only applies with --tflite",
+              file=sys.stderr)
+        return 2
+    if args.tflite and args.qmodel:
+        # the qmodel hybrid's float convs are bf16 by construction and
+        # TFLite builtins have no bf16 — the graph cannot legalize.
+        # LiteRT-native int8 is --tflite-quantize dynamic instead.
+        print("error: --tflite cannot export --qmodel artifacts (their "
+              "hybrid float convs are bf16; TFLite has no bf16). Export "
+              "from --weights/--cmodel with --tflite-quantize dynamic "
+              "for an int8-weight edge artifact", file=sys.stderr)
+        return 2
+    if args.tflite and args.precision == "fast":
+        print("error: --tflite requires f32 ('bitmatch') compute — "
+              "TFLite has no bf16", file=sys.stderr)
         return 2
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
 
@@ -122,6 +225,8 @@ def main(argv=None) -> int:
 
         b = args.batch
         net_h, net_w = spec.net.height, spec.net.width
+        if args.tflite:
+            return _export_tflite(serve, args, b, net_h, net_w)
         sig = [tf.TensorSpec((b, net_h, net_w, 3), tf.uint8, name="images"),
                tf.TensorSpec((b,), tf.float32, name="width"),
                tf.TensorSpec((b,), tf.float32, name="height")]

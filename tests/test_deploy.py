@@ -33,13 +33,16 @@ def test_deploy_cli_end_to_end(tmp_path):
         "--out-dir", out_dir, "--fractions", "0.5",
         "--steps", "2", "--qat-steps", "2", "--cluster-bits", "4",
         "--batch", "2", "--eval-batch", "2", "--max-boxes", "8",
+        "--export", "tflite",
     ])
     assert rc == 0
 
-    # every documented artifact exists
+    # every documented artifact exists (incl. the stage-4 edge export)
     for name in ("slim.weights", "slim.cfg", "slim-qat.weights",
-                 "deploy.qz", "deploy.cz", "report.json"):
+                 "deploy.qz", "deploy.cz", "slim.tflite", "report.json"):
         assert os.path.exists(os.path.join(out_dir, name)), name
+    assert json.load(open(os.path.join(out_dir, "report.json")))[
+        "artifacts"]["slim.tflite"] > 0
 
     report = json.load(open(os.path.join(out_dir, "report.json")))
     assert set(report["stages"]) == {"baseline", "pruned", "int8"}

@@ -86,6 +86,75 @@ def test_export_savedmodel_yolov3(tmp_path):
     assert scores.shape == valid.shape == boxes.shape[:3]
 
 
+def test_export_tflite_roundtrip(tmp_path):
+    """--tflite converts the SAME fused serving program to builtin-only
+    TFLite ops (the CLI's own reload-and-compare gates rc 0), and the
+    flatbuffer runs standalone in the stock TFLite interpreter."""
+    from modelcompression_tpu.cli import export
+
+    cfg_path, w_path, spec, _ = _model(tmp_path)
+    out = str(tmp_path / "model.tflite")
+    rc = export.main(["--cfg", cfg_path, "--weights", w_path,
+                      "--out", out, "--tflite", "--batch", "2",
+                      "--conf", "0.001", "--max-det", "8"])
+    assert rc == 0  # includes the CLI's reload-and-compare vs live JAX
+    assert os.path.getsize(out) > 0
+
+    # independent serve: TFLite interpreter alone, correct shapes
+    interp = tf.lite.Interpreter(model_path=out)
+    interp.allocate_tensors()
+    rng = np.random.default_rng(1)
+    feeds = {"images": rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+             "width": np.full((2,), 64.0, np.float32),
+             "height": np.full((2,), 64.0, np.float32)}
+    for d in interp.get_input_details():
+        key = next(k for k in feeds if k in d["name"])
+        interp.set_tensor(d["index"], feeds[key])
+    interp.invoke()
+    outs = [interp.get_tensor(d["index"])
+            for d in interp.get_output_details()]
+    assert len(outs) == 5
+    assert outs[0].shape == (2, 3, 8, 4)  # boxes (B, C, K, 4)
+
+    # dynamic-range quantization: still converts + runs, smaller file
+    out_q = str(tmp_path / "model_dyn.tflite")
+    rc = export.main(["--cfg", cfg_path, "--weights", w_path,
+                      "--out", out_q, "--tflite", "--batch", "2",
+                      "--tflite-quantize", "dynamic",
+                      "--conf", "0.001", "--max-det", "8"])
+    assert rc == 0
+    assert os.path.getsize(out_q) < 0.5 * os.path.getsize(out)
+
+    # usage errors: bf16 has no TFLite legalization; quantize flag is
+    # tflite-only
+    assert export.main(["--cfg", cfg_path, "--weights", w_path,
+                        "--out", out, "--tflite",
+                        "--precision", "fast"]) == 2
+    assert export.main(["--cfg", cfg_path, "--weights", w_path,
+                        "--out", out,
+                        "--tflite-quantize", "dynamic"]) == 2
+
+
+def test_export_tflite_rejects_qmodel(tmp_path):
+    """qmodel artifacts bake bf16 hybrid float convs — TFLite has no
+    bf16, so the combination is rejected up front with guidance."""
+    from modelcompression_tpu.cli import export
+    from modelcompression_tpu.compress import (
+        quantize_from_batches, save_qmodel,
+    )
+
+    cfg_path, w_path, spec, params = _model(tmp_path, seed=1)
+    rng = np.random.default_rng(2)
+    q = quantize_from_batches(
+        fold_batchnorm(params, spec), spec,
+        [rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)])
+    qm = str(tmp_path / "model.qz")
+    save_qmodel(qm, q, spec)
+    rc = export.main(["--cfg", cfg_path, "--qmodel", qm,
+                      "--out", str(tmp_path / "m.tflite"), "--tflite"])
+    assert rc == 2
+
+
 def test_export_qmodel(tmp_path):
     """int8 deployment artifacts export too (quantized grids baked in)."""
     from modelcompression_tpu.cli import export
