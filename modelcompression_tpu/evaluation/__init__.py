@@ -12,7 +12,8 @@ from modelcompression_tpu.evaluation.nms import (
     soft_nms_topk,
 )
 from modelcompression_tpu.evaluation.voc_map import (
-    Detection, GroundTruth, class_ap, coco_map, mean_ap, voc_ap,
+    COCO_AREA_RANGES, Detection, GroundTruth, class_ap, coco_map,
+    coco_map_by_area, mean_ap, voc_ap,
 )
 from modelcompression_tpu.evaluation.pipeline import (
     EvalConfig, EvalResult, dump_detections, evaluate, make_eval_step,
@@ -30,8 +31,8 @@ __all__ = [
     "diou_penalty", "pairwise_diou_penalty",
     "iou_corners", "nms_padded", "nms_topk",
     "pairwise_iou", "per_class_nms", "per_class_nms_padded",
-    "Detection", "GroundTruth", "class_ap", "coco_map", "mean_ap",
-    "voc_ap",
+    "COCO_AREA_RANGES", "Detection", "GroundTruth", "class_ap",
+    "coco_map", "coco_map_by_area", "mean_ap", "voc_ap",
     "EvalConfig", "EvalResult", "dump_detections", "evaluate",
     "make_eval_step",
     "RecallResult", "evaluate_recall", "make_recall_step",

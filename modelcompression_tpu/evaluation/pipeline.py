@@ -503,11 +503,15 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
     m, per_class = mean_ap(dets, gts, iou_thresh=config.map_iou,
                            use_07_metric=config.use_07_metric,
                            devkit_iou=config.devkit_iou)
-    m_coco, per_class_coco = (None, None)
+    m_coco, per_class_coco, coco_area = (None, None, None)
     if config.coco_map:
-        from modelcompression_tpu.evaluation.voc_map import coco_map
+        from modelcompression_tpu.evaluation.voc_map import (
+            coco_map, coco_map_by_area,
+        )
         m_coco, per_class_coco = coco_map(dets, gts,
                                           devkit_iou=config.devkit_iou)
+        coco_area = coco_map_by_area(dets, gts,
+                                     devkit_iou=config.devkit_iou)
     return EvalResult(
         map50=m, per_class_ap=per_class, detections=dets,
         n_images=n_images,
@@ -524,7 +528,8 @@ def evaluate(params: Params, spec: NetworkSpec, samples: Sequence[Sample],
         prefilter_overflow_frac=(n_pf_overflow / n_images
                                  if n_images else 0.0),
         prefilter_max_candidates=max_any,
-        map_coco=m_coco, per_class_ap_coco=per_class_coco)
+        map_coco=m_coco, per_class_ap_coco=per_class_coco,
+        map_coco_area=coco_area)
 
 
 @dataclasses.dataclass
@@ -569,6 +574,10 @@ class EvalResult:
     # mAP@[.50:.95] (voc_map.coco_map; None unless EvalConfig.coco_map)
     map_coco: Optional[float] = None
     per_class_ap_coco: Optional[Dict[str, float]] = None
+    # COCO size-band diagnostics {small, medium, large} -> AP@[.50:.95]
+    # (None for a band with no in-band GT); voc_map.coco_map_by_area,
+    # populated alongside map_coco
+    map_coco_area: Optional[Dict[str, float]] = None
 
     def summary(self) -> str:
         at = f"{self.map_iou * 100:g}"
@@ -592,6 +601,10 @@ class EvalResult:
         if self.map_coco is not None:
             lines.append(f"mAP@[.50:.95] (all-point, COCO IoU ladder): "
                          f"{self.map_coco * 100:.2f}")
+        if self.map_coco_area is not None:
+            lines.append("AP by object size: " + "  ".join(
+                f"{band}={'n/a' if ap is None else f'{ap * 100:.2f}'}"
+                for band, ap in self.map_coco_area.items()))
         if self.exact_nms:
             lines.append(
                 f"NMS: exact greedy over all candidates "

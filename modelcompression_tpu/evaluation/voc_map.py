@@ -70,24 +70,50 @@ def voc_ap(recall: np.ndarray, precision: np.ndarray,
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def _box_area(box, k: float) -> float:
+    return (max(box[2] - box[0] + k, 0.0) * max(box[3] - box[1] + k, 0.0))
+
+
 def class_ap(detections: Sequence[Detection],
              ground_truths: Sequence[GroundTruth],
              iou_thresh: float = 0.5,
              use_07_metric: bool = True,
-             devkit_iou: bool = False) -> float:
+             devkit_iou: bool = False,
+             area_range: Tuple[float, float] = None) -> float:
     """AP for one class over a whole dataset.
 
     ``devkit_iou=True`` uses the VOC devkit's +1 inclusive-pixel IoU
     (boxes in pixel coordinates — what evaluate() produces); False keeps
-    the continuous convention (unit-agnostic, e.g. normalized boxes)."""
-    npos = sum(1 for g in ground_truths if not g.difficult)
+    the continuous convention (unit-agnostic, e.g. normalized boxes).
+
+    ``area_range=(lo, hi)`` restricts the AP to objects with
+    lo <= box area < hi (pycocotools' area-band semantics): out-of-band
+    GT are IGNORED exactly like ``difficult`` (excluded from recall's
+    denominator, matches neither rewarded nor penalized), and an
+    UNMATCHED detection whose own area is out of band is ignored rather
+    than counted as a false positive (matched detections are never
+    area-ignored). Areas use the same +1 convention as the IoU choice.
+    """
+    k = 1.0 if devkit_iou else 0.0
+
+    def ignored(g: GroundTruth) -> bool:
+        if g.difficult:
+            return True
+        return area_range is not None and not (
+            area_range[0] <= _box_area(g.box, k) < area_range[1])
+
+    def det_out_of_band(d: Detection) -> bool:
+        return area_range is not None and not (
+            area_range[0] <= _box_area(d.box, k) < area_range[1])
+
+    npos = sum(1 for g in ground_truths if not ignored(g))
     if npos == 0:
         return 0.0
     gt_by_image: Dict[str, List[GroundTruth]] = {}
     for g in ground_truths:
         gt_by_image.setdefault(g.image_id, []).append(g)
     matched: Dict[str, np.ndarray] = {
-        k: np.zeros(len(v), bool) for k, v in gt_by_image.items()}
+        k_: np.zeros(len(v), bool) for k_, v in gt_by_image.items()}
 
     dets = sorted(detections, key=lambda d: -d.score)
     tp = np.zeros(len(dets))
@@ -95,21 +121,22 @@ def class_ap(detections: Sequence[Detection],
     for i, d in enumerate(dets):
         gts = gt_by_image.get(d.image_id, [])
         if not gts:
-            fp[i] = 1
+            if not det_out_of_band(d):
+                fp[i] = 1
             continue
         gt_boxes = np.array([g.box for g in gts], dtype=np.float64)
         ious = _iou_np(np.asarray(d.box, np.float64), gt_boxes,
                        inclusive=1.0 if devkit_iou else 0.0)
         j = int(np.argmax(ious))
         if ious[j] >= iou_thresh:
-            if gts[j].difficult:
+            if ignored(gts[j]):
                 continue  # ignore: neither tp nor fp
             if not matched[d.image_id][j]:
                 matched[d.image_id][j] = True
                 tp[i] = 1
-            else:
+            elif not det_out_of_band(d):
                 fp[i] = 1  # duplicate detection of a matched GT
-        else:
+        elif not det_out_of_band(d):
             fp[i] = 1
 
     ctp = np.cumsum(tp)
@@ -149,6 +176,47 @@ def coco_map(detections_by_class: Dict[str, List[Detection]],
             for t in COCO_IOUS]))
     m = float(np.mean(list(per_class.values()))) if per_class else 0.0
     return m, per_class
+
+
+# COCO's object-size bands (areas in px²; box area stands in for COCO's
+# segmentation area — stated so numbers are comparable)
+COCO_AREA_RANGES = {
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, float("inf")),
+}
+
+
+def coco_map_by_area(
+        detections_by_class: Dict[str, List[Detection]],
+        gts_by_class: Dict[str, List[GroundTruth]],
+        devkit_iou: bool = False) -> Dict[str, float]:
+    """AP_small / AP_medium / AP_large — COCO's size-band diagnostics
+    (pycocotools ``areaRng``), on the VOC matching protocol like
+    :func:`coco_map`: per band, the all-point AP averaged over the
+    0.50:0.05:0.95 IoU ladder and over classes. Classes with no
+    in-band ground truth are skipped for that band (pycocotools' -1
+    exclusion); a band with no ground truth at all maps to ``None``.
+    Detector eval on small objects is the usual pruning casualty, so
+    the bands localize WHERE compression hurt before the headline mAP
+    moves.
+    """
+    k = 1.0 if devkit_iou else 0.0
+    out: Dict[str, float] = {}
+    for band, rng in COCO_AREA_RANGES.items():
+        per_class = []
+        for cls, gts in gts_by_class.items():
+            if not any(not g.difficult
+                       and rng[0] <= _box_area(g.box, k) < rng[1]
+                       for g in gts):
+                continue
+            dets = detections_by_class.get(cls, [])
+            per_class.append(float(np.mean([
+                class_ap(dets, gts, iou_thresh=t, use_07_metric=False,
+                         devkit_iou=devkit_iou, area_range=rng)
+                for t in COCO_IOUS])))
+        out[band] = float(np.mean(per_class)) if per_class else None
+    return out
 
 
 def mean_ap(detections_by_class: Dict[str, List[Detection]],

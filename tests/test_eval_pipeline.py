@@ -169,10 +169,15 @@ def test_evaluate_coco_map(tmp_path):
     assert set(res.per_class_ap_coco) == set(res.per_class_ap)
     assert "mAP@[.50:.95]" in res.summary()
     assert "AP@[.50:.95]" in res.summary()  # per-class column header
+    # size-band diagnostics ride along (band math pinned in test_voc_map)
+    assert set(res.map_coco_area) == {"small", "medium", "large"}
+    assert any(ap is not None for ap in res.map_coco_area.values())
+    assert "AP by object size:" in res.summary()
 
     cfg_off = EvalConfig(batch_size=2, max_detections=10)
     res_off = evaluate(params, spec, samples, FIXTURE_CLASSES, cfg_off)
     assert res_off.map_coco is None
+    assert res_off.map_coco_area is None
     assert "mAP@[.50:.95]" not in res_off.summary()
 
 

@@ -111,6 +111,61 @@ def test_coco_map_skips_empty_and_all_difficult_classes():
     assert m == approx(1.0)
 
 
+def test_coco_area_ranges_are_the_published_bands():
+    from modelcompression_tpu.evaluation import COCO_AREA_RANGES
+    assert COCO_AREA_RANGES["small"] == (0.0, 1024.0)
+    assert COCO_AREA_RANGES["medium"] == (1024.0, 9216.0)
+    assert COCO_AREA_RANGES["large"][0] == 9216.0
+
+
+def test_coco_map_by_area_hand_computed():
+    """One small GT (20x20=400 px² < 32²) detected perfectly, one large
+    GT (200x200 px²) missed entirely: AP_small = 1.0 (the large GT is
+    ignored in the small band — the miss doesn't hurt it), AP_large =
+    0.0, AP_medium = None (no in-band GT)."""
+    from modelcompression_tpu.evaluation import coco_map_by_area
+    small = (0.0, 0.0, 20.0, 20.0)
+    large = (50.0, 50.0, 250.0, 250.0)
+    gts = {"a": [GroundTruth("im1", small), GroundTruth("im1", large)]}
+    dets = {"a": [Detection("im1", 0.9, small)]}
+    by_area = coco_map_by_area(dets, gts, devkit_iou=False)
+    assert by_area["small"] == approx(1.0)
+    assert by_area["large"] == approx(0.0)
+    assert by_area["medium"] is None
+
+
+def test_area_band_ignores_out_of_band_unmatched_detection():
+    """pycocotools dtIg semantics: an unmatched detection whose own area
+    is outside the band is IGNORED (not a false positive) — a spurious
+    large-box detection must not drag AP_small down. A matched detection
+    is never area-ignored."""
+    small = (0.0, 0.0, 20.0, 20.0)
+    big_fp = (100.0, 100.0, 300.0, 300.0)  # matches nothing, out of band
+    gts = [GroundTruth("im1", small)]
+    dets = [Detection("im1", 0.95, big_fp),  # higher-ranked than the tp
+            Detection("im1", 0.90, small)]
+    band = (0.0, 32.0 ** 2)
+    ap = class_ap(dets, gts, iou_thresh=0.5, use_07_metric=False,
+                  area_range=band)
+    assert ap == approx(1.0)
+    # the same spurious box DOES count against the unbanded AP
+    ap_all = class_ap(dets, gts, iou_thresh=0.5, use_07_metric=False)
+    assert ap_all < 1.0
+
+
+def test_area_band_out_of_band_gt_is_ignored_like_difficult():
+    """A detection matching an out-of-band GT is neither tp nor fp, and
+    the out-of-band GT doesn't enter recall's denominator."""
+    small = (0.0, 0.0, 20.0, 20.0)
+    large = (50.0, 50.0, 250.0, 250.0)
+    gts = [GroundTruth("im1", small), GroundTruth("im1", large)]
+    dets = [Detection("im1", 0.95, large),  # matches the ignored GT
+            Detection("im1", 0.90, small)]
+    ap = class_ap(dets, gts, iou_thresh=0.5, use_07_metric=False,
+                  area_range=(0.0, 32.0 ** 2))
+    assert ap == approx(1.0)
+
+
 def test_mean_ap_skips_empty_classes():
     gts = {"a": [GroundTruth("im1", BOX_A)], "b": []}
     dets = {"a": [Detection("im1", 0.9, BOX_A)], "b": []}
