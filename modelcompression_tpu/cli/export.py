@@ -123,15 +123,27 @@ def _export_tflite(serve, args, b: int, net_h: int, net_w: int) -> int:
     interp = tf.lite.Interpreter(model_content=flatbuffer)
     interp.allocate_tensors()
     ins = interp.get_input_details()
-    # the converter may reorder inputs; match by declared name suffix
-    by_name = {}
+    # the converter may reorder inputs; match each tensor to exactly one
+    # argument by declared-name substring — FIRST key wins per tensor and
+    # each key is consumed once, so a name containing two keys cannot
+    # steal another input's slot. Positional fallback is announced so a
+    # verify mismatch stays attributable (ADVICE r3).
+    feeds = (("images", images), ("width", ws), ("height", hs))
+    by_index = {}
+    used = set()
     for d in ins:
-        for key, val in (("images", images), ("width", ws), ("height", hs)):
-            if key in d["name"]:
-                by_name[d["index"]] = val
-    if len(by_name) != 3:
-        by_name = {d["index"]: v for d, v in zip(ins, (images, ws, hs))}
-    for idx, val in by_name.items():
+        for key, val in feeds:
+            if key in d["name"] and key not in used:
+                by_index[d["index"]] = val
+                used.add(key)
+                break
+    if len(by_index) != len(ins):
+        print(f"note: TFLite input names "
+              f"{[d['name'] for d in ins]} did not match "
+              "images/width/height 1:1 by substring; assigning "
+              "positionally")
+        by_index = {d["index"]: v for d, (_, v) in zip(ins, feeds)}
+    for idx, val in by_index.items():
         interp.set_tensor(idx, val)
     interp.invoke()
     got = [interp.get_tensor(d["index"])
@@ -139,6 +151,24 @@ def _export_tflite(serve, args, b: int, net_h: int, net_w: int) -> int:
     want = [np.asarray(t) for t in serve(jnp.asarray(images),
                                          jnp.asarray(ws), jnp.asarray(hs))]
     names = ("boxes", "scores", "valid", "n_cand", "n_any")
+    # get_output_details() order is not contractually the JAX output
+    # order: pair each expected output with the UNIQUE TFLite output of
+    # the same (dtype-kind, shape) before comparing anything, so a
+    # reordered model fails loudly here instead of feeding the advisory
+    # stats below the wrong tensors (ADVICE r3)
+    sig = lambda a: (np.dtype(a.dtype).kind, tuple(a.shape))
+    remaining = list(range(len(got)))
+    ordered = []
+    for name, w in zip(names, want):
+        match = [i for i in remaining if sig(got[i]) == sig(w)]
+        if len(match) != 1:
+            print(f"error: cannot pair TFLite output for {name} "
+                  f"{sig(w)}: {len(match)} candidates among "
+                  f"{[sig(got[i]) for i in remaining]}", file=sys.stderr)
+            return 1
+        ordered.append(got[match[0]])
+        remaining.remove(match[0])
+    got = ordered
     if args.tflite_quantize == "dynamic":
         # weights are perturbed by design — report drift, don't gate
         agree = float(np.mean(got[2] == want[2]))

@@ -87,12 +87,18 @@ def class_ap(detections: Sequence[Detection],
     the continuous convention (unit-agnostic, e.g. normalized boxes).
 
     ``area_range=(lo, hi)`` restricts the AP to objects with
-    lo <= box area < hi (pycocotools' area-band semantics): out-of-band
-    GT are IGNORED exactly like ``difficult`` (excluded from recall's
-    denominator, matches neither rewarded nor penalized), and an
-    UNMATCHED detection whose own area is out of band is ignored rather
-    than counted as a false positive (matched detections are never
-    area-ignored). Areas use the same +1 convention as the IoU choice.
+    lo <= box area <= hi (pycocotools' area-band semantics, INCLUSIVE
+    upper bound like its ``aRng`` check — a box of exactly 32² px² lands
+    in both adjacent bands, as it does there): out-of-band GT are IGNORED
+    exactly like ``difficult`` (excluded from recall's denominator,
+    matches neither rewarded nor penalized), and an UNMATCHED detection
+    whose own area is out of band is ignored rather than counted as a
+    false positive (matched detections are never area-ignored). Areas use
+    the same +1 convention as the IoU choice. Matching prefers the
+    best NON-ignored GT above the IoU threshold before falling back to an
+    ignored one (pycocotools' preference), so an in-band GT is not left
+    unmatched just because a difficult/out-of-band GT overlaps slightly
+    more.
     """
     k = 1.0 if devkit_iou else 0.0
 
@@ -100,11 +106,11 @@ def class_ap(detections: Sequence[Detection],
         if g.difficult:
             return True
         return area_range is not None and not (
-            area_range[0] <= _box_area(g.box, k) < area_range[1])
+            area_range[0] <= _box_area(g.box, k) <= area_range[1])
 
     def det_out_of_band(d: Detection) -> bool:
         return area_range is not None and not (
-            area_range[0] <= _box_area(d.box, k) < area_range[1])
+            area_range[0] <= _box_area(d.box, k) <= area_range[1])
 
     npos = sum(1 for g in ground_truths if not ignored(g))
     if npos == 0:
@@ -127,7 +133,15 @@ def class_ap(detections: Sequence[Detection],
         gt_boxes = np.array([g.box for g in gts], dtype=np.float64)
         ious = _iou_np(np.asarray(d.box, np.float64), gt_boxes,
                        inclusive=1.0 if devkit_iou else 0.0)
-        j = int(np.argmax(ious))
+        # prefer the best NON-ignored GT above threshold; only when none
+        # clears it fall back to the plain argmax (which may be ignored —
+        # the detection is then dropped from the curve). Without this, a
+        # detection whose highest-IoU GT is difficult/out-of-band would
+        # leave an in-band GT that also clears the threshold unmatched
+        # (pycocotools prefers non-ignored GTs during matching).
+        live = np.array([not ignored(g) for g in gts])
+        cand = np.where(live & (ious >= iou_thresh), ious, -1.0)
+        j = int(np.argmax(cand)) if cand.max() >= 0 else int(np.argmax(ious))
         if ious[j] >= iou_thresh:
             if ignored(gts[j]):
                 continue  # ignore: neither tp nor fp
@@ -179,7 +193,9 @@ def coco_map(detections_by_class: Dict[str, List[Detection]],
 
 
 # COCO's object-size bands (areas in px²; box area stands in for COCO's
-# segmentation area — stated so numbers are comparable)
+# segmentation area — stated so numbers are comparable). Band membership
+# is lo <= area <= hi with INCLUSIVE bounds, mirroring pycocotools'
+# aRng check exactly: a 32²/96² px² box belongs to both adjacent bands.
 COCO_AREA_RANGES = {
     "small": (0.0, 32.0 ** 2),
     "medium": (32.0 ** 2, 96.0 ** 2),
@@ -207,7 +223,7 @@ def coco_map_by_area(
         per_class = []
         for cls, gts in gts_by_class.items():
             if not any(not g.difficult
-                       and rng[0] <= _box_area(g.box, k) < rng[1]
+                       and rng[0] <= _box_area(g.box, k) <= rng[1]
                        for g in gts):
                 continue
             dets = detections_by_class.get(cls, [])

@@ -166,6 +166,43 @@ def test_area_band_out_of_band_gt_is_ignored_like_difficult():
     assert ap == approx(1.0)
 
 
+def test_matching_prefers_non_ignored_gt_above_threshold():
+    """ADVICE r3: a detection overlapping a difficult GT slightly more
+    than a live GT must still match the live GT when both clear the IoU
+    threshold (pycocotools prefers non-ignored GTs during matching);
+    the plain argmax would leave the live GT unmatched."""
+    live = (0.0, 0.0, 10.0, 10.0)
+    diff = (0.0, 0.0, 10.0, 11.0)  # overlaps the det slightly more
+    det = (0.0, 0.0, 10.0, 10.5)
+    gts = [GroundTruth("im1", diff, difficult=True),
+           GroundTruth("im1", live)]
+    dets = [Detection("im1", 0.9, det)]
+    assert class_ap(dets, gts, use_07_metric=False) == approx(1.0)
+
+
+def test_matching_falls_back_to_ignored_gt_below_threshold():
+    """When only the ignored GT clears the threshold the detection is
+    dropped from the curve (neither tp nor fp), exactly as before."""
+    diff = (0.0, 0.0, 10.0, 10.0)
+    far_live = (50.0, 50.0, 60.0, 60.0)
+    gts = [GroundTruth("im1", diff, difficult=True),
+           GroundTruth("im1", far_live)]
+    dets = [Detection("im1", 0.9, diff),
+            Detection("im1", 0.8, far_live)]
+    assert class_ap(dets, gts, use_07_metric=False) == approx(1.0)
+
+
+def test_area_band_bounds_are_inclusive_like_pycocotools():
+    """A box of exactly 32^2 px^2 belongs to BOTH the small and medium
+    bands (pycocotools' aRng bounds are inclusive on both ends)."""
+    boundary = (0.0, 0.0, 32.0, 32.0)  # area exactly 1024 px^2
+    gts = [GroundTruth("im1", boundary)]
+    dets = [Detection("im1", 0.9, boundary)]
+    for band in ((0.0, 32.0 ** 2), (32.0 ** 2, 96.0 ** 2)):
+        assert class_ap(dets, gts, use_07_metric=False,
+                        area_range=band) == approx(1.0)
+
+
 def test_mean_ap_skips_empty_classes():
     gts = {"a": [GroundTruth("im1", BOX_A)], "b": []}
     dets = {"a": [Detection("im1", 0.9, BOX_A)], "b": []}
