@@ -160,6 +160,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterate-mode", default="l1_filter",
                    choices=("l1_filter", "bn_gamma", "fpgm", "taylor",
                             "magnitude", "global", "lamp"))
+    p.add_argument("--tied", default="protect",
+                   choices=("protect", "group"),
+                   help="residual-graph policy for the structured "
+                        "--iterate modes (same knob as prune --tied): "
+                        "'protect' (default) keeps shortcut-tied convs; "
+                        "'group' prunes each tied group with ONE shared "
+                        "keep-set ranked by group-summed scores — slims "
+                        "the residual identity paths, paired with each "
+                        "round's fine-tune recovery (the Li et al. §4.2 "
+                        "sensitive-layer case the one-shot prune CLI "
+                        "cannot recover)")
     p.add_argument("--taylor-batches", type=int, default=8,
                    help="--iterate-mode taylor: training batches per round "
                         "the gate-gradient filter scores average over "
@@ -199,6 +210,14 @@ def main(argv=None) -> int:
         print("error: eval dataset is empty (check the .data valid= list "
               "or the devkit image set) — refusing to train for nothing",
               file=sys.stderr)
+        return 2
+    if args.tied == "group" and (
+            not args.iterate
+            or args.iterate_mode not in ("l1_filter", "bn_gamma", "fpgm")):
+        print("error: --tied group requires --iterate with a data-free "
+              "structured mode (l1_filter | bn_gamma | fpgm); taylor's "
+              "gate-gradient scores have no group-summed form and the "
+              "masked modes have no keep-sets to tie", file=sys.stderr)
         return 2
     if args.preserve_sparsity and args.iterate:
         print("error: --preserve-sparsity cannot be combined with "
@@ -361,7 +380,7 @@ def main(argv=None) -> int:
             logger=logger, ckpt_dir=args.ckpt_dir, resume=args.resume,
             initial_seen=seen, mesh=mesh, tp=tp,
             mask_backend=args.mask_backend, distill=distill_plan,
-            taylor_batches=args.taylor_batches)
+            taylor_batches=args.taylor_batches, tied=args.tied)
         if not rounds:
             print("nothing to do: all rounds already checkpointed")
             return 0

@@ -131,7 +131,8 @@ def iterative_prune_finetune(
         mesh=None, tp: bool = False,
         mask_backend: str = DEFAULT_MASK_BACKEND,
         distill: Optional[DistillPlan] = None,
-        taylor_batches: int = 8) -> List[IterativeRound]:
+        taylor_batches: int = 8,
+        tied: str = "protect") -> List[IterativeRound]:
     """The reference's iterative loop (BASELINE.json:10), TPU-first.
 
     ``fractions`` is the cumulative prune schedule (e.g. 0.25, 0.5, 0.75).
@@ -152,7 +153,24 @@ def iterative_prune_finetune(
     ``mask_backend`` selects the magnitude/global mask implementation
     ('fused' one-program XLA default | 'pallas' Mosaic twins |
     'reference' per-shape argsort oracle — compress/backend.py).
+
+    ``tied`` is the residual-graph policy for the data-free structured
+    modes (``l1_filter`` | ``bn_gamma`` | ``fpgm``): ``protect``
+    (default) leaves shortcut-tied convs unpruned; ``group`` prunes each
+    tied group with ONE shared keep-set ranked by group-summed scores
+    (criteria.tied_group_keep_sets) — the aggressive Li et al. §4.2
+    recipe that slims residual identity paths, WITH the fine-tune
+    recovery this loop provides each round (exactly the accuracy-
+    sensitive case the one-shot prune CLI cannot recover). ``taylor``
+    rejects ``group`` — its gate-gradient scores have no group-summed
+    form here.
     """
+    if tied not in ("protect", "group"):
+        raise ValueError(f"tied must be 'protect' or 'group', got {tied!r}")
+    if tied == "group" and mode not in ("l1_filter", "bn_gamma", "fpgm"):
+        raise ValueError(
+            f"tied='group' composes with the data-free structured modes "
+            f"(l1_filter | bn_gamma | fpgm), not {mode!r}")
     rng = rng if rng is not None else jax.random.key(0)
     logger = logger or MetricsLogger()
     rounds: List[IterativeRound] = []
@@ -208,7 +226,8 @@ def iterative_prune_finetune(
                 keep_sets = uniform_filter_fraction_keep_sets(
                     spec, params, inc,
                     criterion={"bn_gamma": "bn_gamma",
-                               "fpgm": "fpgm"}.get(mode, "l1"))
+                               "fpgm": "fpgm"}.get(mode, "l1"),
+                    tied=tied)
             if repack_each_round:
                 spec, params = repack(spec, params, keep_sets)
                 channel_masks = {}

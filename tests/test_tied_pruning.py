@@ -114,6 +114,77 @@ def test_full_yolov3_group_coverage():
     assert num_params(new_params) < 0.15 * num_params(params)
 
 
+def test_iterative_loop_tied_group(tmp_path):
+    """VERDICT r3 #4: the iterative prune->fine-tune->eval loop drives
+    tied-group structured pruning (the measured-fastest v3 config),
+    slimming residual identity paths WITH per-round fine-tune recovery —
+    previously reachable only from the one-shot prune CLI."""
+    from modelcompression_tpu.data.fixtures import make_fake_voc
+    from modelcompression_tpu.data.voc import (
+        load_list_dataset, read_data_cfg,
+    )
+    from modelcompression_tpu.train import (
+        BatchLoader, TrainConfig, iterative_prune_finetune,
+    )
+    from modelcompression_tpu.utils.logging import MetricsLogger
+
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3))
+    params = init_params(spec, jax.random.key(3))
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=4,
+                             image_size=64, seed=0)
+    samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
+    loader = BatchLoader(samples, batch_size=2, net_h=64, net_w=64,
+                         max_boxes=8)
+    config = TrainConfig.from_spec(spec, augment_jitter=0.0, max_boxes=8)
+
+    def eval_fn(s, p):
+        return {"n_params": num_params(p)}
+
+    rounds = iterative_prune_finetune(
+        spec, params, config, loader, fractions=[0.5],
+        steps_per_round=2, eval_fn=eval_fn, mode="l1_filter",
+        logger=MetricsLogger(print_every=0), tied="group")
+    slim = rounds[-1].spec
+    # the tied group {2,5} is slimmed (protect mode would keep 32)
+    assert slim.layers[2].filters == 16
+    assert slim.layers[5].filters == 16
+    assert num_params(rounds[-1].params) < num_params(params)
+
+    # invalid compositions fail loudly, not silently fall through
+    with pytest.raises(ValueError, match="tied"):
+        iterative_prune_finetune(
+            spec, params, config, loader, fractions=[0.5],
+            steps_per_round=1, eval_fn=eval_fn, mode="taylor",
+            logger=MetricsLogger(print_every=0), tied="group")
+    with pytest.raises(ValueError, match="tied"):
+        iterative_prune_finetune(
+            spec, params, config, loader, fractions=[0.5],
+            steps_per_round=1, eval_fn=eval_fn, mode="magnitude",
+            logger=MetricsLogger(print_every=0), tied="group")
+
+
+def test_finetune_cli_rejects_bad_tied_compositions(tmp_path):
+    from modelcompression_tpu.cli import finetune as ft_cli
+    from modelcompression_tpu.data.fixtures import make_fake_voc
+    from modelcompression_tpu.models import dump_cfg, save_weights
+
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3))
+    params = init_params(spec, jax.random.key(4))
+    cfg_path = str(tmp_path / "v3.cfg")
+    open(cfg_path, "w").write(dump_cfg(spec))
+    wpath = str(tmp_path / "v3.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    data_cfg = make_fake_voc(str(tmp_path / "d"), n_images=2,
+                             image_size=64, seed=0)
+    base = ["--cfg", cfg_path, "--weights", wpath, "--data", data_cfg,
+            "--steps", "1", "--out", str(tmp_path / "o.weights")]
+    # --tied group without --iterate
+    assert ft_cli.main(base + ["--tied", "group"]) == 2
+    # --tied group with a masked iterate mode
+    assert ft_cli.main(base + ["--tied", "group", "--iterate", "0.5",
+                               "--iterate-mode", "magnitude"]) == 2
+
+
 def test_prune_cli_tied_group(tmp_path):
     from modelcompression_tpu.cli import prune as prune_cli
     from modelcompression_tpu.models import dump_cfg, save_weights
