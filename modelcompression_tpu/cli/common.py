@@ -272,7 +272,8 @@ def prepare_serving(spec, params, quantized: bool, cfg):
     return fold_batchnorm(jax.tree.map(jnp.asarray, params), spec)
 
 
-def dispatch_padded_batch(step, params, canvases, ws, hs, batch: int):
+def dispatch_padded_batch(step, params, canvases, ws, hs, batch: int,
+                          mesh=None):
     """DISPATCH the ONE fused serving program on a host-side gather,
     padding to the compiled batch size by repeating the last entry
     (padded rows are never read back per image). The single place
@@ -280,6 +281,11 @@ def dispatch_padded_batch(step, params, canvases, ws, hs, batch: int):
     the padded-batch contract — including the exact input avals (uint8
     canvases, non-weak float32 sizes), so every caller hits the same
     compiled executable.
+
+    ``mesh``: a mesh with a 'data' axis (serve --dp) — the batch arrays
+    are placed sharded on 'data' (params must already be replicated on
+    the mesh); GSPMD partitions the fused program over the devices, the
+    BASELINE.json:11 "TPU slice" streaming shape.
 
     Returns the program's DEVICE outputs without blocking (JAX dispatch
     is async): callers overlap host work with device execution and call
@@ -292,9 +298,19 @@ def dispatch_padded_batch(step, params, canvases, ws, hs, batch: int):
         canvases.append(canvases[-1])
         ws.append(ws[-1])
         hs.append(hs[-1])
-    sel, sc, valid, _, _ = step(
-        params, jnp.asarray(np.stack(canvases)),
-        jnp.asarray(ws, jnp.float32), jnp.asarray(hs, jnp.float32))
+    imgs = np.stack(canvases)
+    ws = np.asarray(ws, np.float32)
+    hs = np.asarray(hs, np.float32)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        imgs = jax.device_put(
+            imgs, NamedSharding(mesh, P("data", None, None, None)))
+        ws = jax.device_put(ws, NamedSharding(mesh, P("data")))
+        hs = jax.device_put(hs, NamedSharding(mesh, P("data")))
+    else:
+        imgs, ws, hs = jnp.asarray(imgs), jnp.asarray(ws), jnp.asarray(hs)
+    sel, sc, valid, _, _ = step(params, imgs, ws, hs)
     return sel, sc, valid
 
 
@@ -304,11 +320,13 @@ def fetch_batch(dev_outs):
     return tuple(np.asarray(a) for a in dev_outs)
 
 
-def run_padded_batch(step, params, canvases, ws, hs, batch: int):
+def run_padded_batch(step, params, canvases, ws, hs, batch: int,
+                     mesh=None):
     """dispatch_padded_batch + fetch_batch in one call (the synchronous
     convenience for single-shot callers like the serve warm-up)."""
     return fetch_batch(
-        dispatch_padded_batch(step, params, canvases, ws, hs, batch))
+        dispatch_padded_batch(step, params, canvases, ws, hs, batch,
+                              mesh=mesh))
 
 
 def unpack_detections(sel, scores, valid, w, h):

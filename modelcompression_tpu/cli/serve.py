@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="how long the dispatcher waits to fill a batch "
                         "after the first request arrives (latency vs "
                         "batch-fill trade)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel serving: shard each device batch "
+                        "over this many devices on a 'data' mesh axis "
+                        "(GSPMD partitions the fused program; the "
+                        "BASELINE.json:11 'TPU slice' streaming shape). "
+                        "--batch must divide evenly. 0 = single device "
+                        "(default)")
     add_serving_nms_args(p)
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
@@ -98,11 +105,12 @@ class _Pending:
 class ServeState:
     """Model + batcher shared by the HTTP handlers and the dispatcher."""
 
-    def __init__(self, spec, params, step, names, args):
+    def __init__(self, spec, params, step, names, args, mesh=None):
         self.spec = spec
         self.params = params
         self.step = step
         self.names = names
+        self.mesh = mesh  # 'data'-axis mesh when serving with --dp
         self.batch = max(1, args.batch)
         self.max_wait = max(0.0, args.max_wait_ms) / 1e3
         self.timeout_s = args.timeout_s
@@ -167,7 +175,7 @@ class ServeState:
                 self.step, self.params,
                 [it.canvas for it in items],
                 [it.w for it in items],
-                [it.h for it in items], self.batch)
+                [it.h for it in items], self.batch, mesh=self.mesh)
         except Exception as e:
             for it in items:
                 it.error = f"inference failed: {e!r}"
@@ -332,6 +340,8 @@ def _make_handler(state: ServeState):
                     "conf": cfg.conf_thresh if cfg else None,
                     "max_detections": cfg.max_detections if cfg else None,
                     "nms_prefilter": cfg.nms_prefilter if cfg else None,
+                    "dp": (state.mesh.shape["data"]
+                           if state.mesh is not None else 1),
                 })
             elif self.path == "/stats":
                 self._send_json(200, state.stats())
@@ -405,7 +415,20 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     cfg = resolve_serving_eval_config(args)
     folded = prepare_serving(spec, params, quantized, cfg)
     step = make_eval_step(spec, cfg)
-    state = ServeState(spec, folded, step, names, args)
+    mesh = None
+    dp = getattr(args, "dp", 0)
+    if dp > 1:
+        # DP serving: params replicated on a 'data' mesh, every device
+        # batch sharded over it in dispatch_padded_batch — GSPMD
+        # partitions the one fused program (same mechanism as eval --dp)
+        from modelcompression_tpu.core.mesh import MeshConfig, make_mesh
+        from modelcompression_tpu.parallel import replicate
+        if args.batch % dp:
+            raise ValueError(
+                f"--batch {args.batch} must be divisible by --dp {dp}")
+        mesh = make_mesh(MeshConfig(data=dp))
+        folded = replicate(folded, mesh)
+    state = ServeState(spec, folded, step, names, args, mesh=mesh)
     state.cfg = cfg  # resolved EvalConfig (incl. --deployment preset)
 
     # warm-up: pay the (remote) compile before the first request. Goes
@@ -415,7 +438,7 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     t0 = time.monotonic()
     dummy = np.zeros((spec.net.height, spec.net.width, 3), np.uint8)
     run_padded_batch(step, folded, [dummy], [float(spec.net.width)],
-                     [float(spec.net.height)], state.batch)
+                     [float(spec.net.height)], state.batch, mesh=mesh)
     print(f"compiled batch-{state.batch} serving program in "
           f"{time.monotonic() - t0:.1f}s", file=sys.stderr)
 
@@ -447,7 +470,9 @@ def main(argv=None) -> int:
           f"(batch {state.batch}, wait {state.max_wait * 1e3:.0f} ms, "
           f"conf {state.cfg.conf_thresh}, K {state.cfg.max_detections}, "
           f"prefilter {state.cfg.nms_prefilter}"
-          f"{', deployment preset' if args.deployment else ''})",
+          f"{', deployment preset' if args.deployment else ''}"
+          + (f", dp {state.mesh.shape['data']}"
+             if state.mesh is not None else "") + ")",
           file=sys.stderr)
     try:
         httpd.serve_forever()
