@@ -134,6 +134,12 @@ def add_serving_nms_args(p: argparse.ArgumentParser):
                         "the per-class NMS sorts (0 = off, the default; "
                         "--deployment: 128). Measured +10-14%% on the "
                         "pruned pipeline (docs/PERF.md)")
+    p.add_argument("--nms-prefilter-impl", choices=("topk", "bisect"),
+                   default="topk",
+                   help="prefilter implementation: 'topk' (per-image "
+                        "lax.top_k sort) or 'bisect' (sort-free batched "
+                        "segmented bit-bisection; same exactness "
+                        "condition — evaluation/nms.py)")
     p.add_argument("--soft-nms", choices=("linear", "gaussian"),
                    default=None,
                    help="Soft-NMS score decay instead of greedy erasure "
@@ -164,6 +170,8 @@ def resolve_serving_eval_config(args):
     return EvalConfig(conf_thresh=pick("conf"), nms_thresh=args.nms,
                       max_detections=pick("max_detections"),
                       nms_prefilter=pick("nms_prefilter"),
+                      nms_prefilter_impl=getattr(args, "nms_prefilter_impl",
+                                                 "topk"),
                       soft_nms=args.soft_nms or "",
                       diou_nms=args.diou_nms)
 

@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "clear --conf (overflow is reported); measured "
                         "+10%% on the pruned deployment pipeline "
                         "(docs/PERF.md)")
+    p.add_argument("--nms-prefilter-impl", choices=("topk", "bisect"),
+                   default="topk",
+                   help="prefilter implementation: 'topk' (per-image "
+                        "lax.top_k sort) or 'bisect' (sort-free batched "
+                        "segmented bit-bisection; same exactness "
+                        "condition — evaluation/nms.py)")
     p.add_argument("--exact-nms", action="store_true",
                    help="exact greedy NMS over ALL candidates (no top-K "
                         "candidate prefilter; ~100 serial argmax rounds "
@@ -259,6 +265,7 @@ def main(argv=None) -> int:
         devkit_iou=not args.continuous_iou,
         fold_bn=(precision.name != "bitmatch"),
         exact_nms=args.exact_nms, nms_prefilter=args.nms_prefilter,
+        nms_prefilter_impl=args.nms_prefilter_impl,
         soft_nms=args.soft_nms or "", soft_nms_sigma=args.soft_nms_sigma,
         diou_nms=args.diou_nms)
     if args.int8:

@@ -279,6 +279,61 @@ def per_class_nms_prefiltered(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                          exact_prefilter, diou)
 
 
+def batched_bisect_prefilter(boxes: jnp.ndarray, class_scores: jnp.ndarray,
+                             score_thresh: float, prefilter: int
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The class-agnostic candidate prefilter as a BATCHED SEGMENTED
+    BISECTION instead of a sort (VERDICT r3 #1): select the top-
+    ``prefilter`` candidates per image by max class score using the same
+    bit-bisection machinery the weight masks use (ops/topk_mask
+    .segmented_rank_mask, one segment per image), then compact the
+    survivors into fixed (B, N') slots with a cumsum-position scatter.
+    O(N) elementwise passes instead of the O(N log N) per-image sort the
+    ``lax.top_k`` prefilter lowers to on TPU (the trace's ``sort`` op).
+
+    SET-equivalent to the top_k prefilter in the exactness regime (at
+    most N' candidates above ``score_thresh`` — then both keep every
+    live candidate). In the overflow regime the kept SET can differ only
+    on score ties at the N'-th value (the bisection's stable rank keeps
+    the highest concat-index ties, lax.top_k keeps the lowest) — both
+    are approximations there, and the eval pipeline's n_any counter
+    makes the regime observable. Survivors are emitted in CANDIDATE-
+    INDEX order, not score order; the per-class NMS re-sorts by class
+    score, so downstream results are unaffected.
+
+    Returns (b2, cs2): (B, N', 4) boxes and (B, N', C) class scores
+    (zeroed where the slot's max score is not above threshold).
+    """
+    from modelcompression_tpu.ops.topk_mask import (
+        abs_bits, segmented_rank_mask,
+    )
+    bb, n, _ = class_scores.shape
+    np_ = min(prefilter, n)
+    m = jnp.max(class_scores, axis=-1)                       # (B, N)
+    m = jnp.where(m > score_thresh, m, 0.0)
+    bits = abs_bits(m).reshape(-1)
+    seg = jnp.repeat(jnp.arange(bb, dtype=jnp.int32), n)
+    n_zero = jnp.full((bb,), n - np_, jnp.int32)
+    keep = segmented_rank_mask(bits, seg, n_zero, bb).reshape(bb, n)
+    # compact survivors into exactly N' slots per row: kept elements go
+    # to their cumsum position, dropped ones aim out of bounds (mode=
+    # 'drop'). Exactly N' are kept per row by construction (zeros
+    # included when fewer than N' candidates are live — their class
+    # scores are zeroed below, same as the top_k path's zero-val rows).
+    pos = jnp.where(keep, jnp.cumsum(keep, axis=1) - 1, np_)
+    rows = jnp.broadcast_to(jnp.arange(bb)[:, None], (bb, n))
+    cols = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], (bb, n))
+    idx = jnp.zeros((bb, np_), jnp.int32).at[rows, pos].set(
+        cols, mode="drop")
+    vals = jnp.take_along_axis(m, idx, axis=1)               # (B, N')
+    b2 = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    cs2 = jnp.where(vals[..., None] > 0,
+                    jnp.take_along_axis(class_scores, idx[..., None],
+                                        axis=1), 0.0)
+    return b2, cs2
+
+
 def batched_per_class_nms_prefiltered(boxes: jnp.ndarray,
                                       class_scores: jnp.ndarray,
                                       iou_thresh: float = 0.45,
@@ -286,8 +341,22 @@ def batched_per_class_nms_prefiltered(boxes: jnp.ndarray,
                                       max_out: int = 100,
                                       prefilter: int = 256,
                                       exact_prefilter: bool = True,
-                                      diou: bool = False):
-    """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
+                                      diou: bool = False,
+                                      impl: str = "topk"):
+    """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...).
+
+    ``impl``: 'topk' (default — per-image ``lax.top_k`` sort) or
+    'bisect' (``batched_bisect_prefilter`` — the sort-free segmented
+    bisection; same exactness condition, see its docstring)."""
+    if impl == "bisect":
+        b2, cs2 = batched_bisect_prefilter(boxes, class_scores,
+                                           score_thresh, prefilter)
+        f = jax.vmap(lambda b, s: per_class_nms(
+            b, s, iou_thresh, score_thresh, max_out, exact_prefilter,
+            diou))
+        return f(b2, cs2)
+    if impl != "topk":
+        raise ValueError(f"impl must be 'topk' or 'bisect', got {impl!r}")
     f = jax.vmap(lambda b, s: per_class_nms_prefiltered(
         b, s, iou_thresh, score_thresh, max_out, prefilter,
         exact_prefilter, diou))

@@ -104,6 +104,14 @@ class EvalConfig:
     # n_cand counter makes the regime observable). Perf on chip:
     # docs/PERF.md "NMS class-agnostic prefilter".
     nms_prefilter: int = 0
+    # Class-agnostic prefilter implementation: 'topk' (per-image
+    # lax.top_k — lowers to a full per-image sort on TPU) or 'bisect'
+    # (evaluation/nms.batched_bisect_prefilter — the segmented
+    # bit-bisection the weight masks use, one batched O(N) selection
+    # with no sort). Same exactness condition; kept SETs can differ
+    # only on score ties at the N'-th value in the (already
+    # approximate) overflow regime. Perf on chip: docs/PERF.md.
+    nms_prefilter_impl: str = "topk"
     # Soft-NMS (Bodla et al. 2017, evaluation/nms.soft_nms_topk): decay
     # overlapping scores instead of erasing boxes — "" = off (classic
     # greedy), "gaussian" = s *= exp(-iou^2/soft_nms_sigma), "linear" =
@@ -155,6 +163,10 @@ class EvalConfig:
                 "exact path runs greedy NMS over ALL candidates, so a "
                 "candidate prefilter would silently not apply — drop one "
                 "of the two flags")
+        if self.nms_prefilter_impl not in ("topk", "bisect"):
+            raise ValueError(
+                f"nms_prefilter_impl must be 'topk' or 'bisect', got "
+                f"{self.nms_prefilter_impl!r}")
         if self.soft_nms not in ("", "linear", "gaussian"):
             raise ValueError(
                 f"soft_nms must be '', 'linear' or 'gaussian', got "
@@ -278,7 +290,8 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                 max_out=config.max_detections,
                 prefilter=config.nms_prefilter,
                 exact_prefilter=config.exact_nms_prefilter,
-                diou=config.diou_nms)
+                diou=config.diou_nms,
+                impl=config.nms_prefilter_impl)
         else:
             sel, scores, valid = batched_per_class_nms(
                 corners, class_scores,

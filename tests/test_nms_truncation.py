@@ -107,6 +107,69 @@ def test_class_agnostic_prefilter_exact_within_budget():
     assert kept <= float(np.asarray(base[2]).sum())
 
 
+def test_bisect_prefilter_matches_topk_within_budget():
+    """The sort-free bisect prefilter (VERDICT r3 #1) must equal the
+    top_k prefilter path (and the unfiltered path) bit-for-bit whenever
+    at most N' candidates have ANY class above threshold."""
+    from modelcompression_tpu.evaluation import per_class_nms
+    from modelcompression_tpu.evaluation.nms import (
+        batched_per_class_nms_prefiltered,
+    )
+    rng = np.random.default_rng(9)
+    b, n, c = 3, 200, 6
+    xy = rng.uniform(0, 1, (b, n, 2))
+    wh = rng.uniform(0.05, 0.3, (b, n, 2))
+    boxes = np.concatenate([xy - wh / 2, xy + wh / 2], -1).astype(np.float32)
+    scores = np.zeros((b, n, c), np.float32)
+    for i in range(b):
+        hot = rng.choice(n, 80, replace=False)
+        scores[i, hot, rng.integers(0, c, 80)] = rng.uniform(0.2, 1.0, 80)
+    scores += rng.uniform(0, 1e-4, (b, n, c))  # sub-threshold, no ties
+
+    topk = batched_per_class_nms_prefiltered(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.1, max_out=16,
+        prefilter=128, impl="topk")
+    bisect = batched_per_class_nms_prefiltered(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.1, max_out=16,
+        prefilter=128, impl="bisect")
+    for a, bb_ in zip(topk, bisect):  # 80 hot <= 128 budget -> identical
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb_))
+    base = jax.vmap(lambda bx, s: per_class_nms(
+        bx, s, 0.45, 0.1, max_out=16))(jnp.asarray(boxes),
+                                       jnp.asarray(scores))
+    for a, bb_ in zip(base, bisect):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb_))
+
+    # overflow regime: still exactly N' survivors, graceful truncation
+    tight = batched_per_class_nms_prefiltered(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.1, max_out=16,
+        prefilter=32, impl="bisect")
+    assert float(np.asarray(tight[2]).sum()) <= \
+        float(np.asarray(base[2]).sum())
+
+    with np.testing.assert_raises(Exception):
+        batched_per_class_nms_prefiltered(
+            jnp.asarray(boxes), jnp.asarray(scores), impl="bogus")
+
+
+def test_bisect_prefilter_overflow_keeps_topk_set():
+    """In the overflow regime the bisect prefilter keeps exactly the
+    top-N' candidates by max class score (tie-free scores): the kept
+    max-score SET must equal lax.top_k's."""
+    from modelcompression_tpu.evaluation.nms import batched_bisect_prefilter
+    rng = np.random.default_rng(11)
+    b, n, c = 2, 97, 3
+    boxes = rng.uniform(0, 1, (b, n, 4)).astype(np.float32)
+    scores = rng.uniform(0.2, 1.0, (b, n, c)).astype(np.float32)
+    b2, cs2 = batched_bisect_prefilter(jnp.asarray(boxes),
+                                       jnp.asarray(scores), 0.1, 24)
+    m = scores.max(-1)
+    for i in range(b):
+        want = np.sort(m[i])[-24:]
+        got = np.sort(np.asarray(cs2)[i].max(-1))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_pipeline_prefilter_matches_default_when_within_budget(tmp_path):
     spec, params, samples = _eval_fixture(tmp_path)
     names = ["redbox", "greenbox", "bluebox"]
