@@ -58,7 +58,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-QUICK_CONFIGS = ("pruned", "unpruned", "pruned_int8", "unpruned_int8")
+QUICK_CONFIGS = ("pruned", "unpruned", "pruned_int8", "unpruned_int8",
+                 "tiny3")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -67,7 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=QUICK_CONFIGS, default=None,
                    help="measure ONE configuration (one compile, ~1 min "
                         "wall): per-commit regression checks and "
-                        "experiment A/Bs (default config: pruned)")
+                        "experiment A/Bs (default config: pruned). "
+                        "'tiny3' = the YOLOv3 family's deployment config "
+                        "(yolov3-tiny-voc 75%%-pruned + pf128 + int8 "
+                        "auto:64) so v3-path regressions are "
+                        "commit-attributable (VERDICT r3 #3)")
     p.add_argument("--note", default="",
                    help="free-form tag recorded in PERF_LEDGER.jsonl "
                         "(e.g. the experiment an A/B run belongs to)")
@@ -106,22 +111,45 @@ def main(argv=None) -> int:
     log(f"devices: {jax.devices()}")
     spec = yolov2_voc()
     rng = np.random.default_rng(0)
-
-    log("initializing YOLOv2-VOC params (on host CPU)...")
-    t0 = time.time()
-    # init on the CPU backend: 23 per-layer RNG programs over the tunnel
-    # take minutes; one 200MB bulk transfer takes seconds
     cpu0 = jax.devices("cpu")[0]
-    with jax.default_device(cpu0):
-        params_host = init_params(spec, jax.random.key(0))
     tpu0 = jax.devices()[0]
-    params = jax.device_put(jax.tree.map(np.asarray, params_host), tpu0)
-    jax.block_until_ready(params)
-    log(f"params: {num_params(params) / 1e6:.1f}M ({time.time() - t0:.1f}s)")
 
-    keep = uniform_filter_fraction_keep_sets(spec, params, PRUNE_FRACTION)
-    slim_spec, slim_params = repack(spec, params, keep)
-    log(f"75%-filter repacked params: {num_params(slim_params) / 1e6:.1f}M")
+    def setup_yolov2():
+        """(params, slim_spec, slim_params) for the headline family."""
+        log("initializing YOLOv2-VOC params (on host CPU)...")
+        t0 = time.time()
+        # init on the CPU backend: 23 per-layer RNG programs over the
+        # tunnel take minutes; one 200MB bulk transfer takes seconds
+        with jax.default_device(cpu0):
+            params_host = init_params(spec, jax.random.key(0))
+        params = jax.device_put(jax.tree.map(np.asarray, params_host), tpu0)
+        jax.block_until_ready(params)
+        log(f"params: {num_params(params) / 1e6:.1f}M "
+            f"({time.time() - t0:.1f}s)")
+        keep = uniform_filter_fraction_keep_sets(spec, params,
+                                                 PRUNE_FRACTION)
+        slim_spec, slim_params = repack(spec, params, keep)
+        log(f"75%-filter repacked params: "
+            f"{num_params(slim_params) / 1e6:.1f}M")
+        return params, slim_spec, slim_params
+
+    def setup_tiny3():
+        """The second detector family's deployment model: yolov3-tiny-voc
+        75%-filter-pruned (its measured-best serving point pairs this
+        with nms_prefilter=128 + int8 auto:64 — docs/PERF.md 'YOLOv3
+        family'). Prune/repack on host CPU, one bulk transfer."""
+        from modelcompression_tpu.models import yolov3_tiny_voc
+        t3 = yolov3_tiny_voc()
+        with jax.default_device(cpu0):
+            p3_host = init_params(t3, jax.random.key(2))
+            keep3 = uniform_filter_fraction_keep_sets(t3, p3_host,
+                                                      PRUNE_FRACTION)
+            slim3, p3s_host = repack(t3, p3_host, keep3)
+        p3s = jax.device_put(jax.tree.map(np.asarray, p3s_host), tpu0)
+        jax.block_until_ready(p3s)
+        log(f"tiny3 75%-filter repacked params: "
+            f"{num_params(p3s) / 1e6:.1f}M")
+        return slim3, p3s
 
     # deployment eval config: conf 0.01, 32 dets/class/image (a 13x13 VOC
     # scene rarely yields more; the mAP eval path keeps 0.005/100 and no
@@ -197,17 +225,24 @@ def main(argv=None) -> int:
         # ONE configuration, one compile (~1 min wall): the per-commit
         # regression / experiment-A/B mode. vs_baseline is null — no
         # in-run baseline is measured; compare ledger entries instead.
-        qspec, qparams = ((slim_spec, slim_params)
-                          if args.quick.startswith("pruned")
-                          else (spec, params))
-        int8 = "off"
-        if args.quick.endswith("int8"):
-            int8 = (int8_layers_auto(slim_spec, min_channels=64)
-                    if args.quick == "pruned_int8" else None)
+        if args.quick == "tiny3":
+            qspec, qparams = setup_tiny3()
+            int8 = int8_layers_auto(qspec, min_channels=64)
+        else:
+            params, slim_spec, slim_params = setup_yolov2()
+            qspec, qparams = ((slim_spec, slim_params)
+                              if args.quick.startswith("pruned")
+                              else (spec, params))
+            int8 = "off"
+            if args.quick.endswith("int8"):
+                int8 = (int8_layers_auto(slim_spec, min_channels=64)
+                        if args.quick == "pruned_int8" else None)
         label = {"pruned": "75%-filter-pruned",
                  "unpruned": "unpruned",
                  "pruned_int8": "75%-pruned+int8(auto:64)",
-                 "unpruned_int8": "unpruned+int8"}[args.quick]
+                 "unpruned_int8": "unpruned+int8",
+                 "tiny3": "tiny3 75%-pruned+pf128+int8(auto:64)"
+                 }[args.quick]
         ips, _, _ = bench_chip(qspec, qparams, label, int8_layers=int8)
         if not args.no_ledger:
             entry = perf_ledger.append({
@@ -216,8 +251,10 @@ def main(argv=None) -> int:
                 "rtt_ms": round(rtt * 1e3, 1)})
             log(f"ledger: {entry['commit']} {entry['mode']} "
                 f"{entry['img_per_sec']} img/s")
+        family = "yolov3_tiny_416" if args.quick == "tiny3" \
+            else "yolov2_416"
         print(json.dumps({
-            "metric": f"yolov2_416 {label} fused "
+            "metric": f"{family} {label} fused "
                       "letterbox+infer+decode+NMS, batch 64 (quick)",
             "value": round(ips, 1),
             "unit": "img/s/chip",
@@ -227,6 +264,7 @@ def main(argv=None) -> int:
         }))
         return 0
 
+    params, slim_spec, slim_params = setup_yolov2()
     unpruned_ips, _, _ = bench_chip(spec, params, "unpruned")
     pruned_ips, folded, step = bench_chip(slim_spec, slim_params,
                                           "75%-filter-pruned")
@@ -245,6 +283,19 @@ def main(argv=None) -> int:
             int8_layers=int8_layers_auto(slim_spec, min_channels=64))
     except Exception as e:
         log(f"[warn] int8 measurement skipped: {e}")
+
+    # the SECOND detector family in the per-round gate (VERDICT r3 #3):
+    # yolov3-tiny's deployment config through the same fused pipeline, so
+    # a regression in shortcut/upsample/multi-head decode shows up in
+    # BENCH_r*.json and the ledger. Best-effort: never fails the gate.
+    tiny3_ips = None
+    try:
+        slim3, p3s = setup_tiny3()
+        tiny3_ips, _, _ = bench_chip(
+            slim3, p3s, "tiny3 75%-pruned+pf128+int8(auto:64)",
+            int8_layers=int8_layers_auto(slim3, min_channels=64))
+    except Exception as e:
+        log(f"[warn] tiny3 measurement skipped: {e}")
 
     # optional: BENCH_TRACE_DIR=<path> captures a jax.profiler trace of the
     # pruned fused step (perfetto/tensorboard format) for MFU forensics
@@ -407,6 +458,8 @@ def main(argv=None) -> int:
             "pruned_bf16_img_per_sec": round(pruned_ips, 1),
             "pruned_int8_img_per_sec":
                 round(pruned_int8_ips, 1) if pruned_int8_ips else None,
+            "tiny3_img_per_sec":
+                round(tiny3_ips, 1) if tiny3_ips else None,
             "streaming_img_per_sec": round(stream_ips, 1),
             "pruned_finetune_img_per_sec":
                 round(train_ips, 1) if train_ips else None,
@@ -427,6 +480,8 @@ def main(argv=None) -> int:
             round(pruned_int8_ips, 1) if pruned_int8_ips else None,
         "unpruned_int8_img_per_sec":
             round(unpruned_int8_ips, 1) if unpruned_int8_ips else None,
+        "tiny3_img_per_sec":
+            round(tiny3_ips, 1) if tiny3_ips else None,
         "streaming_img_per_sec": round(stream_ips, 1),
         "feed_gbps": round(feed_gbps, 2),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
