@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "compile; 64 is the measured headline point, 128 "
                         "the peak-throughput point — docs/PERF.md batch "
                         "scaling)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="with --dir/--video: shard each device batch "
+                        "over this many devices on a 'data' mesh axis "
+                        "(params replicated, GSPMD partitions the fused "
+                        "program — same mechanism as serve/eval --dp). "
+                        "--batch must divide evenly. 0 = single device")
     add_serving_nms_args(p)
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
@@ -90,7 +96,7 @@ def _draw_detections(img_bgr, sel, scores, valid, names, w, h,
     return len(dets)
 
 
-def _detect_dir(args, spec, folded, cfg, names) -> int:
+def _detect_dir(args, spec, folded, cfg, names, mesh=None) -> int:
     """Directory mode: letterbox on host, run the fused eval step at a
     fixed batch (final partial batch padded by repetition — padded rows'
     outputs are simply not read back per image).
@@ -147,7 +153,8 @@ def _detect_dir(args, spec, folded, cfg, names) -> int:
             kept.append(pth)
         if not kept:
             continue
-        dev = dispatch_padded_batch(step, folded, canvases, ws, hs, b)
+        dev = dispatch_padded_batch(step, folded, canvases, ws, hs, b,
+                                    mesh=mesh)
         if pending is not None:
             drain(pending)
         pending = (kept, imgs, ws, hs, dev)
@@ -157,7 +164,7 @@ def _detect_dir(args, spec, folded, cfg, names) -> int:
     return 0
 
 
-def _detect_video(args, spec, folded, cfg, names) -> int:
+def _detect_video(args, spec, folded, cfg, names, mesh=None) -> int:
     """Video mode: stream frames off the container, letterbox on host,
     run the fused eval step at a fixed batch, write the annotated frames
     back out. Same padded-final-batch strategy as --dir."""
@@ -227,7 +234,8 @@ def _detect_video(args, spec, folded, cfg, names) -> int:
             canvases.append(canvas)
             hs.append(float(im.shape[0]))
             ws.append(float(im.shape[1]))
-        dev = dispatch_padded_batch(step, folded, canvases, ws, hs, b)
+        dev = dispatch_padded_batch(step, folded, canvases, ws, hs, b,
+                                    mesh=mesh)
         if pending is not None:
             rc = drain(pending)
         pending = (ims, ws, hs, dev)
@@ -273,10 +281,25 @@ def main(argv=None) -> int:
     cfg = resolve_serving_eval_config(args)
     folded = prepare_serving(spec, params, quantized, cfg)
 
+    mesh = None
+    if args.dp > 1:
+        if not (args.dir or args.video):
+            print("error: --dp applies to the batched --dir/--video "
+                  "modes only", file=sys.stderr)
+            return 2
+        if args.batch % args.dp:
+            print(f"error: --batch {args.batch} must be divisible by "
+                  f"--dp {args.dp}", file=sys.stderr)
+            return 2
+        from modelcompression_tpu.core.mesh import MeshConfig, make_mesh
+        from modelcompression_tpu.parallel import replicate
+        mesh = make_mesh(MeshConfig(data=args.dp))
+        folded = replicate(folded, mesh)
+
     if args.dir:
-        return _detect_dir(args, spec, folded, cfg, names)
+        return _detect_dir(args, spec, folded, cfg, names, mesh=mesh)
     if args.video:
-        return _detect_video(args, spec, folded, cfg, names)
+        return _detect_video(args, spec, folded, cfg, names, mesh=mesh)
 
     img = cv2.imread(args.image, cv2.IMREAD_COLOR)
     if img is None:

@@ -705,6 +705,27 @@ def test_detect_cli_dir_mode(tmp_path):
                         "--image", "x.png", "--dir", img_dir]) == 2
     assert detect.main(["--cfg", cfg_path, "--weights", wpath]) == 2
 
+    # --dp: same batched path sharded over a 'data' mesh; identical
+    # annotated outputs to the single-device run above
+    dp_dir = str(tmp_path / "det_dp")
+    rc = detect.main(["--cfg", cfg_path, "--weights", wpath,
+                      "--dir", img_dir, "--out-dir", dp_dir,
+                      "--batch", "2", "--dp", "2", "--conf", "0.001",
+                      "--names", names])
+    assert rc == 0
+    import cv2
+    for f in written:
+        a = cv2.imread(os.path.join(out_dir, f))
+        b = cv2.imread(os.path.join(dp_dir, f))
+        np.testing.assert_array_equal(a, b, err_msg=f)
+    # invalid compositions fail loudly
+    assert detect.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--dir", img_dir, "--out-dir", dp_dir,
+                        "--batch", "3", "--dp", "2"]) == 2
+    assert detect.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--image", os.path.join(img_dir, "img0000.png"),
+                        "--dp", "2"]) == 2
+
 
 def test_prep_calibration_validates_and_keeps_tail(tmp_path):
     """The shared calibration helper (round-2 self-review): bad
