@@ -284,6 +284,48 @@ def main(argv=None) -> int:
     except Exception as e:
         log(f"[warn] int8 measurement skipped: {e}")
 
+    # the BEST SERVING POINT (capacity planning, docs/PERF.md "Batch
+    # scaling"): the same deployment config at batch 128 — measured
+    # 1.5x the batch-64 point (24.3k img/s r4 sweep). The headline
+    # value stays the BASELINE.json:11 batch-64 config; this field
+    # tracks the peak the serving surfaces (--batch 128) can reach.
+    # Best-effort: never fails the gate.
+    pruned_b128_ips = None
+    try:
+        cfg128 = dataclasses.replace(cfg, batch_size=128)
+        q128 = quantize_from_batches(
+            fold_batchnorm(slim_params, slim_spec), slim_spec, calib,
+            int8_layers=int8_layers_auto(slim_spec, min_channels=64))
+        step128 = make_eval_step(slim_spec, dataclasses.replace(
+            cfg128, forward_fn=lambda q, x, s: forward_quantized(q, x, s)),
+            src_hw=(SRC_H, SRC_W))
+        img128 = jnp.asarray(rng.integers(
+            0, 255, (128, SRC_H, SRC_W, 3), np.uint8))
+        w128 = jnp.full((128,), float(SRC_W))
+        h128 = jnp.full((128,), float(SRC_H))
+        t0 = time.time()
+        jax.block_until_ready(step128(q128, img128, w128, h128))
+        log(f"b128 serving point: compile+first {time.time() - t0:.1f}s")
+        import functools as _ft
+
+        @_ft.partial(jax.jit)
+        def many128(p, u8, w_, h_, salt):
+            def body(i, acc):
+                u8_i = u8 + (i % 2).astype(jnp.uint8)
+                _, scores, _, _, _ = step128(p, u8_i, w_, h_)
+                return acc + jnp.sum(scores)
+            return jax.lax.fori_loop(0, INNER, body, salt)
+
+        jax.block_until_ready(many128(q128, img128, w128, h128,
+                                      jnp.float32(0)))
+        sec = time_fn(lambda salt: many128(q128, img128, w128, h128, salt),
+                      iters=6, windows=3, rtt=rtt) / INNER
+        pruned_b128_ips = 128 / sec
+        log(f"75%-pruned+int8(auto:64) batch 128 (best serving point): "
+            f"{pruned_b128_ips:.1f} img/s ({sec * 1e3:.2f} ms/batch)")
+    except Exception as e:
+        log(f"[warn] b128 serving-point measurement skipped: {e}")
+
     # the SECOND detector family in the per-round gate (VERDICT r3 #3):
     # yolov3-tiny's deployment config through the same fused pipeline, so
     # a regression in shortcut/upsample/multi-head decode shows up in
@@ -460,6 +502,8 @@ def main(argv=None) -> int:
                 round(pruned_int8_ips, 1) if pruned_int8_ips else None,
             "tiny3_img_per_sec":
                 round(tiny3_ips, 1) if tiny3_ips else None,
+            "pruned_b128_img_per_sec":
+                round(pruned_b128_ips, 1) if pruned_b128_ips else None,
             "streaming_img_per_sec": round(stream_ips, 1),
             "pruned_finetune_img_per_sec":
                 round(train_ips, 1) if train_ips else None,
@@ -482,6 +526,8 @@ def main(argv=None) -> int:
             round(unpruned_int8_ips, 1) if unpruned_int8_ips else None,
         "tiny3_img_per_sec":
             round(tiny3_ips, 1) if tiny3_ips else None,
+        "pruned_b128_img_per_sec":
+            round(pruned_b128_ips, 1) if pruned_b128_ips else None,
         "streaming_img_per_sec": round(stream_ips, 1),
         "feed_gbps": round(feed_gbps, 2),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
