@@ -213,11 +213,11 @@ def main(argv=None) -> int:
         return 2
     if args.tied == "group" and (
             not args.iterate
-            or args.iterate_mode not in ("l1_filter", "bn_gamma", "fpgm")):
-        print("error: --tied group requires --iterate with a data-free "
-              "structured mode (l1_filter | bn_gamma | fpgm); taylor's "
-              "gate-gradient scores have no group-summed form and the "
-              "masked modes have no keep-sets to tie", file=sys.stderr)
+            or args.iterate_mode not in ("l1_filter", "bn_gamma", "fpgm",
+                                         "taylor")):
+        print("error: --tied group requires --iterate with a structured "
+              "mode (l1_filter | bn_gamma | fpgm | taylor); the masked "
+              "modes have no keep-sets to tie", file=sys.stderr)
         return 2
     if args.preserve_sparsity and args.iterate:
         print("error: --preserve-sparsity cannot be combined with "

@@ -149,13 +149,18 @@ _FILTER_MODE_CRITERION = {"l1_filter": "l1", "bn_gamma": "bn_gamma",
                           "fpgm": "fpgm"}
 
 
-def _taylor_scores(args, spec, params, seen):
+def _taylor_scores(args, spec, params, seen, with_groups=False):
     """Gate-gradient Taylor scores from --score-batches training batches
-    (compress/taylor.py). One XLA program, device-side accumulation."""
+    (compress/taylor.py). One XLA program, device-side accumulation.
+    ``with_groups=True`` returns ``(untied_scores, group_scores)`` from
+    the same pass (taylor_scores_with_groups — the --tied group rank
+    input)."""
     import itertools
 
     from modelcompression_tpu.cli.common import load_train_dataset
-    from modelcompression_tpu.compress import taylor_filter_scores_device
+    from modelcompression_tpu.compress import (
+        taylor_filter_scores_device, taylor_scores_with_groups,
+    )
     from modelcompression_tpu.train.loader import BatchLoader
 
     samples, _ = load_train_dataset(args)
@@ -163,6 +168,9 @@ def _taylor_scores(args, spec, params, seen):
                          spec.net.width, seed=args.score_seed,
                          drop_last=False)
     batches = itertools.islice(iter(loader), args.score_batches)
+    if with_groups:
+        return taylor_scores_with_groups(params, spec, batches, seen=seen,
+                                         second_moment=args.taylor_sq)
     return taylor_filter_scores_device(params, spec, batches, seen=seen,
                                        second_moment=args.taylor_sq)
 
@@ -334,44 +342,50 @@ def main(argv=None) -> int:
                       "--fractions (it discovers the per-layer schedule "
                       "itself)", file=sys.stderr)
                 return 2
-            if args.tied == "group":
-                print("error: --target-flops composes with --tied protect "
-                      "only (tied groups share one keep-set; the "
-                      "FLOP-budget rank is per-filter)", file=sys.stderr)
-                return 2
-        if args.tied == "group" and (args.fractions is not None
-                                     or args.mode == "taylor"):
+        if args.tied == "group" and args.fractions is not None:
             # a silent fall-through would LOOK like group pruning ran
-            print("error: --tied group composes with the uniform "
-                  "--fraction l1_filter/bn_gamma/fpgm paths only "
+            print("error: --tied group composes with --fraction or "
+                  "--target-flops, not a per-layer --fractions schedule "
                   "(tied groups share one keep-set, which has no "
-                  "per-layer schedule; taylor gate scores are not "
-                  "defined for the protected group members)",
-                  file=sys.stderr)
+                  "per-layer schedule)", file=sys.stderr)
             return 2
         if args.fraction is not None and not (0.0 <= args.fraction < 1.0):
             print(f"error: --fraction must be in [0, 1), got "
                   f"{args.fraction}", file=sys.stderr)
             return 2
-        tay_scores = None
+        tay_scores = tay_gscores = None
         if args.mode == "taylor":
             if not args.data:
                 print("error: taylor mode needs --data (scores are "
                       "measured on training batches)", file=sys.stderr)
                 return 2
-            tay_scores = _taylor_scores(args, spec, params, seen)
+            if args.tied == "group":
+                # untied + group-summed gate scores from ONE scoring pass
+                tay_scores, tay_gscores = _taylor_scores(
+                    args, spec, params, seen, with_groups=True)
+            else:
+                tay_scores = _taylor_scores(args, spec, params, seen)
         if args.target_flops is not None:
             from modelcompression_tpu.compress import (
                 filter_scores_device, flop_targeted_keep_sets,
-                total_conv_flops,
+                tied_group_scores_device, total_conv_flops,
             )
             scores = (tay_scores if args.mode == "taylor"
                       else filter_scores_device(params, spec,
                                                 criterion=criterion))
+            gscores = None
+            if args.tied == "group":
+                # tied groups join the budget allocation as single rank
+                # units (one shared keep-set per group; the FLOP delta of
+                # a group filter spans every member)
+                gscores = (tay_gscores if args.mode == "taylor"
+                           else tied_group_scores_device(
+                               params, spec, criterion=criterion))
             try:
                 keep, sched = flop_targeted_keep_sets(
                     spec, scores, args.target_flops,
-                    min_filters=args.min_filters, norm=args.score_norm)
+                    min_filters=args.min_filters, norm=args.score_norm,
+                    group_scores=gscores)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
@@ -413,7 +427,15 @@ def main(argv=None) -> int:
                 return 2
         elif args.mode == "taylor":
             from modelcompression_tpu.compress import keep_sets_from_scores
+            from modelcompression_tpu.compress.criteria import (
+                _keep_from_scores,
+            )
             keep = keep_sets_from_scores(tay_scores, args.fraction)
+            if args.tied == "group":
+                for g, s in tay_gscores.items():
+                    ks = _keep_from_scores(np.asarray(s), args.fraction)
+                    for i in g:
+                        keep[i] = ks
         else:
             keep = uniform_filter_fraction_keep_sets(spec, params,
                                                      args.fraction,

@@ -281,28 +281,17 @@ def l1_filter_keep_sets(params: Params, spec: NetworkSpec, fraction: float,
     return {i: _keep_from_scores(s, fraction) for i, s in scores.items()}
 
 
-def tied_group_keep_sets(params: Params, spec: NetworkSpec,
-                         fraction: float, skip: Sequence[int] = (),
-                         criterion: str = "l1") -> Dict[int, "np.ndarray"]:
-    """Group-uniform structured pruning of shortcut-TIED convs: ONE
-    shared keep-set per tied group, ranked by the group-SUM of the
-    per-filter scores.
-
-    The default protection rule (graph.protected_conv_indices) leaves
-    residual identity paths unpruned — the conservative option of
-    Li et al. 2017 §4.2 for ResNet-style graphs. This is the paper's
-    aggressive alternative: prune the identity path's channels too, but
-    IDENTICALLY across the whole tied group so every [shortcut] add
-    stays channel-aligned (compress/repack.py validates exactly that
-    invariant and fails loudly on a violation). Groups containing a
-    head-producing conv (decode contract) or an explicit ``skip`` conv
-    stay fully protected.
-
-    Scores are the same per-filter criteria as the untied path
-    (``l1`` | ``bn_gamma`` | ``fpgm``); the group rank key is the sum of
-    the member scores filter-for-filter (a channel is only cheap to drop
-    if it is unimportant in EVERY member feeding the adds).
-    """
+def tied_group_scores_device(params: Params, spec: NetworkSpec,
+                             criterion: str = "l1",
+                             skip: Sequence[int] = ()
+                             ) -> Dict[tuple, "np.ndarray"]:
+    """Group-summed per-filter scores for every fully-unprotected tied
+    group: ``{tuple(sorted group conv idxs): (O,) float64}``. The rank
+    key of ``tied_group_keep_sets`` and the group input of
+    ``flops.flop_targeted_keep_sets(group_scores=...)`` — a channel is
+    only cheap to drop if it is unimportant in EVERY member feeding the
+    [shortcut] adds. ONE device program + one readback, like the untied
+    score paths."""
     import numpy as np
 
     from modelcompression_tpu.compress.graph import (
@@ -334,13 +323,40 @@ def tied_group_keep_sets(params: Params, spec: NetworkSpec,
             else:
                 sc[k] = sc[k] / max(float(sc[k].max()), 1e-12)
 
-    out: Dict[int, "np.ndarray"] = {}
+    out: Dict[tuple, "np.ndarray"] = {}
     for g in groups:
         widths = {spec.layers[i].filters for i in g}
         assert len(widths) == 1, (
             f"tied group {g} mixes filter counts {widths} — the cfg "
             "channel validation should have rejected this network")
-        group_score = np.sum([sc[conv_key(i)] for i in g], axis=0)
+        out[tuple(g)] = np.sum([sc[conv_key(i)] for i in g], axis=0)
+    return out
+
+
+def tied_group_keep_sets(params: Params, spec: NetworkSpec,
+                         fraction: float, skip: Sequence[int] = (),
+                         criterion: str = "l1") -> Dict[int, "np.ndarray"]:
+    """Group-uniform structured pruning of shortcut-TIED convs: ONE
+    shared keep-set per tied group, ranked by the group-SUM of the
+    per-filter scores.
+
+    The default protection rule (graph.protected_conv_indices) leaves
+    residual identity paths unpruned — the conservative option of
+    Li et al. 2017 §4.2 for ResNet-style graphs. This is the paper's
+    aggressive alternative: prune the identity path's channels too, but
+    IDENTICALLY across the whole tied group so every [shortcut] add
+    stays channel-aligned (compress/repack.py validates exactly that
+    invariant and fails loudly on a violation). Groups containing a
+    head-producing conv (decode contract) or an explicit ``skip`` conv
+    stay fully protected.
+
+    Scores are the same per-filter criteria as the untied path
+    (``l1`` | ``bn_gamma`` | ``fpgm``); the group rank key is the
+    group-summed score from ``tied_group_scores_device``.
+    """
+    out: Dict[int, "np.ndarray"] = {}
+    for g, group_score in tied_group_scores_device(
+            params, spec, criterion=criterion, skip=skip).items():
         keep = _keep_from_scores(group_score, fraction)
         for i in g:
             out[i] = keep

@@ -114,6 +114,7 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
                             target: float,
                             min_filters: int = 1,
                             norm: str = "l2",
+                            group_scores: Dict[tuple, np.ndarray] = None,
                             ) -> Tuple[Dict[int, np.ndarray],
                                        Dict[int, float]]:
     """Keep-sets hitting a conv-FLOP budget: drop globally-lowest
@@ -125,10 +126,18 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
     conv-FLOP fraction in (0, 1). Every prunable conv keeps at least
     ``min_filters`` filters.
 
+    ``group_scores`` (``criteria.tied_group_scores_device``) extends the
+    allocation to shortcut-TIED groups: each group is one rank unit —
+    ``{tuple(sorted member conv idxs): (O,) group-summed score}`` —
+    whose filter drop removes the channel from EVERY member at once (the
+    keep-sets stay group-aligned, repack's invariant), and whose FLOP
+    delta spans all members. Group scores are normalized as one unit so
+    they rank against single-conv filters on the same footing.
+
     Returns ``(keep_sets, fractions)`` where ``fractions`` is the
     discovered per-layer drop schedule (conv idx -> dropped fraction) —
-    directly reusable as a ``--fractions`` argument, and the evidence of
-    the non-uniform allocation.
+    directly reusable as a ``--fractions`` argument for the UNTIED
+    layers, and the evidence of the non-uniform allocation.
 
     Raises ValueError if the budget is unreachable at ``min_filters``
     (the message states the reachable floor so the caller can re-run).
@@ -145,40 +154,75 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
             raise ValueError(
                 f"conv[{i}] has {spec.layers[i].filters} filters but "
                 f"{len(scores[i])} scores")
+    group_scores = group_scores or {}
+    for g, s in group_scores.items():
+        for i in g:
+            if not (0 <= i < len(spec.layers)
+                    and isinstance(spec.layers[i], ConvLayer)):
+                raise ValueError(f"group {g}: non-conv layer index {i}")
+            if i in scores:
+                raise ValueError(
+                    f"conv[{i}] appears both untied (scores) and in tied "
+                    f"group {g}")
+            if len(s) != spec.layers[i].filters:
+                raise ValueError(
+                    f"group {g}: conv[{i}] has {spec.layers[i].filters} "
+                    f"filters but {len(s)} group scores")
+
+    # rank UNITS: ungrouped convs singly, each tied group as one whole
+    # (key = the member tuple; dropping its filter j shrinks every member)
+    units: Dict[tuple, np.ndarray] = {(i,): np.asarray(s)
+                                      for i, s in scores.items()}
+    units.update({tuple(g): np.asarray(s)
+                  for g, s in group_scores.items()})
 
     base = total_conv_flops(spec)
     budget = target * base
-    alive = {i: spec.layers[i].filters for i in scores}
+    alive = {i: spec.layers[i].filters for u in units for i in u}
     floor = total_conv_flops(spec, {i: min_filters for i in alive})
     if budget < floor:
         raise ValueError(
             f"target {target:.4f} of conv FLOPs is below the reachable "
             f"floor {floor / base:.4f} (all prunable convs at "
-            f"min_filters={min_filters}; protected convs cannot shrink) — "
-            f"raise --target-flops or prune the graph with --tied group "
-            f"first")
+            f"min_filters={min_filters}; protected convs cannot shrink)"
+            + ("" if group_scores else " — raise --target-flops or add "
+               "the tied groups with --tied group"))
 
-    ns = _normalized(scores, norm)
-    # global ascending rank; ties broken (layer idx, filter idx) so the
+    if norm not in SCORE_NORMS:
+        raise ValueError(f"unknown score norm {norm!r} (one of {SCORE_NORMS})")
+
+    def _norm_one(s):
+        s = np.asarray(s, np.float64)
+        if norm == "l2":
+            return s / max(float(np.linalg.norm(s)), 1e-12)
+        if norm == "mean":
+            return s / max(float(np.mean(s)), 1e-12)
+        return s
+
+    ns = {u: _norm_one(s) for u, s in units.items()}
+    # global ascending rank; ties broken (unit, filter idx) so the
     # allocation is deterministic like every criterion in criteria.py
-    cand = sorted(((float(ns[i][j]), i, j)
-                   for i in ns for j in range(len(ns[i]))))
-    dropped: Dict[int, List[int]] = {i: [] for i in scores}
+    cand = sorted(((float(ns[u][j]), u, j)
+                   for u in ns for j in range(len(ns[u]))))
+    dropped: Dict[tuple, List[int]] = {u: [] for u in units}
     cur = total_conv_flops(spec, alive)
-    for _, i, j in cand:
+    for _, u, j in cand:
         if cur <= budget:
             break
-        if alive[i] - 1 < min_filters:
+        if alive[u[0]] - 1 < min_filters:
             continue
-        alive[i] -= 1
-        dropped[i].append(j)
+        for i in u:
+            alive[i] -= 1
+        dropped[u].append(j)
         cur = total_conv_flops(spec, alive)
 
     keep = {}
     fractions = {}
-    for i in scores:
-        gone = set(dropped[i])
-        keep[i] = np.asarray(
-            [j for j in range(len(scores[i])) if j not in gone], np.int32)
-        fractions[i] = len(gone) / len(scores[i])
+    for u, s in units.items():
+        gone = set(dropped[u])
+        ks = np.asarray(
+            [j for j in range(len(s)) if j not in gone], np.int32)
+        for i in u:
+            keep[i] = ks
+            fractions[i] = len(gone) / len(s)
     return keep, fractions

@@ -92,6 +92,36 @@ def _make_score_step(spec: NetworkSpec, precision: Precision,
     return score_step
 
 
+def _raw_gate_scores(params: Params, spec: NetworkSpec,
+                     gate_idx: Sequence[int],
+                     batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+                     seen: int, precision: Precision,
+                     second_moment: bool) -> Dict[int, np.ndarray]:
+    """Batch-averaged UN-normalized gate scores for the given conv
+    indices: the shared accumulation pass behind both public score
+    functions (one program, device totals, one readback)."""
+    gates = {i: jnp.ones((spec.layers[i].filters,), jnp.float32)
+             for i in gate_idx}
+    totals = {i: jnp.zeros((spec.layers[i].filters,), jnp.float32)
+              for i in gate_idx}
+    step = _make_score_step(spec, precision, second_moment=second_moment)
+    seen_arr = jnp.asarray(seen, jnp.int32)
+    n = 0
+    for images, targets in batches:
+        totals = step(params, gates, totals,
+                      jnp.asarray(images), jnp.asarray(targets), seen_arr)
+        n += 1
+    if n == 0:
+        raise ValueError("taylor scoring needs at least one batch")
+    host = jax.device_get(totals)
+    return {i: np.asarray(s, np.float32) / n for i, s in host.items()}
+
+
+def _l2_normed(s: np.ndarray) -> np.ndarray:
+    norm = float(np.sqrt(np.sum(s * s)))
+    return s / norm if norm > 0 else s
+
+
 def taylor_filter_scores_device(
         params: Params, spec: NetworkSpec,
         batches: Iterable[Tuple[np.ndarray, np.ndarray]],
@@ -107,27 +137,46 @@ def taylor_filter_scores_device(
     layer-wise L2-normalized. Raises if ``batches`` is empty — a silent
     all-zero score would prune by tie-order, which is never intended.
     """
-    gate_idx = taylor_gate_indices(spec, skip)
-    gates = {i: jnp.ones((spec.layers[i].filters,), jnp.float32)
-             for i in gate_idx}
-    totals = {i: jnp.zeros((spec.layers[i].filters,), jnp.float32)
-              for i in gate_idx}
-    step = _make_score_step(spec, precision, second_moment=second_moment)
-    seen_arr = jnp.asarray(seen, jnp.int32)
-    n = 0
-    for images, targets in batches:
-        totals = step(params, gates, totals,
-                      jnp.asarray(images), jnp.asarray(targets), seen_arr)
-        n += 1
-    if n == 0:
-        raise ValueError("taylor scoring needs at least one batch")
-    host = jax.device_get(totals)
-    out: Dict[int, np.ndarray] = {}
-    for i, s in host.items():
-        s = np.asarray(s, np.float32) / n
-        norm = float(np.sqrt(np.sum(s * s)))
-        out[i] = s / norm if norm > 0 else s
-    return out
+    raw = _raw_gate_scores(params, spec, taylor_gate_indices(spec, skip),
+                           batches, seen, precision, second_moment)
+    return {i: _l2_normed(s) for i, s in raw.items()}
+
+
+def taylor_scores_with_groups(
+        params: Params, spec: NetworkSpec,
+        batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+        skip: Sequence[int] = (),
+        seen: int = 0,
+        precision: Precision = BITMATCH,
+        second_moment: bool = False
+        ) -> Tuple[Dict[int, np.ndarray], Dict[tuple, np.ndarray]]:
+    """Taylor scores for the untied prunable convs AND the shortcut-tied
+    groups, in ONE scoring pass: ``(untied_scores, group_scores)``.
+
+    Gating is a measurement, not a prune — a per-member all-ones gate on
+    a tied conv leaves every [shortcut] add intact, so the tie
+    constraint only binds at keep-set construction. The group score is
+    the filter-for-filter SUM of the member gate gradients (first-order
+    loss change of removing the channel from EVERY member at once —
+    the same total-derivative argument as the data-free group sum in
+    criteria.tied_group_scores_device), L2-normalized as one unit;
+    untied scores keep the per-layer normalization. Groups containing a
+    head-producing or ``skip`` conv stay fully protected.
+    """
+    from modelcompression_tpu.compress.graph import (
+        head_producer_convs, tied_conv_groups,
+    )
+    protected = head_producer_convs(spec) | set(skip)
+    groups = [tuple(sorted(g)) for g in tied_conv_groups(spec)
+              if not (g & protected)]
+    untied_idx = taylor_gate_indices(spec, skip)
+    members = tuple(i for g in groups for i in g)
+    raw = _raw_gate_scores(params, spec, tuple(untied_idx) + members,
+                           batches, seen, precision, second_moment)
+    untied = {i: _l2_normed(raw[i]) for i in untied_idx}
+    group_scores = {
+        g: _l2_normed(np.sum([raw[i] for i in g], axis=0)) for g in groups}
+    return untied, group_scores
 
 
 def taylor_filter_keep_sets(
@@ -137,11 +186,31 @@ def taylor_filter_keep_sets(
         skip: Sequence[int] = (),
         seen: int = 0,
         precision: Precision = BITMATCH,
-        second_moment: bool = False) -> Dict[int, np.ndarray]:
+        second_moment: bool = False,
+        tied: str = "protect") -> Dict[int, np.ndarray]:
     """Keep-sets dropping the floor(fraction*O) lowest-Taylor-score filters
     per prunable conv — same rank/tie semantics as the L1 path
-    (compress/criteria.py), drop-in for repack()."""
-    from modelcompression_tpu.compress.criteria import keep_sets_from_scores
+    (compress/criteria.py), drop-in for repack().
+
+    ``tied='group'`` additionally prunes each shortcut-tied group with
+    ONE shared keep-set ranked by the group-summed gate gradients
+    (``taylor_scores_with_groups``) — the Taylor twin of
+    ``criteria.tied_group_keep_sets``, same single scoring pass."""
+    from modelcompression_tpu.compress.criteria import (
+        _keep_from_scores, keep_sets_from_scores,
+    )
+    if tied not in ("protect", "group"):
+        raise ValueError(f"tied must be 'protect' or 'group', got {tied!r}")
+    if tied == "group":
+        untied, group_scores = taylor_scores_with_groups(
+            params, spec, batches, skip=skip, seen=seen,
+            precision=precision, second_moment=second_moment)
+        keep = keep_sets_from_scores(untied, fraction)
+        for g, s in group_scores.items():
+            ks = _keep_from_scores(np.asarray(s), fraction)
+            for i in g:
+                keep[i] = ks
+        return keep
     scores = taylor_filter_scores_device(params, spec, batches, skip=skip,
                                          seen=seen, precision=precision,
                                          second_moment=second_moment)

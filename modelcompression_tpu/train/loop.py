@@ -154,23 +154,23 @@ def iterative_prune_finetune(
     ('fused' one-program XLA default | 'pallas' Mosaic twins |
     'reference' per-shape argsort oracle — compress/backend.py).
 
-    ``tied`` is the residual-graph policy for the data-free structured
-    modes (``l1_filter`` | ``bn_gamma`` | ``fpgm``): ``protect``
+    ``tied`` is the residual-graph policy for the structured modes
+    (``l1_filter`` | ``bn_gamma`` | ``fpgm`` | ``taylor``): ``protect``
     (default) leaves shortcut-tied convs unpruned; ``group`` prunes each
     tied group with ONE shared keep-set ranked by group-summed scores
-    (criteria.tied_group_keep_sets) — the aggressive Li et al. §4.2
+    (criteria.tied_group_keep_sets; taylor: group-summed gate gradients,
+    taylor.taylor_scores_with_groups) — the aggressive Li et al. §4.2
     recipe that slims residual identity paths, WITH the fine-tune
     recovery this loop provides each round (exactly the accuracy-
-    sensitive case the one-shot prune CLI cannot recover). ``taylor``
-    rejects ``group`` — its gate-gradient scores have no group-summed
-    form here.
+    sensitive case the one-shot prune CLI cannot recover).
     """
     if tied not in ("protect", "group"):
         raise ValueError(f"tied must be 'protect' or 'group', got {tied!r}")
-    if tied == "group" and mode not in ("l1_filter", "bn_gamma", "fpgm"):
+    if tied == "group" and mode not in ("l1_filter", "bn_gamma", "fpgm",
+                                        "taylor"):
         raise ValueError(
-            f"tied='group' composes with the data-free structured modes "
-            f"(l1_filter | bn_gamma | fpgm), not {mode!r}")
+            f"tied='group' composes with the structured modes "
+            f"(l1_filter | bn_gamma | fpgm | taylor), not {mode!r}")
     rng = rng if rng is not None else jax.random.key(0)
     logger = logger or MetricsLogger()
     rounds: List[IterativeRound] = []
@@ -221,7 +221,8 @@ def iterative_prune_finetune(
                 keep_sets = taylor_filter_keep_sets(
                     params, spec,
                     itertools.islice(iter(loader), taylor_batches), inc,
-                    seen=seen_running, precision=config.precision)
+                    seen=seen_running, precision=config.precision,
+                    tied=tied)
             else:
                 keep_sets = uniform_filter_fraction_keep_sets(
                     spec, params, inc,

@@ -147,16 +147,89 @@ def test_prune_cli_target_flops(tmp_path):
     convs = [l for l in slim.layers if isinstance(l, ConvLayer)]
     assert convs[-1].filters == 5 * (5 + 3)
 
-    # guards: composing with --fraction, with --tied group, bad range
+    # guards: composing with --fraction, --fractions + tied group, range
     rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
                      "--mode", "l1_filter", "--target-flops", "0.4",
                      "--fraction", "0.5", "--out", out])
     assert rc == 2
     rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
-                     "--mode", "l1_filter", "--target-flops", "0.4",
+                     "--mode", "l1_filter", "--fractions", "0:0.5",
                      "--tied", "group", "--out", out])
     assert rc == 2
     rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
                      "--mode", "l1_filter", "--target-flops", "1.4",
                      "--out", out])
     assert rc == 2
+
+
+def test_flop_target_tied_groups_join_the_allocation():
+    """--target-flops + --tied group (round 4; formerly rejected): tied
+    groups enter the budget allocation as single rank units — shared
+    keep-sets stay group-aligned, the FLOP model still predicts the
+    repacked network exactly, and budgets BELOW the protect-mode floor
+    become reachable because the identity paths can now shrink."""
+    from modelcompression_tpu.compress import tied_group_scores_device
+
+    spec, params = _spec_params(tiny_yolo3_cfg(num_classes=3, width=64,
+                                               height=64))
+    scores = filter_scores_device(params, spec)
+    gscores = tied_group_scores_device(params, spec)
+    assert set(gscores) == {(2, 5)}
+
+    keep, fractions = flop_targeted_keep_sets(
+        spec, scores, target=0.35, group_scores=gscores)
+    np.testing.assert_array_equal(keep[2], keep[5])  # group-aligned
+    predicted = total_conv_flops(spec, {i: len(k) for i, k in keep.items()})
+    slim_spec, _ = repack(spec, params, keep)
+    assert predicted == num_conv_flops(slim_spec)
+    assert predicted <= 0.35 * total_conv_flops(spec)
+
+    # a target below the PROTECT-mode floor is reachable with groups
+    base = total_conv_flops(spec)
+    protect_alive = {i: 1 for i in scores}
+    protect_floor = total_conv_flops(spec, protect_alive) / base
+    group_alive = {**protect_alive, **{i: 1 for g in gscores for i in g}}
+    group_floor = total_conv_flops(spec, group_alive) / base
+    assert group_floor < protect_floor
+    mid = (group_floor + protect_floor) / 2
+    with pytest.raises(ValueError, match="reachable floor"):
+        flop_targeted_keep_sets(spec, scores, target=mid)
+    keep2, _ = flop_targeted_keep_sets(spec, scores, target=mid,
+                                       group_scores=gscores)
+    got = total_conv_flops(spec, {i: len(k) for i, k in keep2.items()})
+    assert got <= mid * base
+
+    # validation: overlapping / malformed group maps fail loudly
+    with pytest.raises(ValueError, match="both untied"):
+        flop_targeted_keep_sets(
+            spec, scores, target=0.5,
+            group_scores={(next(iter(scores)),): np.ones(
+                spec.layers[next(iter(scores))].filters)})
+    with pytest.raises(ValueError, match="group scores"):
+        flop_targeted_keep_sets(spec, scores, target=0.5,
+                                group_scores={(2, 5): np.ones(3)})
+
+
+def test_prune_cli_target_flops_tied_group(tmp_path):
+    """CLI composition on a shortcut graph: the tied group is slimmed
+    inside the budget allocation and the written cfg stays aligned."""
+    from modelcompression_tpu.cli import prune
+    from modelcompression_tpu.models import load_cfg, save_weights
+
+    cfg_text = tiny_yolo3_cfg(num_classes=3, width=64, height=64)
+    cfg_path = str(tmp_path / "v3.cfg")
+    open(cfg_path, "w").write(cfg_text)
+    spec = parse_cfg(cfg_text)
+    params = init_params(spec, jax.random.key(3))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    out = str(tmp_path / "slim.weights")
+    out_cfg = str(tmp_path / "slim.cfg")
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--target-flops", "0.3",
+                     "--tied", "group", "--out", out,
+                     "--out-cfg", out_cfg])
+    assert rc == 0
+    slim = load_cfg(out_cfg)  # parse re-validates shortcut alignment
+    assert num_conv_flops(slim) <= 0.3 * num_conv_flops(spec)
+    assert slim.layers[2].filters == slim.layers[5].filters

@@ -166,6 +166,47 @@ def test_keep_sets_repack_and_forward():
     assert y.shape == (x.shape[0], hw, hw, 5 * (5 + 3))
 
 
+def test_taylor_tied_group_scores_and_keep_sets():
+    """Round 4: the Taylor criterion composes with tied groups — gate
+    gradients are measured on tied members too (gating is measurement,
+    not pruning), the group score is the L2-normalized SUM of the member
+    gate gradients, and tied='group' keep-sets stay group-aligned
+    through repack."""
+    from modelcompression_tpu.compress import taylor_scores_with_groups
+    from modelcompression_tpu.data.fixtures import tiny_yolo3_cfg
+    from modelcompression_tpu.models import num_params
+
+    spec = parse_cfg(tiny_yolo3_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(1))
+    rng = np.random.default_rng(1)
+    batches = [_batch(spec, rng), _batch(spec, rng)]
+
+    untied, groups = taylor_scores_with_groups(params, spec, list(batches),
+                                               seen=20000)
+    assert set(groups) == {(2, 5)}
+    assert set(untied) == set(taylor_gate_indices(spec))
+    s = groups[(2, 5)]
+    assert s.shape == (spec.layers[2].filters,)
+    np.testing.assert_allclose(np.linalg.norm(s), 1.0, rtol=1e-5)
+    assert np.all(s >= 0)
+
+    keep = taylor_filter_keep_sets(params, spec, list(batches), 0.5,
+                                   seen=20000, tied="group")
+    np.testing.assert_array_equal(keep[2], keep[5])
+    assert len(keep[2]) == spec.layers[2].filters // 2
+    slim_spec, slim_params = repack(spec, params, keep)
+    assert slim_spec.layers[2].filters == spec.layers[2].filters // 2
+    assert num_params(slim_params) < num_params(params)
+
+    # protect mode unchanged: tied convs absent from the keep map
+    keep_p = taylor_filter_keep_sets(params, spec, list(batches), 0.5,
+                                     seen=20000)
+    assert 2 not in keep_p and 5 not in keep_p
+    with pytest.raises(ValueError, match="tied"):
+        taylor_filter_keep_sets(params, spec, list(batches), 0.5,
+                                tied="bogus")
+
+
 def test_keep_sets_from_scores_schedule():
     scores = {0: np.asarray([3.0, 1.0, 2.0, 0.5]),
               2: np.asarray([1.0, 2.0])}

@@ -154,11 +154,6 @@ def test_iterative_loop_tied_group(tmp_path):
     with pytest.raises(ValueError, match="tied"):
         iterative_prune_finetune(
             spec, params, config, loader, fractions=[0.5],
-            steps_per_round=1, eval_fn=eval_fn, mode="taylor",
-            logger=MetricsLogger(print_every=0), tied="group")
-    with pytest.raises(ValueError, match="tied"):
-        iterative_prune_finetune(
-            spec, params, config, loader, fractions=[0.5],
             steps_per_round=1, eval_fn=eval_fn, mode="magnitude",
             logger=MetricsLogger(print_every=0), tied="group")
 
