@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", required=True)
     p.add_argument("--fractions", default="0.25,0.5,0.75",
                    help="cumulative structured-prune schedule")
+    p.add_argument("--tied", default="protect",
+                   choices=("protect", "group"),
+                   help="residual-graph policy for the structured prune "
+                        "stage (finetune --tied): 'group' slims "
+                        "shortcut-tied identity paths with one shared "
+                        "keep-set per group, paired with each round's "
+                        "fine-tune recovery")
     p.add_argument("--iterate-mode", default="l1_filter",
                    choices=("l1_filter", "bn_gamma", "taylor"))
     p.add_argument("--steps", type=int, default=1000,
@@ -155,7 +162,7 @@ def main(argv=None) -> int:
           "--iterate", args.fractions, "--iterate-mode", args.iterate_mode,
           "--max-boxes", str(args.max_boxes), "--seed", str(args.seed),
           "--ckpt-dir", out("ckpt"), "--out", slim_w,
-          "--out-cfg", slim_cfg] + batch_args()
+          "--out-cfg", slim_cfg, "--tied", args.tied] + batch_args()
     if args.distill:
         ft += ["--distill", args.weights]
     if args.resume:

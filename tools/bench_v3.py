@@ -71,6 +71,60 @@ def build_configs(skip_full: bool):
     return configs
 
 
+def bench_train(skip_full: bool, rng, rtt):
+    """--train: the v3 family's FINE-TUNE throughput (one-program
+    fwd+bwd+SGD+BN step, subdivisions=1, flip on — bench.py's fine-tune
+    config) for tiny3 unpruned/pruned75 and, unless skipped, the full
+    yolov3-voc pruned-tied config (the measured-fastest serving graph,
+    trained at its slimmed model's real speed)."""
+    from modelcompression_tpu.train import (
+        TrainConfig, TrainState, make_optimizer, make_train_step,
+    )
+
+    tiny = yolov3_tiny_voc()
+    p_tiny = init_params(tiny, jax.random.key(0))
+    keep = uniform_filter_fraction_keep_sets(tiny, p_tiny, 0.75)
+    tiny_s, p_tiny_s = repack(tiny, p_tiny, keep)
+    configs = {
+        "tiny3_unpruned_train_b64": (tiny, p_tiny, 64),
+        "tiny3_pruned75_train_b64": (tiny_s, p_tiny_s, 64),
+    }
+    if not skip_full:
+        full = yolov3_voc()
+        p_full = init_params(full, jax.random.key(1))
+        keep_g = uniform_filter_fraction_keep_sets(full, p_full, 0.75,
+                                                   tied="group")
+        full_g, p_full_g = repack(full, p_full, keep_g)
+        configs["v3_pruned75_tied_train_b32"] = (full_g, p_full_g, 32)
+
+    for name, (sp, pr, b) in configs.items():
+        tcfg = TrainConfig.from_spec(sp, augment_flip=True,
+                                     augment_jitter=0.0, subdivisions=1,
+                                     max_boxes=30)
+        tx = make_optimizer(tcfg)
+        state = TrainState.create(jax.device_put(pr, jax.devices()[0]),
+                                  tx, jax.random.key(2))
+        tstep = make_train_step(sp, tcfg, tx)
+        net = sp.net.height
+        imgs = jnp.asarray(rng.integers(0, 255, (b, net, net, 3), np.uint8))
+        tg = np.zeros((b, 30, 5), np.float32)
+        tg[:, 0] = [0, 0.5, 0.5, 0.3, 0.3]
+        tg = jnp.asarray(tg)
+        holder = {"s": state}
+
+        def one_step():
+            s, m = tstep(holder["s"], imgs, tg)  # donates prior state
+            holder["s"] = s
+            return m["loss"]
+
+        t0 = time.time()
+        one_step()
+        compile_s = time.time() - t0
+        sec = time_fn(one_step, iters=20, windows=3, rtt=rtt)
+        print(f"{name:34s}: {b / sec:8.0f} img/s ({sec * 1e3:6.2f} ms/step"
+              f" fwd+bwd+SGD+BN, batch {b}; compile {compile_s:.0f}s)")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--configs", default=None,
@@ -78,7 +132,16 @@ def main():
     ap.add_argument("--skip-full", action="store_true",
                     help="skip the full yolov3 rows (62M params: ~60 s of "
                          "on-chip init + two long compiles)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure FINE-TUNE step throughput instead of "
+                         "the serving pipeline (docs/PERF.md v3 family)")
     args = ap.parse_args()
+
+    if args.train:
+        rng = np.random.default_rng(0)
+        rtt = measure_rtt()
+        print(f"rtt {rtt * 1e3:.0f} ms (train mode)", file=sys.stderr)
+        return bench_train(args.skip_full, rng, rtt)
 
     rng = np.random.default_rng(0)
     rtt = measure_rtt()
