@@ -191,26 +191,12 @@ def main(argv=None) -> int:
         jax.block_until_ready(step(folded, images, img_w, img_h))
         log(f"{name}: compile+first {time.time() - t0:.1f}s")
 
-        # chip-throughput measurement: INNER pipeline iterations inside ONE
-        # jitted program (lax.fori_loop). Under tunnel congestion the
-        # per-execute dispatch latency (~2-3ms) exceeds the pruned model's
-        # ~5ms step, so per-dispatch timing measures the HOST's enqueue
-        # rate, not the chip. The input is perturbed per iteration so XLA
-        # cannot collapse the loop, outputs reduce to a scalar carry, and
-        # the carry INIT is time_fn's per-call salt so the tunnel cannot
-        # serve repeat executions memoized (utils/timing.py docstring).
-        import functools
-
-        @functools.partial(jax.jit, static_argnames=())
-        def many(p, u8, w_, h_, salt):
-            def body(i, acc):
-                u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
-                boxes, scores, valid, _, _ = \
-                    step.__wrapped__(p, u8_i, w_, h_) \
-                    if hasattr(step, "__wrapped__") else step(p, u8_i, w_, h_)
-                return acc + jnp.sum(scores)
-            return jax.lax.fori_loop(0, INNER, body, salt)
-
+        # chip-throughput measurement: the shared lie-proof inner loop
+        # (utils/timing.salted_pipeline_loop — INNER iterations per
+        # dispatch, CSE-defeating input perturbation, full-scores carry,
+        # salted init; rationale in its docstring)
+        from modelcompression_tpu.utils.timing import salted_pipeline_loop
+        many = salted_pipeline_loop(step, INNER)
         jax.block_until_ready(many(folded, images, img_w, img_h,
                                    jnp.float32(0)))
         sec = time_fn(lambda salt: many(folded, images, img_w, img_h, salt),
@@ -306,16 +292,8 @@ def main(argv=None) -> int:
         t0 = time.time()
         jax.block_until_ready(step128(q128, img128, w128, h128))
         log(f"b128 serving point: compile+first {time.time() - t0:.1f}s")
-        import functools as _ft
-
-        @_ft.partial(jax.jit)
-        def many128(p, u8, w_, h_, salt):
-            def body(i, acc):
-                u8_i = u8 + (i % 2).astype(jnp.uint8)
-                _, scores, _, _, _ = step128(p, u8_i, w_, h_)
-                return acc + jnp.sum(scores)
-            return jax.lax.fori_loop(0, INNER, body, salt)
-
+        from modelcompression_tpu.utils.timing import salted_pipeline_loop
+        many128 = salted_pipeline_loop(step128, INNER)
         jax.block_until_ready(many128(q128, img128, w128, h128,
                                       jnp.float32(0)))
         sec = time_fn(lambda salt: many128(q128, img128, w128, h128, salt),

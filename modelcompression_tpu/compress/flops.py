@@ -87,28 +87,6 @@ def total_conv_flops(spec: NetworkSpec,
     return sum(conv_flops_by_layer(spec, alive).values())
 
 
-def _normalized(scores: Dict[int, np.ndarray],
-                norm: str) -> Dict[int, np.ndarray]:
-    """Make scores comparable ACROSS layers: raw L1/Taylor magnitudes scale
-    with fan-in and activation statistics, so a global rank over raw
-    values just prunes whole low-scale layers. 'l2' (default) divides by
-    the layer's score L2 norm (Molchanov et al. 2019 eq. 8); 'mean'
-    divides by the layer mean; 'none' ranks raw values (exposed so the
-    failure mode is demonstrable)."""
-    if norm not in SCORE_NORMS:
-        raise ValueError(f"unknown score norm {norm!r} (one of {SCORE_NORMS})")
-    out = {}
-    for i, s in scores.items():
-        s = np.asarray(s, np.float64)
-        if norm == "l2":
-            out[i] = s / max(float(np.linalg.norm(s)), 1e-12)
-        elif norm == "mean":
-            out[i] = s / max(float(np.mean(s)), 1e-12)
-        else:
-            out[i] = s
-    return out
-
-
 def flop_targeted_keep_sets(spec: NetworkSpec,
                             scores: Dict[int, np.ndarray],
                             target: float,
@@ -192,6 +170,11 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
         raise ValueError(f"unknown score norm {norm!r} (one of {SCORE_NORMS})")
 
     def _norm_one(s):
+        # make scores comparable ACROSS rank units: raw L1/Taylor
+        # magnitudes scale with fan-in and activation statistics, so a
+        # global rank over raw values just prunes whole low-scale
+        # layers. 'l2' = Molchanov et al. 2019 eq. 8; 'none' is exposed
+        # so the failure mode is demonstrable.
         s = np.asarray(s, np.float64)
         if norm == "l2":
             return s / max(float(np.linalg.norm(s)), 1e-12)

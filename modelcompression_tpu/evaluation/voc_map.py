@@ -94,11 +94,15 @@ def class_ap(detections: Sequence[Detection],
     matches neither rewarded nor penalized), and an UNMATCHED detection
     whose own area is out of band is ignored rather than counted as a
     false positive (matched detections are never area-ignored). Areas use
-    the same +1 convention as the IoU choice. Matching prefers the
-    best NON-ignored GT above the IoU threshold before falling back to an
-    ignored one (pycocotools' preference), so an in-band GT is not left
-    unmatched just because a difficult/out-of-band GT overlaps slightly
-    more.
+    the same +1 convention as the IoU choice. In band mode matching
+    prefers the best UNMATCHED NON-ignored GT above the IoU threshold
+    before falling back to the plain argmax (pycocotools' preference:
+    it skips matched GTs and prefers non-ignored ones), so an in-band GT
+    is not left unmatched just because a difficult/out-of-band GT
+    overlaps slightly more. Without ``area_range`` the match is the
+    canonical voc_eval.py plain argmax — the headline VOC protocol is
+    unchanged (a det whose best-IoU GT is difficult stays ignored, as
+    the devkit scores it).
     """
     k = 1.0 if devkit_iou else 0.0
 
@@ -133,15 +137,21 @@ def class_ap(detections: Sequence[Detection],
         gt_boxes = np.array([g.box for g in gts], dtype=np.float64)
         ious = _iou_np(np.asarray(d.box, np.float64), gt_boxes,
                        inclusive=1.0 if devkit_iou else 0.0)
-        # prefer the best NON-ignored GT above threshold; only when none
-        # clears it fall back to the plain argmax (which may be ignored —
-        # the detection is then dropped from the curve). Without this, a
-        # detection whose highest-IoU GT is difficult/out-of-band would
-        # leave an in-band GT that also clears the threshold unmatched
-        # (pycocotools prefers non-ignored GTs during matching).
-        live = np.array([not ignored(g) for g in gts])
-        cand = np.where(live & (ious >= iou_thresh), ious, -1.0)
-        j = int(np.argmax(cand)) if cand.max() >= 0 else int(np.argmax(ious))
+        # AREA-BAND mode only: prefer the best UNMATCHED non-ignored GT
+        # above threshold; when none clears it fall back to the plain
+        # argmax (an ignored pick drops the det, a matched pick is a
+        # duplicate FP — unchanged semantics). Without this, a det whose
+        # highest-IoU GT is out-of-band would leave an in-band GT that
+        # also clears the threshold unmatched; pycocotools both prefers
+        # non-ignored GTs and skips already-matched ones. The plain VOC
+        # protocol (area_range=None) keeps the devkit's bare argmax.
+        j = int(np.argmax(ious))
+        if area_range is not None:
+            live = np.array([not ignored(g) for g in gts])
+            live &= ~matched[d.image_id]
+            cand = np.where(live & (ious >= iou_thresh), ious, -1.0)
+            if cand.max() >= 0:
+                j = int(np.argmax(cand))
         if ious[j] >= iou_thresh:
             if ignored(gts[j]):
                 continue  # ignore: neither tp nor fp

@@ -166,23 +166,60 @@ def test_area_band_out_of_band_gt_is_ignored_like_difficult():
     assert ap == approx(1.0)
 
 
-def test_matching_prefers_non_ignored_gt_above_threshold():
-    """ADVICE r3: a detection overlapping a difficult GT slightly more
-    than a live GT must still match the live GT when both clear the IoU
-    threshold (pycocotools prefers non-ignored GTs during matching);
-    the plain argmax would leave the live GT unmatched."""
-    live = (0.0, 0.0, 10.0, 10.0)
+def test_band_matching_prefers_non_ignored_gt_above_threshold():
+    """ADVICE r3, AREA-BAND mode: a detection overlapping an out-of-band
+    GT slightly more than an in-band GT must still match the in-band GT
+    when both clear the IoU threshold (pycocotools prefers non-ignored
+    GTs during matching); the plain argmax would leave it unmatched."""
+    small = (0.0, 0.0, 20.0, 20.0)   # area 400 px^2, in the small band
+    big = (0.0, 0.0, 20.0, 60.0)     # area 1200 px^2, out of band
+    det = (0.0, 0.0, 20.0, 50.0)     # IoU(big)=0.833, IoU(small)=0.4
+    gts = [GroundTruth("im1", big), GroundTruth("im1", small)]
+    dets = [Detection("im1", 0.9, det)]
+    # threshold 0.35: both GTs clear it; plain argmax -> big (ignored in
+    # band) would leave small unmatched; the preference matches small
+    ap = class_ap(dets, gts, iou_thresh=0.35, use_07_metric=False,
+                  area_range=(0.0, 32.0 ** 2))
+    assert ap == approx(1.0)
+
+
+def test_plain_protocol_keeps_devkit_argmax_for_difficult():
+    """Headline VOC protocol (no area band): the devkit's bare argmax —
+    a det whose highest-IoU GT is difficult is IGNORED even when a clean
+    GT also clears the threshold (canonical voc_eval.py behavior; the
+    pycocotools preference must not leak into the parity path)."""
+    clean = (0.0, 0.0, 10.0, 10.0)
     diff = (0.0, 0.0, 10.0, 11.0)  # overlaps the det slightly more
     det = (0.0, 0.0, 10.0, 10.5)
     gts = [GroundTruth("im1", diff, difficult=True),
-           GroundTruth("im1", live)]
+           GroundTruth("im1", clean)]
     dets = [Detection("im1", 0.9, det)]
-    assert class_ap(dets, gts, use_07_metric=False) == approx(1.0)
+    # the det is ignored (matched the difficult GT), clean GT unmatched:
+    # recall 0 -> AP 0 under the devkit protocol
+    assert class_ap(dets, gts, use_07_metric=False) == approx(0.0)
+
+
+def test_band_matching_skips_matched_gts_but_keeps_ignored_fallback():
+    """The band preference must skip already-MATCHED GTs: a duplicate
+    det whose argmax falls on an out-of-band GT stays ignored (dropped),
+    not converted into a false positive by re-preferring the matched
+    in-band GT (code-review r4 finding #1)."""
+    small = (0.0, 0.0, 20.0, 20.0)
+    big = (0.0, 0.0, 20.0, 60.0)  # out of the small band
+    gts = [GroundTruth("im1", small), GroundTruth("im1", big)]
+    band = (0.0, 32.0 ** 2)
+    dets = [Detection("im1", 0.9, small),            # TP on small
+            Detection("im1", 0.8, (0.0, 0.0, 20.0, 50.0))]  # argmax: big
+    # det2's best unmatched non-ignored GT above thresh: none (small is
+    # matched) -> falls back to argmax big (ignored) -> dropped. AP 1.0.
+    ap = class_ap(dets, gts, iou_thresh=0.35, use_07_metric=False,
+                  area_range=band)
+    assert ap == approx(1.0)
 
 
 def test_matching_falls_back_to_ignored_gt_below_threshold():
     """When only the ignored GT clears the threshold the detection is
-    dropped from the curve (neither tp nor fp), exactly as before."""
+    dropped from the curve (neither tp nor fp), in band mode too."""
     diff = (0.0, 0.0, 10.0, 10.0)
     far_live = (50.0, 50.0, 60.0, 60.0)
     gts = [GroundTruth("im1", diff, difficult=True),
@@ -190,6 +227,8 @@ def test_matching_falls_back_to_ignored_gt_below_threshold():
     dets = [Detection("im1", 0.9, diff),
             Detection("im1", 0.8, far_live)]
     assert class_ap(dets, gts, use_07_metric=False) == approx(1.0)
+    assert class_ap(dets, gts, use_07_metric=False,
+                    area_range=(0.0, float("inf"))) == approx(1.0)
 
 
 def test_area_band_bounds_are_inclusive_like_pycocotools():

@@ -31,7 +31,9 @@ from modelcompression_tpu.compress import (
 )
 from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
 from modelcompression_tpu.models import fold_batchnorm, init_params, yolov2_voc
-from modelcompression_tpu.utils.timing import measure_rtt, time_fn
+from modelcompression_tpu.utils.timing import (
+    measure_rtt, salted_pipeline_loop, time_fn,
+)
 
 INNER = 10  # pipeline steps per dispatch (dispatch-proof, as bench.py)
 
@@ -102,15 +104,7 @@ def main():
             w = jnp.full((B,), 512.0)
             h = jnp.full((B,), 384.0)
 
-            @jax.jit
-            def many(p, u8, w_, h_, salt, step=step):
-                def body(i, acc):
-                    u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
-                    boxes, scores, valid, _, _ = step(p, u8_i, w_, h_)
-                    return acc + jnp.sum(scores)
-                # salted carry: distinct args per call (utils/timing.py)
-                return jax.lax.fori_loop(0, INNER, body, salt)
-
+            many = salted_pipeline_loop(step, INNER)
             t0 = time.time()
             jax.block_until_ready(many(folded, imgs, w, h, jnp.float32(0)))
             print(f"{tag} B={B}: compile+first {time.time() - t0:.1f}s",

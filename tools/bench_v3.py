@@ -32,7 +32,9 @@ from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
 from modelcompression_tpu.models import (
     fold_batchnorm, init_params, num_conv_flops, yolov3_tiny_voc, yolov3_voc,
 )
-from modelcompression_tpu.utils.timing import measure_rtt, time_fn
+from modelcompression_tpu.utils.timing import (
+    measure_rtt, salted_pipeline_loop, time_fn,
+)
 
 SRC = (384, 512)
 INNER = 10  # pipeline steps per dispatch (dispatch-proof, as bench.py)
@@ -172,17 +174,7 @@ def main():
         img_h = jnp.full((b,), float(SRC[0]))
         folded = jax.device_put(folded, dev)
         step = make_eval_step(sp, cfg, src_hw=SRC)
-
-        @jax.jit
-        def many(p, u8, w_, h_, salt, step=step):
-            def body(i, acc):
-                u8_i = u8 + (i % 2).astype(jnp.uint8)  # defeat CSE
-                boxes, scores, valid, *_ = step(p, u8_i, w_, h_)
-                return acc + jnp.sum(scores)
-            # salt carry init: distinct args per timed call, so the tunnel
-            # cannot serve repeat executes memoized (utils/timing.py)
-            return jax.lax.fori_loop(0, INNER, body, salt)
-
+        many = salted_pipeline_loop(step, INNER)
         t0 = time.time()
         jax.block_until_ready(many(folded, images, img_w, img_h,
                                    jnp.float32(0)))

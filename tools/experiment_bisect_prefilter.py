@@ -36,7 +36,9 @@ def main():
     from modelcompression_tpu.models import (
         fold_batchnorm, init_params, yolov2_voc,
     )
-    from modelcompression_tpu.utils.timing import measure_rtt, time_fn
+    from modelcompression_tpu.utils.timing import (
+        measure_rtt, salted_pipeline_loop, time_fn,
+    )
 
     BATCH = 64
     SRC_H, SRC_W = 384, 512
@@ -80,15 +82,7 @@ def main():
                 forward_fn=(None if fwd is None
                             else (lambda q, x, s: fwd(q, x, s))))
             step = make_eval_step(slim_spec, cfg, src_hw=(SRC_H, SRC_W))
-
-            @functools.partial(jax.jit)
-            def many(p, u8, w_, h_, salt, step=step):
-                def body(i, acc):
-                    u8_i = u8 + (i % 2).astype(jnp.uint8)
-                    _, scores, _, _, _ = step(p, u8_i, w_, h_)
-                    return acc + jnp.sum(scores)
-                return jax.lax.fori_loop(0, INNER, body, salt)
-
+            many = salted_pipeline_loop(step, INNER)
             t0 = time.time()
             out = step(p_, images, img_w, img_h)
             jax.block_until_ready(out)

@@ -79,13 +79,8 @@ def main():
               f"{n_any_max} (exactness budget when prefilter is on)",
               file=sys.stderr)
 
-        @functools.partial(jax.jit)
-        def many(p, u8, w_, h_, salt, step=step):
-            def body(i, acc):
-                u8_i = u8 + (i % 2).astype(jnp.uint8)
-                boxes, scores, valid, _, _ = step(p, u8_i, w_, h_)
-                return acc + jnp.sum(scores)
-            return jax.lax.fori_loop(0, INNER, body, salt)
+        from modelcompression_tpu.utils.timing import salted_pipeline_loop
+        many = salted_pipeline_loop(step, INNER)
 
         jax.block_until_ready(many(folded, images, img_w, img_h,
                                    jnp.float32(0)))
