@@ -295,13 +295,14 @@ def tied_group_scores_device(params: Params, spec: NetworkSpec,
     import numpy as np
 
     from modelcompression_tpu.compress.graph import (
-        head_producer_convs, tied_conv_groups,
+        grouped_route_source_convs, head_producer_convs, tied_conv_groups,
     )
     if criterion not in FILTER_CRITERIA:
         raise ValueError(
             f"unknown filter criterion {criterion!r} "
             f"(one of {FILTER_CRITERIA})")
-    protected = head_producer_convs(spec) | set(skip)
+    protected = (head_producer_convs(spec)
+                 | grouped_route_source_convs(spec) | set(skip))
     groups = [sorted(g) for g in tied_conv_groups(spec)
               if not (g & protected)]
     members = [i for g in groups for i in g]

@@ -70,7 +70,10 @@ def conv_flops_by_layer(spec: NetworkSpec,
             h, w = h * l.stride, w * l.stride
         elif isinstance(l, RouteLayer):
             h, w = hist[l.layers[0]][:2]
-            c = sum(hist[a][2] for a in l.layers)
+            # grouped route: each source contributes C/groups channels
+            # (sources are protected from pruning, so the live count is
+            # the original and the integer division is exact)
+            c = sum(hist[a][2] // l.groups for a in l.layers)
         elif isinstance(l, ShortcutLayer):
             pass  # add: channels/dims unchanged (equality checked at parse)
         elif isinstance(l, (RegionLayer, YoloLayer)):

@@ -86,6 +86,23 @@ def tied_conv_groups(spec: NetworkSpec) -> List[Set[int]]:
     return sorted((g for g in groups if len(g) >= 2), key=min)
 
 
+def grouped_route_source_convs(spec: NetworkSpec) -> Set[int]:
+    """Convs feeding a GROUPED [route] (CSP split, yolov4-tiny): the
+    slice boundary ``group_id * C/groups`` is computed from the LIVE
+    channel count, so pruning a source conv would silently move the
+    boundary and change which channels the split selects (the kept half
+    of the original channels is NOT the first half of the repacked
+    ones unless the keep-set happens to be split-balanced). Protected
+    under the default rule; repack independently validates."""
+    sources = channel_source_convs(spec)
+    out: Set[int] = set()
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, RouteLayer) and l.groups > 1:
+            for a in l.layers:
+                out |= sources[a]
+    return out
+
+
 def head_producer_convs(spec: NetworkSpec) -> Set[int]:
     """Convs whose filter count is a decode contract: the producers of
     every [region]/[yolo] head's input map (A*(5+C) channels)."""
@@ -98,10 +115,13 @@ def head_producer_convs(spec: NetworkSpec) -> Set[int]:
 
 def protected_conv_indices(spec: NetworkSpec) -> Set[int]:
     """The default structurally-unprunable set: head producers plus every
-    shortcut-tied conv. For YOLOv2-family chains this reduces to exactly
-    the old rule ({last conv}); for YOLOv3 it protects the three head
-    convs and the residual identity paths."""
-    out = head_producer_convs(spec)
+    shortcut-tied conv plus every conv feeding a grouped route (the CSP
+    split's slice boundary depends on the live channel count). For
+    YOLOv2-family chains this reduces to exactly the old rule
+    ({last conv}); for YOLOv3 it protects the three head convs and the
+    residual identity paths; for yolov4-tiny it additionally protects
+    the CSP-split sources."""
+    out = head_producer_convs(spec) | grouped_route_source_convs(spec)
     for g in tied_conv_groups(spec):
         out |= g
     return out

@@ -134,7 +134,8 @@ def factor_network(params: Params, spec: NetworkSpec,
     for idx, layer in enumerate(spec.layers):
         if isinstance(layer, RouteLayer):
             new_layers.append(RouteLayer(
-                layers=tuple(new_of[a] for a in layer.layers)))
+                layers=tuple(new_of[a] for a in layer.layers),
+                groups=layer.groups, group_id=layer.group_id))
             new_of[idx] = len(new_layers) - 1
             continue
         split = None  # (rank, energy_kept, w1, w2)

@@ -68,7 +68,8 @@ from modelcompression_tpu.models.cfg import (
     ShortcutLayer, UpsampleLayer, YoloLayer, dump_cfg, parse_cfg,
 )
 from modelcompression_tpu.models.darknet import (
-    Params, _activate, conv_key, maxpool, reorg, upsample_nearest,
+    Params, _activate, conv_key, maxpool, reorg, route_part as _route_part,
+    upsample_nearest,
 )
 
 QParams = Dict[str, Dict[str, jnp.ndarray]]
@@ -168,7 +169,9 @@ def collect_act_absmax(folded_params: Params, spec: NetworkSpec,
             elif isinstance(l, MaxPoolLayer):
                 y = maxpool(y, l)
             elif isinstance(l, RouteLayer):
-                y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+                y = jnp.concatenate(
+                    [_route_part(outputs[a], l) for a in l.layers],
+                    axis=-1)
             elif isinstance(l, ReorgLayer):
                 y = reorg(y, l.stride)
             elif isinstance(l, ShortcutLayer):
@@ -384,7 +387,7 @@ def forward_quantized(qparams: QParams, x: jnp.ndarray,
         elif isinstance(l, MaxPoolLayer):
             y = maxpool(y, l)  # int8-safe: pads with typed iinfo.min
         elif isinstance(l, RouteLayer):
-            parts = [outputs[a] for a in l.layers]
+            parts = [_route_part(outputs[a], l) for a in l.layers]
             part_scales = [scales[a] for a in l.layers]
             if all(s is not None for s in part_scales):
                 # exact: calibration merged the route's inputs into one

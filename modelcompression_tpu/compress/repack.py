@@ -77,8 +77,30 @@ def propagate_keep_sets(spec: NetworkSpec,
             parts = []
             off = 0
             for a in l.layers:
-                parts.append(layer_keep[a] + off)
-                off += orig_out[a]
+                if l.groups > 1:
+                    # CSP split: the route takes slice
+                    # [group_id*C/groups, (group_id+1)*C/groups) of the
+                    # LIVE tensor. The slice boundary moves with the live
+                    # channel count, so a pruned source would change
+                    # WHICH original channels the split selects — the
+                    # default protection rule (graph.py
+                    # grouped_route_source_convs) keeps sources
+                    # unpruned; validate so hand-built keep-sets fail
+                    # loudly instead of silently re-slicing.
+                    if len(layer_keep[a]) != orig_out[a]:
+                        raise ValueError(
+                            f"route at layer {i} has groups="
+                            f"{l.groups} but its source layer {a} is "
+                            f"pruned ({len(layer_keep[a])}/"
+                            f"{orig_out[a]} channels kept) — grouped-"
+                            f"route sources must stay unpruned "
+                            f"(compress/graph.py)")
+                    g = orig_out[a] // l.groups
+                    parts.append(np.arange(g, dtype=np.int64) + off)
+                    off += g
+                else:
+                    parts.append(layer_keep[a] + off)
+                    off += orig_out[a]
             cur = np.concatenate(parts)
         elif isinstance(l, ReorgLayer):
             s2 = l.stride * l.stride

@@ -164,9 +164,10 @@ def taylor_scores_with_groups(
     head-producing or ``skip`` conv stay fully protected.
     """
     from modelcompression_tpu.compress.graph import (
-        head_producer_convs, tied_conv_groups,
+        grouped_route_source_convs, head_producer_convs, tied_conv_groups,
     )
-    protected = head_producer_convs(spec) | set(skip)
+    protected = (head_producer_convs(spec)
+                 | grouped_route_source_convs(spec) | set(skip))
     groups = [tuple(sorted(g)) for g in tied_conv_groups(spec)
               if not (g & protected)]
     untied_idx = taylor_gate_indices(spec, skip)

@@ -456,3 +456,149 @@ ignore_thresh = .7
 truth_thresh = 1
 random=0
 """
+
+def tiny_yolo4_cfg(num_classes: int = 3, width: int = 64,
+                   height: int = 64) -> str:
+    """A minimal YOLOv4-TINY-family cfg for fixture tests: exercises the
+    v4-only pieces — a CSP block ([route] groups=2 group_id=1 split,
+    partial concat, transition, full concat), mish activation, and two
+    scale_x_y=1.05 [yolo] heads — on top of the v3 machinery (upsample,
+    route-concat FPN). Downsamples to stride 4 (coarse head) / 2."""
+    det = 2 * (5 + num_classes)
+    return f"""
+[net]
+batch=4
+subdivisions=1
+width={width}
+height={height}
+channels=3
+learning_rate=0.001
+momentum=0.9
+decay=0.0005
+max_batches=500
+policy=constant
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=mish
+
+[route]
+layers=-1
+groups=2
+group_id=1
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=-1,-2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=-6,-1
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters={det}
+activation=linear
+
+[yolo]
+mask = 2,3
+anchors = 8,8,  16,16,  24,24,  48,48
+classes={num_classes}
+num=4
+jitter=.3
+ignore_thresh = .7
+truth_thresh = 1
+random=0
+scale_x_y = 1.05
+
+[route]
+layers=-3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[upsample]
+stride=2
+
+[route]
+layers=-1,1
+
+[convolutional]
+batch_normalize=1
+filters=24
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters={det}
+activation=linear
+
+[yolo]
+mask = 0,1
+anchors = 8,8,  16,16,  24,24,  48,48
+classes={num_classes}
+num=4
+jitter=.3
+ignore_thresh = .7
+truth_thresh = 1
+random=0
+scale_x_y = 1.05
+"""

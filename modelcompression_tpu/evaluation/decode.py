@@ -91,8 +91,14 @@ def decode_yolo(raw: jnp.ndarray, layer: YoloLayer,
     anchors = jnp.asarray(layer.anchor_pairs, jnp.float32)  # (A, 2) pixels
 
     tx, ty, tw, th, to = (raw[..., i] for i in range(5))
-    bx = (jax.nn.sigmoid(tx) + cx[None, :, :, None]) / w
-    by = (jax.nn.sigmoid(ty) + cy[None, :, :, None]) / h
+    # scale_x_y (YOLOv4 grid-sensitivity fix, darknet yolo_layer.c):
+    # bx = (s*sigmoid(tx) - (s-1)/2 + cx)/W — stretches the per-cell
+    # offset past [0,1] so boxes can sit on cell boundaries without
+    # saturating the logistic; s=1 is the classic YOLOv3 decode
+    s = layer.scale_x_y
+    off = (s - 1.0) * 0.5
+    bx = (s * jax.nn.sigmoid(tx) - off + cx[None, :, :, None]) / w
+    by = (s * jax.nn.sigmoid(ty) - off + cy[None, :, :, None]) / h
     bw = anchors[None, None, None, :, 0] * jnp.exp(tw) / net_w
     bh = anchors[None, None, None, :, 1] * jnp.exp(th) / net_h
     obj = jax.nn.sigmoid(to)

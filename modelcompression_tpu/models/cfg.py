@@ -75,7 +75,15 @@ class MaxPoolLayer:
 
 @dataclasses.dataclass
 class RouteLayer:
+    """Darknet route: channel-concat of earlier layers' outputs.
+
+    ``groups``/``group_id`` (Darknet CSP convention, yolov4-tiny): each
+    source's channels are split into ``groups`` equal slices and only
+    slice ``group_id`` is taken — the CSPNet partial-dense split. With
+    groups=1 (default) this is the classic full concat."""
     layers: Tuple[int, ...]  # absolute layer indices (resolved at parse time)
+    groups: int = 1
+    group_id: int = 0
 
 
 @dataclasses.dataclass
@@ -118,6 +126,11 @@ class YoloLayer:
     ignore_thresh: float = 0.7
     truth_thresh: float = 1.0
     random: bool = False
+    # YOLOv4 grid-sensitivity fix: bx = (s*sigmoid(tx) - (s-1)/2 + cx)/W
+    # — stretches the per-cell offset past [0,1] so boxes can sit exactly
+    # on cell boundaries without saturating the logistic. 1.0 = classic
+    # YOLOv3 decode.
+    scale_x_y: float = 1.0
 
     @property
     def anchor_pairs(self) -> Tuple[Tuple[float, float], ...]:
@@ -273,7 +286,15 @@ def parse_cfg(text: str) -> NetworkSpec:
             for a in absolute:
                 if not (0 <= a < idx):
                     raise ValueError(f"route at layer {idx} references {a}")
-            layers.append(RouteLayer(layers=absolute))
+            groups = int(o.get("groups", 1))
+            group_id = int(o.get("group_id", 0))
+            if groups < 1 or not (0 <= group_id < groups):
+                raise ValueError(
+                    f"route at layer {idx}: need groups >= 1 and "
+                    f"0 <= group_id < groups, got groups={groups} "
+                    f"group_id={group_id}")
+            layers.append(RouteLayer(layers=absolute, groups=groups,
+                                     group_id=group_id))
         elif name == "reorg":
             layers.append(ReorgLayer(stride=int(o.get("stride", 2))))
         elif name == "shortcut":
@@ -298,6 +319,7 @@ def parse_cfg(text: str) -> NetworkSpec:
                 ignore_thresh=float(o.get("ignore_thresh", 0.7)),
                 truth_thresh=float(o.get("truth_thresh", 1.0)),
                 random=bool(int(float(o.get("random", 0)))),
+                scale_x_y=float(o.get("scale_x_y", 1.0)),
             ))
         elif name == "region":
             layers.append(RegionLayer(
@@ -342,7 +364,13 @@ def _resolve_channels(spec: NetworkSpec) -> None:
         elif isinstance(l, MaxPoolLayer):
             pass
         elif isinstance(l, RouteLayer):
-            c = sum(channels[a] for a in l.layers)
+            for a in l.layers:
+                if channels[a] % l.groups:
+                    raise ValueError(
+                        f"route at layer {i}: source layer {a} has "
+                        f"{channels[a]} channels, not divisible by "
+                        f"groups={l.groups}")
+            c = sum(channels[a] // l.groups for a in l.layers)
         elif isinstance(l, ReorgLayer):
             c = c * l.stride * l.stride
         elif isinstance(l, ShortcutLayer):
@@ -363,7 +391,7 @@ def out_channels(spec: NetworkSpec) -> List[int]:
         if isinstance(l, ConvLayer):
             c = l.filters
         elif isinstance(l, RouteLayer):
-            c = sum(channels[a] for a in l.layers)
+            c = sum(channels[a] // l.groups for a in l.layers)
         elif isinstance(l, ReorgLayer):
             c = c * l.stride * l.stride
         channels.append(c)
@@ -408,6 +436,8 @@ def dump_cfg(spec: NetworkSpec) -> str:
         elif isinstance(l, RouteLayer):
             rel = ",".join(str(a - i) for a in l.layers)
             out.write(f"[route]\nlayers={rel}\n")
+            if l.groups != 1:
+                out.write(f"groups={l.groups}\ngroup_id={l.group_id}\n")
         elif isinstance(l, ReorgLayer):
             out.write(f"[reorg]\nstride={l.stride}\n")
         elif isinstance(l, ShortcutLayer):
@@ -424,7 +454,9 @@ def dump_cfg(spec: NetworkSpec) -> str:
                       f"jitter={l.jitter}\n"
                       f"ignore_thresh = {l.ignore_thresh}\n"
                       f"truth_thresh = {l.truth_thresh}\n"
-                      f"random={int(l.random)}\n")
+                      f"random={int(l.random)}\n"
+                      + (f"scale_x_y = {l.scale_x_y:g}\n"
+                         if l.scale_x_y != 1.0 else ""))
         elif isinstance(l, RegionLayer):
             out.write("[region]\n")
             out.write("anchors = " + ",".join(

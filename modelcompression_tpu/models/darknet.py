@@ -80,6 +80,11 @@ def _activate(x: jnp.ndarray, kind: str) -> jnp.ndarray:
         return jnp.maximum(x, 0)
     if kind == "logistic":
         return jax.nn.sigmoid(x)
+    if kind == "mish":
+        # Darknet (YOLOv4): x * tanh(softplus(x)); jax.nn.softplus is the
+        # numerically-stable log1p(exp) form darknet's MISH_THRESHOLD
+        # branches approximate
+        return x * jnp.tanh(jax.nn.softplus(x))
     raise ValueError(f"unsupported activation {kind!r}")
 
 
@@ -116,6 +121,18 @@ def conv_bn_act(x: jnp.ndarray, p: Dict[str, jnp.ndarray], layer: ConvLayer,
         y = y + p["bias"].astype(y.dtype)
     y = _activate(y, layer.activation)
     return precision.cast_out(y)
+
+
+def route_part(t: jnp.ndarray, layer: RouteLayer) -> jnp.ndarray:
+    """One route source's contribution: the full tensor (classic route)
+    or its CSP group slice (groups/group_id, yolov4-tiny). A STATIC
+    channel slice — XLA fuses it into the consumer, no copy
+    materializes. Shared by the float forwards and the int8 path so the
+    split convention lives in one place."""
+    if layer.groups == 1:
+        return t
+    g = t.shape[-1] // layer.groups
+    return t[..., layer.group_id * g:(layer.group_id + 1) * g]
 
 
 def maxpool(x: jnp.ndarray, layer: MaxPoolLayer) -> jnp.ndarray:
@@ -228,7 +245,8 @@ def _forward_impl(params: Params, x: jnp.ndarray, spec: NetworkSpec,
         elif isinstance(l, MaxPoolLayer):
             y = maxpool(y, l)
         elif isinstance(l, RouteLayer):
-            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+            y = jnp.concatenate([route_part(outputs[a], l)
+                                 for a in l.layers], axis=-1)
         elif isinstance(l, ReorgLayer):
             y = reorg(y, l.stride)
         elif isinstance(l, ShortcutLayer):

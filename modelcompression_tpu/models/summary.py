@@ -58,7 +58,7 @@ def layer_shapes(spec: NetworkSpec) -> List[tuple]:
             w = (w + l.pad_total - l.size) // l.stride + 1
         elif isinstance(l, RouteLayer):
             h, w, _ = hwc[l.layers[0]]
-            c = sum(hwc[a][2] for a in l.layers)
+            c = sum(hwc[a][2] // l.groups for a in l.layers)
         elif isinstance(l, ReorgLayer):
             h, w = h // l.stride, w // l.stride
             c = c * l.stride * l.stride

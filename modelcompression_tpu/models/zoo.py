@@ -59,6 +59,19 @@ def yolov3_tiny_voc() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "yolov3-tiny-voc.cfg"))
 
 
+def yolov4_tiny_coco() -> NetworkSpec:
+    """yolov4-tiny (public AlexeyAB/darknet cfg shape): CSPOSANet
+    backbone — grouped [route] splits (groups=2, group_id=1), two
+    scale_x_y=1.05 [yolo] heads. 6.06M params / 6.91 GFLOP at 416,
+    matching the published 6.9 BFLOPs."""
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov4-tiny.cfg"))
+
+
+def yolov4_tiny_voc() -> NetworkSpec:
+    """yolov4-tiny with the 20-class VOC head (det convs 75ch)."""
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov4-tiny-voc.cfg"))
+
+
 def coco_names_path() -> str:
     return os.path.join(CONFIG_DIR, "coco.names")
 

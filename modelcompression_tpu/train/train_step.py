@@ -35,7 +35,7 @@ from modelcompression_tpu.core.precision import Precision, FAST
 from modelcompression_tpu.models.cfg import ConvLayer, NetworkSpec
 from modelcompression_tpu.models.darknet import (
     BN_EPS, Params, _activate, _conv, conv_bn_act, conv_key, maxpool, reorg,
-    upsample_nearest,
+    route_part, upsample_nearest,
 )
 from modelcompression_tpu.models.cfg import (
     MaxPoolLayer, RegionLayer, ReorgLayer, RouteLayer, ShortcutLayer,
@@ -387,7 +387,8 @@ def _forward_train(params: Params, x: jnp.ndarray, spec: NetworkSpec,
         elif isinstance(l, MaxPoolLayer):
             y = maxpool(y, l)
         elif isinstance(l, RouteLayer):
-            y = jnp.concatenate([outputs[a] for a in l.layers], axis=-1)
+            y = jnp.concatenate([route_part(outputs[a], l)
+                                 for a in l.layers], axis=-1)
         elif isinstance(l, ReorgLayer):
             y = reorg(y, l.stride)
         elif isinstance(l, ShortcutLayer):

@@ -137,8 +137,12 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
 
         cy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         cx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-        px = (tx + cx[None, :, :, None]) / w
-        py = (ty + cy[None, :, :, None]) / h
+        # scale_x_y: decode matches evaluation/decode.decode_yolo —
+        # offset = s*sigmoid(t) - (s-1)/2 (YOLOv4 grid-sensitivity fix)
+        s_xy = layer.scale_x_y
+        off_xy = (s_xy - 1.0) * 0.5
+        px = (s_xy * tx - off_xy + cx[None, :, :, None]) / w
+        py = (s_xy * ty - off_xy + cy[None, :, :, None]) / h
         pw = anchors[None, None, None, :, 0] * jnp.exp(tw) / net_w
         ph = anchors[None, None, None, :, 1] * jnp.exp(th) / net_h
         pred_boxes = jnp.stack([px, py, pw, ph], -1)  # (B,H,W,A,4)
@@ -190,11 +194,19 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
         t_cls = scat(gt_cls.astype(jnp.float32)).astype(jnp.int32)
 
         # exact-gradient terms (module docstring / region_loss._bce_kl):
-        # KL-BCE on logistic logits, half-SE on the linear tw/th
+        # KL-BCE on logistic logits, half-SE on the linear tw/th.
+        # scale_x_y: darknet's delta (wrt the logit, via its no-sigmoid'
+        # convention times the scal_add factor s) is
+        #   s*(t - (s*sig - (s-1)/2)) = s^2 * ((t + (s-1)/2)/s - sig),
+        # i.e. the gradient of s^2 * BCE with the RESCALED target
+        # t' = (t + (s-1)/2)/s — implemented exactly below (t' stays in
+        # [0,1] because the fractional target is, and s >= 1).
         amask = assigned.astype(jnp.float32)
         zx, zy, zo = raw[..., 0], raw[..., 1], raw[..., 4]
+        t_x_s = (t_x + off_xy) / s_xy
+        t_y_s = (t_y + off_xy) / s_xy
         acc["coord"] += jnp.sum(coord_w * amask * (
-            _bce_kl(zx, t_x) + _bce_kl(zy, t_y)
+            s_xy * s_xy * (_bce_kl(zx, t_x_s) + _bce_kl(zy, t_y_s))
             + 0.5 * ((tw - t_w) ** 2 + (th - t_h) ** 2)))
         acc["obj"] += jnp.sum(amask * jax.nn.softplus(-zo))  # KL(1||s(zo))
         acc["noobj"] += jnp.sum(                             # KL(0||s(zo))

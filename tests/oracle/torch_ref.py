@@ -90,12 +90,21 @@ def torch_forward(params, x_nchw: np.ndarray, spec: NetworkSpec,
                     pass
                 elif l.activation == "relu":
                     y = F.relu(y)
+                elif l.activation == "mish":
+                    y = F.mish(y)  # x*tanh(softplus(x)), darknet (YOLOv4)
                 else:
                     raise ValueError(l.activation)
             elif isinstance(l, MaxPoolLayer):
                 y = torch_maxpool(y, l.size, l.stride)
             elif isinstance(l, RouteLayer):
-                y = torch.cat([outputs[a] for a in l.layers], dim=1)
+                parts = []
+                for a in l.layers:
+                    t = outputs[a]
+                    if l.groups > 1:  # CSP split (yolov4-tiny)
+                        g = t.shape[1] // l.groups
+                        t = t[:, l.group_id * g:(l.group_id + 1) * g]
+                    parts.append(t)
+                y = torch.cat(parts, dim=1)
             elif isinstance(l, ReorgLayer):
                 y = torch_reorg(y, l.stride)
             elif isinstance(l, ShortcutLayer):
