@@ -6,7 +6,7 @@ from modelcompression_tpu.compress.criteria import (
     filter_scores_device, fpgm_filter_scores, fpgm_scores_device,
     global_threshold, keep_sets_from_scores,
     l1_filter_keep, l1_filter_keep_sets, l1_filter_keep_sets_scheduled,
-    tied_group_keep_sets, tied_group_scores_device,
+    csp_balanced_keep_sets, tied_group_keep_sets, tied_group_scores_device,
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
@@ -65,6 +65,7 @@ __all__ = [
     "DEFAULT_MASK_BACKEND", "MASK_BACKENDS", "magnitude_mask_fn",
     "apply_masks", "global_threshold", "l1_filter_keep",
     "l1_filter_keep_sets", "l1_filter_keep_sets_scheduled",
+    "csp_balanced_keep_sets",
     "tied_group_keep_sets", "tied_group_scores_device",
     "l1_filter_scores", "l1_filter_scores_device",
     "magnitude_mask_layer",

@@ -281,6 +281,78 @@ def l1_filter_keep_sets(params: Params, spec: NetworkSpec, fraction: float,
     return {i: _keep_from_scores(s, fraction) for i, s in scores.items()}
 
 
+def _criterion_scores(params: Params, spec: NetworkSpec,
+                      idxs, criterion: str) -> Dict[int, "np.ndarray"]:
+    """Raw per-filter scores for an EXPLICIT conv-index list under the
+    chosen data-free criterion (no protection filtering) — the shared
+    scoring pass behind the tied-group and CSP-balanced keep-set
+    builders. One device program + one readback."""
+    import numpy as np
+    if criterion not in FILTER_CRITERIA:
+        raise ValueError(
+            f"unknown filter criterion {criterion!r} "
+            f"(one of {FILTER_CRITERIA})")
+    idxs = list(idxs)
+    if not idxs:
+        return {}
+    ws = {conv_key(i): params[conv_key(i)]["w"] for i in idxs}
+    if criterion == "fpgm":
+        sc = jax.device_get(_fpgm_scores_jit(ws))
+    else:
+        sc = jax.device_get(_l1_scores_jit(ws))
+    out = {i: np.asarray(sc[conv_key(i)], np.float64) for i in idxs}
+    if criterion == "bn_gamma":
+        # |gamma| where BN exists (the slimming importance); the L1
+        # fallback is scale-normalized per layer like the untied path
+        for i in idxs:
+            if spec.layers[i].batch_normalize:
+                out[i] = np.abs(np.asarray(params[conv_key(i)]["gamma"],
+                                           np.float64))
+            else:
+                out[i] = out[i] / max(float(out[i].max()), 1e-12)
+    return out
+
+
+def csp_balanced_keep_sets(params: Params, spec: NetworkSpec,
+                           fraction: float, skip: Sequence[int] = (),
+                           criterion: str = "l1"
+                           ) -> Dict[int, "np.ndarray"]:
+    """Split-BALANCED structured pruning of CSP grouped-route source
+    convs (graph.csp_split_constraints): each conv's channels are
+    ranked WITHIN each contiguous split block and the drop fraction is
+    applied per block, so every block loses the same count — the
+    repacked tensor's group slice then equals the kept subset of the
+    original slice exactly (kept channels stay ascending, so the
+    repacked block boundary lands between the blocks; validated again
+    by repack). Convs that are also head-producing, shortcut-tied or
+    explicitly skipped stay protected."""
+    import numpy as np
+
+    from modelcompression_tpu.compress.graph import (
+        csp_split_constraints, head_producer_convs, tied_conv_groups,
+    )
+    constraints = csp_split_constraints(spec)
+    protected = head_producer_convs(spec) | set(skip)
+    for g in tied_conv_groups(spec):
+        protected |= g
+    idxs = [i for i in constraints if i not in protected]
+    scores = _criterion_scores(params, spec, idxs, criterion)
+    out: Dict[int, "np.ndarray"] = {}
+    for i in idxs:
+        parts = constraints[i]
+        s = scores[i]
+        block = len(s) // parts
+        assert block * parts == len(s), (
+            f"conv[{i}]: {len(s)} filters not divisible by the split "
+            "constraint — channel validation should have rejected this")
+        keeps = []
+        for p in range(parts):
+            lo = p * block
+            keeps.append(_keep_from_scores(s[lo:lo + block], fraction) + lo)
+        out[i] = np.concatenate(keeps).astype(np.int32)
+    return out
+
+
 def tied_group_scores_device(params: Params, spec: NetworkSpec,
                              criterion: str = "l1",
                              skip: Sequence[int] = ()

@@ -86,14 +86,59 @@ def tied_conv_groups(spec: NetworkSpec) -> List[Set[int]]:
     return sorted((g for g in groups if len(g) >= 2), key=min)
 
 
+def csp_split_constraints(spec: NetworkSpec) -> Dict[int, int]:
+    """Split-balance constraints from GROUPED [route]s (CSP, yolov4-
+    tiny): ``{conv_idx: n_parts}`` — the conv's keep-set must drop the
+    SAME number of filters from each of its ``n_parts`` contiguous
+    channel blocks.
+
+    Why: the slice boundary ``group_id * C/groups`` is computed from the
+    LIVE channel count. A split-BALANCED keep-set makes the repacked
+    tensor's slice exactly the kept subset of the original slice (kept
+    channels stay in ascending original order, so the repacked block
+    boundary lands between the halves); any other keep-set silently
+    moves the boundary and changes which channels the split selects.
+
+    Only convs that are the SOLE channel source of every grouped-route
+    input they feed are constrainable this way; a grouped route slicing
+    a multi-conv tensor (e.g. a concat) keeps full protection instead
+    (``grouped_route_protected_convs``). A conv feeding grouped routes
+    with different ``groups`` gets the LCM."""
+    import math
+    sources = channel_source_convs(spec)
+    out: Dict[int, int] = {}
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, RouteLayer) and l.groups > 1:
+            for a in l.layers:
+                src = sources[a]
+                if len(src) != 1:
+                    continue  # multi-conv provenance -> protected
+                (ci,) = src
+                out[ci] = (l.groups if ci not in out
+                           else out[ci] * l.groups
+                           // math.gcd(out[ci], l.groups))
+    return out
+
+
+def grouped_route_protected_convs(spec: NetworkSpec) -> Set[int]:
+    """Grouped-route source convs that CANNOT be split-balanced (their
+    sliced tensor has multi-conv provenance) — these stay fully
+    protected. Single-conv sources are handled by the balance
+    constraint (``csp_split_constraints``) instead."""
+    sources = channel_source_convs(spec)
+    out: Set[int] = set()
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, RouteLayer) and l.groups > 1:
+            for a in l.layers:
+                if len(sources[a]) != 1:
+                    out |= sources[a]
+    return out
+
+
 def grouped_route_source_convs(spec: NetworkSpec) -> Set[int]:
-    """Convs feeding a GROUPED [route] (CSP split, yolov4-tiny): the
-    slice boundary ``group_id * C/groups`` is computed from the LIVE
-    channel count, so pruning a source conv would silently move the
-    boundary and change which channels the split selects (the kept half
-    of the original channels is NOT the first half of the repacked
-    ones unless the keep-set happens to be split-balanced). Protected
-    under the default rule; repack independently validates."""
+    """All convs feeding a GROUPED [route] (balanceable or not) — the
+    set the schedule/budget paths still protect (their per-layer
+    fractions can't express the balance constraint)."""
     sources = channel_source_convs(spec)
     out: Set[int] = set()
     for i, l in enumerate(spec.layers):

@@ -80,23 +80,32 @@ def propagate_keep_sets(spec: NetworkSpec,
                 if l.groups > 1:
                     # CSP split: the route takes slice
                     # [group_id*C/groups, (group_id+1)*C/groups) of the
-                    # LIVE tensor. The slice boundary moves with the live
-                    # channel count, so a pruned source would change
-                    # WHICH original channels the split selects — the
-                    # default protection rule (graph.py
-                    # grouped_route_source_convs) keeps sources
-                    # unpruned; validate so hand-built keep-sets fail
-                    # loudly instead of silently re-slicing.
-                    if len(layer_keep[a]) != orig_out[a]:
+                    # LIVE tensor. The slice boundary moves with the
+                    # live channel count, so the source's keep-set must
+                    # be split-BALANCED (same count kept per block —
+                    # criteria.csp_balanced_keep_sets builds exactly
+                    # these); then the repacked slice equals the kept
+                    # subset of the original slice (kept channels stay
+                    # ascending, so the repacked block boundary lands
+                    # between blocks). Validate so a hand-built
+                    # unbalanced keep-set fails loudly instead of
+                    # silently re-slicing.
+                    src_c = orig_out[a]
+                    g = src_c // l.groups
+                    k = np.asarray(layer_keep[a], np.int64)
+                    counts = [int(((k >= p * g) & (k < (p + 1) * g)).sum())
+                              for p in range(l.groups)]
+                    if len(set(counts)) != 1:
                         raise ValueError(
-                            f"route at layer {i} has groups="
-                            f"{l.groups} but its source layer {a} is "
-                            f"pruned ({len(layer_keep[a])}/"
-                            f"{orig_out[a]} channels kept) — grouped-"
-                            f"route sources must stay unpruned "
-                            f"(compress/graph.py)")
-                    g = orig_out[a] // l.groups
-                    parts.append(np.arange(g, dtype=np.int64) + off)
+                            f"route at layer {i} has groups={l.groups} "
+                            f"but its source layer {a}'s keep-set is "
+                            f"not split-balanced (kept per block: "
+                            f"{counts}) — the grouped slice would "
+                            f"select different channels after repack "
+                            f"(compress/graph.csp_split_constraints)")
+                    lo = l.group_id * g
+                    sel = k[(k >= lo) & (k < lo + g)] - lo
+                    parts.append(sel + off)
                     off += g
                 else:
                     parts.append(layer_keep[a] + off)
@@ -203,14 +212,19 @@ def uniform_filter_fraction_keep_sets(spec: NetworkSpec, params: Params,
     ranked by group-summed scores (criteria.tied_group_keep_sets) — the
     aggressive recipe that slims the identity paths too."""
     from modelcompression_tpu.compress.criteria import (
-        l1_filter_keep_sets, tied_group_keep_sets,
+        csp_balanced_keep_sets, l1_filter_keep_sets, tied_group_keep_sets,
     )
     if tied not in ("protect", "group"):
         raise ValueError(f"tied must be 'protect' or 'group', got {tied!r}")
-    sets = l1_filter_keep_sets(params, spec, fraction, skip=skip,
-                               criterion=criterion)
+    sets = dict(l1_filter_keep_sets(params, spec, fraction, skip=skip,
+                                    criterion=criterion))
+    # CSP grouped-route source convs prune with split-BALANCED keep-sets
+    # (same count dropped per split block, so the repacked slice stays
+    # exact — criteria.csp_balanced_keep_sets); empty for graphs without
+    # grouped routes, so the classic families are unchanged
+    sets.update(csp_balanced_keep_sets(params, spec, fraction, skip=skip,
+                                       criterion=criterion))
     if tied == "group":
-        sets = dict(sets)
         sets.update(tied_group_keep_sets(params, spec, fraction, skip=skip,
                                          criterion=criterion))
     return {i: np.asarray(k) for i, k in sets.items()}

@@ -172,20 +172,29 @@ def test_scale_x_y_loss_gradient_matches_darknet_delta():
 # ------------------------------------------------------------- compression
 
 
-def test_grouped_route_sources_are_protected():
+def test_grouped_route_sources_protected_or_balanced():
+    """Schedule/budget paths keep grouped-route sources protected
+    (their per-layer fractions can't express the balance constraint);
+    the uniform path prunes them with split-balanced keep-sets via
+    csp_split_constraints."""
     from modelcompression_tpu.compress.graph import (
+        csp_split_constraints, grouped_route_protected_convs,
         grouped_route_source_convs, protected_conv_indices,
     )
     spec = parse_cfg(tiny_yolo4_cfg(num_classes=3))
     src = grouped_route_source_convs(spec)
     assert src == {1}  # the mish conv feeding the CSP split
     assert src <= protected_conv_indices(spec)
+    assert csp_split_constraints(spec) == {1: 2}
+    # single-conv provenance -> balanceable, not hard-protected
+    assert grouped_route_protected_convs(spec) == set()
 
 
 def test_v4_slimmed_equals_masked():
-    """The prize invariant through a CSP split: 50% L1-filter prune under
-    the protection rule (grouped-route source kept), physical repack —
-    slimmed forward == masked forward, bit-for-bit tolerance."""
+    """The prize invariant through a CSP split: 50% L1-filter prune with
+    the CSP source pruned via a split-BALANCED keep-set (same count
+    dropped per half — criteria.csp_balanced_keep_sets, merged in by
+    default), physical repack — slimmed forward == masked forward."""
     from modelcompression_tpu.compress import (
         channel_masks_from_keep, repack, uniform_filter_fraction_keep_sets,
     )
@@ -193,8 +202,13 @@ def test_v4_slimmed_equals_masked():
     spec = parse_cfg(tiny_yolo4_cfg(num_classes=3))
     params = init_params(spec, jax.random.key(2))
     keep = uniform_filter_fraction_keep_sets(spec, params, 0.5)
-    assert 1 not in keep  # the CSP source conv is protected
+    # the CSP source conv (32ch, groups=2) IS pruned — balanced: 8 kept
+    # in each 16-channel half
+    assert 1 in keep and len(keep[1]) == 16
+    k1 = np.asarray(keep[1])
+    assert int((k1 < 16).sum()) == int((k1 >= 16).sum()) == 8
     new_spec, new_params = repack(spec, params, keep)
+    assert new_spec.layers[1].filters == 16
     masks = channel_masks_from_keep(spec, keep)
 
     x = jnp.asarray(np.random.default_rng(3).uniform(
@@ -206,10 +220,10 @@ def test_v4_slimmed_equals_masked():
                                    rtol=1e-5, atol=1e-5)
     assert num_params(new_params) < num_params(params)
 
-    # a hand-built keep-set that prunes the CSP source must fail loudly
+    # a hand-built UNBALANCED keep-set on the CSP source fails loudly
     bad = dict(keep)
-    bad[1] = np.arange(16)  # halve the 32-channel grouped-route source
-    with pytest.raises(ValueError, match="grouped"):
+    bad[1] = np.arange(16)  # keeps only the first half
+    with pytest.raises(ValueError, match="split-balanced"):
         repack(spec, params, bad)
 
 
