@@ -488,7 +488,7 @@ activation=leaky
 
 [convolutional]
 batch_normalize=1
-filters=32
+filters=40
 size=3
 stride=1
 pad=1
@@ -501,7 +501,7 @@ group_id=1
 
 [convolutional]
 batch_normalize=1
-filters=16
+filters=20
 size=3
 stride=1
 pad=1
@@ -509,7 +509,7 @@ activation=leaky
 
 [convolutional]
 batch_normalize=1
-filters=16
+filters=20
 size=3
 stride=1
 pad=1
@@ -520,7 +520,7 @@ layers=-1,-2
 
 [convolutional]
 batch_normalize=1
-filters=32
+filters=40
 size=1
 stride=1
 pad=1
@@ -535,7 +535,7 @@ stride=2
 
 [convolutional]
 batch_normalize=1
-filters=32
+filters=40
 size=3
 stride=1
 pad=1
@@ -564,7 +564,7 @@ layers=-3
 
 [convolutional]
 batch_normalize=1
-filters=16
+filters=20
 size=1
 stride=1
 pad=1
@@ -578,7 +578,7 @@ layers=-1,1
 
 [convolutional]
 batch_normalize=1
-filters=24
+filters=32
 size=3
 stride=1
 pad=1

@@ -61,7 +61,7 @@ def test_grouped_route_validation():
     bad = tiny_yolo4_cfg().replace("group_id=1", "group_id=2")
     with pytest.raises(ValueError, match="group_id"):
         parse_cfg(bad)
-    # 3 groups does not divide the 32-channel source
+    # 3 groups does not divide the 40-channel source
     bad = tiny_yolo4_cfg().replace("groups=2", "groups=3")
     with pytest.raises(ValueError, match="divisible"):
         parse_cfg(bad)
@@ -202,13 +202,13 @@ def test_v4_slimmed_equals_masked():
     spec = parse_cfg(tiny_yolo4_cfg(num_classes=3))
     params = init_params(spec, jax.random.key(2))
     keep = uniform_filter_fraction_keep_sets(spec, params, 0.5)
-    # the CSP source conv (32ch, groups=2) IS pruned — balanced: 8 kept
-    # in each 16-channel half
-    assert 1 in keep and len(keep[1]) == 16
+    # the CSP source conv (40ch, groups=2) IS pruned — balanced: 10 kept
+    # in each 20-channel half
+    assert 1 in keep and len(keep[1]) == 20
     k1 = np.asarray(keep[1])
-    assert int((k1 < 16).sum()) == int((k1 >= 16).sum()) == 8
+    assert int((k1 < 20).sum()) == int((k1 >= 20).sum()) == 10
     new_spec, new_params = repack(spec, params, keep)
-    assert new_spec.layers[1].filters == 16
+    assert new_spec.layers[1].filters == 20
     masks = channel_masks_from_keep(spec, keep)
 
     x = jnp.asarray(np.random.default_rng(3).uniform(
@@ -222,7 +222,7 @@ def test_v4_slimmed_equals_masked():
 
     # a hand-built UNBALANCED keep-set on the CSP source fails loudly
     bad = dict(keep)
-    bad[1] = np.arange(16)  # keeps only the first half
+    bad[1] = np.arange(20)  # keeps only the first half
     with pytest.raises(ValueError, match="split-balanced"):
         repack(spec, params, bad)
 
