@@ -277,6 +277,75 @@ def test_v4_eval_pipeline_end_to_end():
         assert (b[:, [1, 3]] <= 80.0 + 1e-3).all()
 
 
+def test_v4_prune_cli_writes_balanced_slim_cfg(tmp_path):
+    """prune CLI end-to-end on the v4 fixture: the slimmed cfg keeps the
+    grouped route aligned (parse revalidates divisibility) and the CSP
+    source is balance-pruned, not protected."""
+    from modelcompression_tpu.cli import prune as prune_cli
+    from modelcompression_tpu.models import load_cfg, save_weights
+
+    spec = parse_cfg(tiny_yolo4_cfg(num_classes=3))
+    params = init_params(spec, jax.random.key(10))
+    cfg_path = str(tmp_path / "v4.cfg")
+    open(cfg_path, "w").write(dump_cfg(spec))
+    wpath = str(tmp_path / "v4.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    out = str(tmp_path / "slim.weights")
+    rc = prune_cli.main(["--cfg", cfg_path, "--weights", wpath,
+                         "--mode", "l1_filter", "--fraction", "0.5",
+                         "--out", out])
+    assert rc == 0
+    slim = load_cfg(str(tmp_path / "slim.cfg"))  # revalidates the route
+    assert slim.layers[1].filters == 20  # 40ch CSP source halved
+    g = [l for l in slim.layers
+         if isinstance(l, RouteLayer) and l.groups > 1][0]
+    assert (g.groups, g.group_id) == (2, 1)
+
+
+def test_v4_serve_family(tmp_path):
+    """The serving daemon serves the v4 family unchanged (family-generic
+    fused step through the CSP split + scale_x_y decode)."""
+    import json
+    import threading
+    import urllib.request
+
+    cv2 = pytest.importorskip("cv2")
+    from modelcompression_tpu.cli import serve
+    from modelcompression_tpu.models import save_weights
+
+    spec = parse_cfg(tiny_yolo4_cfg(num_classes=3, width=64, height=64))
+    params = init_params(spec, jax.random.key(11))
+    cfg_path = str(tmp_path / "v4.cfg")
+    open(cfg_path, "w").write(dump_cfg(spec))
+    wpath = str(tmp_path / "v4.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+
+    args = serve.build_parser().parse_args(
+        ["--cfg", cfg_path, "--weights", wpath, "--port", "0",
+         "--batch", "1", "--max-wait-ms", "10", "--conf", "0.05"])
+    httpd, state = serve.build_server(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 255, (72, 96, 3), np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=bytes(buf),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["width"] == 96 and out["height"] == 72
+        for d in out["detections"]:
+            assert 0 <= d["class_id"] < 3
+    finally:
+        state.stop.set()
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_v4_int8_ptq_tracks_f32():
     """int8 PTQ through the CSP split: the grouped route's int8 slice
     rides its source's scale group; quantized outputs stay close to f32

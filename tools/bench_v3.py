@@ -1,7 +1,9 @@
-"""On-chip measurement: the YOLOv3 family through the SAME fused serving
-pipeline as bench.py (letterbox -> forward -> decode_heads over all
-scales -> NMS), demonstrating the second detector family rides the
-framework's perf machinery unchanged.
+"""On-chip measurement: the YOLOv3 AND YOLOv4-tiny families through the
+SAME fused serving pipeline as bench.py (letterbox -> forward ->
+decode_heads over all scales -> NMS), demonstrating the second and
+third detector families ride the framework's perf machinery unchanged.
+(`--v4` selects the yolov4-tiny rows; yolov4-tiny's CSP grouped-route
+sources prune with split-balanced keep-sets by default.)
 
 Structured pruning on v3 is bounded by graph protection
 (compress/graph.py): yolov3-tiny pruning touches 11 of 13 convs, but the
@@ -30,7 +32,8 @@ from modelcompression_tpu.compress import (
 )
 from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
 from modelcompression_tpu.models import (
-    fold_batchnorm, init_params, num_conv_flops, yolov3_tiny_voc, yolov3_voc,
+    fold_batchnorm, init_params, num_conv_flops, yolov3_tiny_voc,
+    yolov3_voc, yolov4_tiny_voc,
 )
 from modelcompression_tpu.utils.timing import (
     measure_rtt, salted_pipeline_loop, time_fn,
@@ -38,6 +41,23 @@ from modelcompression_tpu.utils.timing import (
 
 SRC = (384, 512)
 INNER = 10  # pipeline steps per dispatch (dispatch-proof, as bench.py)
+
+
+def build_v4_configs():
+    """yolov4-tiny rows: unpruned, 75%-pruned (split-balanced CSP
+    sources — the default uniform path), and the pruned deployment
+    config with the int8 hybrid."""
+    v4 = yolov4_tiny_voc()
+    p4 = init_params(v4, jax.random.key(2))
+    keep = uniform_filter_fraction_keep_sets(v4, p4, 0.75)
+    v4_s, p4_s = repack(v4, p4, keep)
+    return {
+        "v4tiny_unpruned_b64": (v4, p4, 64, dict(nms_prefilter=128), "off"),
+        "v4tiny_pruned75_b64_pf128": (v4_s, p4_s, 64,
+                                      dict(nms_prefilter=128), "off"),
+        "v4tiny_pruned75_b64_pf128_int8auto": (
+            v4_s, p4_s, 64, dict(nms_prefilter=128), "auto"),
+    }
 
 
 def build_configs(skip_full: bool):
@@ -137,6 +157,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure FINE-TUNE step throughput instead of "
                          "the serving pipeline (docs/PERF.md v3 family)")
+    ap.add_argument("--v4", action="store_true",
+                    help="measure the yolov4-tiny rows instead of the "
+                         "v3 sweep (docs/PERF.md 'YOLOv4-tiny family')")
     args = ap.parse_args()
 
     if args.train:
@@ -149,7 +172,8 @@ def main():
     rtt = measure_rtt()
     print(f"rtt {rtt * 1e3:.0f} ms | src {SRC} | inner {INNER}",
           file=sys.stderr)
-    CONFIGS = build_configs(args.skip_full)
+    CONFIGS = build_v4_configs() if args.v4 \
+        else build_configs(args.skip_full)
     names = (args.configs.split(",") if args.configs else list(CONFIGS))
 
     base = EvalConfig(batch_size=64, conf_thresh=0.01, max_detections=32)
