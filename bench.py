@@ -59,7 +59,7 @@ def log(msg):
 
 
 QUICK_CONFIGS = ("pruned", "unpruned", "pruned_int8", "unpruned_int8",
-                 "tiny3")
+                 "tiny3", "v4tiny")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -132,6 +132,24 @@ def main(argv=None) -> int:
         log(f"75%-filter repacked params: "
             f"{num_params(slim_params) / 1e6:.1f}M")
         return params, slim_spec, slim_params
+
+    def setup_v4tiny():
+        """The third family's deployment model: yolov4-tiny-voc
+        75%-filter-pruned (CSP sources split-balanced — the uniform-path
+        default; best measured config pairs pf128 + int8 auto:64,
+        docs/PERF.md 'YOLOv4-tiny family')."""
+        from modelcompression_tpu.models import yolov4_tiny_voc
+        v4 = yolov4_tiny_voc()
+        with jax.default_device(cpu0):
+            p4_host = init_params(v4, jax.random.key(3))
+            keep4 = uniform_filter_fraction_keep_sets(v4, p4_host,
+                                                      PRUNE_FRACTION)
+            slim4, p4s_host = repack(v4, p4_host, keep4)
+        p4s = jax.device_put(jax.tree.map(np.asarray, p4s_host), tpu0)
+        jax.block_until_ready(p4s)
+        log(f"v4tiny 75%-filter repacked params: "
+            f"{num_params(p4s) / 1e6:.1f}M")
+        return slim4, p4s
 
     def setup_tiny3():
         """The second detector family's deployment model: yolov3-tiny-voc
@@ -211,8 +229,9 @@ def main(argv=None) -> int:
         # ONE configuration, one compile (~1 min wall): the per-commit
         # regression / experiment-A/B mode. vs_baseline is null — no
         # in-run baseline is measured; compare ledger entries instead.
-        if args.quick == "tiny3":
-            qspec, qparams = setup_tiny3()
+        if args.quick in ("tiny3", "v4tiny"):
+            qspec, qparams = (setup_tiny3() if args.quick == "tiny3"
+                              else setup_v4tiny())
             int8 = int8_layers_auto(qspec, min_channels=64)
         else:
             params, slim_spec, slim_params = setup_yolov2()
@@ -227,7 +246,8 @@ def main(argv=None) -> int:
                  "unpruned": "unpruned",
                  "pruned_int8": "75%-pruned+int8(auto:64)",
                  "unpruned_int8": "unpruned+int8",
-                 "tiny3": "tiny3 75%-pruned+pf128+int8(auto:64)"
+                 "tiny3": "tiny3 75%-pruned+pf128+int8(auto:64)",
+                 "v4tiny": "v4tiny 75%-pruned+pf128+int8(auto:64)"
                  }[args.quick]
         ips, _, _ = bench_chip(qspec, qparams, label, int8_layers=int8)
         if not args.no_ledger:
@@ -237,8 +257,9 @@ def main(argv=None) -> int:
                 "rtt_ms": round(rtt * 1e3, 1)})
             log(f"ledger: {entry['commit']} {entry['mode']} "
                 f"{entry['img_per_sec']} img/s")
-        family = "yolov3_tiny_416" if args.quick == "tiny3" \
-            else "yolov2_416"
+        family = {"tiny3": "yolov3_tiny_416",
+                  "v4tiny": "yolov4_tiny_416"}.get(args.quick,
+                                                   "yolov2_416")
         print(json.dumps({
             "metric": f"{family} {label} fused "
                       "letterbox+infer+decode+NMS, batch 64 (quick)",
@@ -316,6 +337,18 @@ def main(argv=None) -> int:
             int8_layers=int8_layers_auto(slim3, min_channels=64))
     except Exception as e:
         log(f"[warn] tiny3 measurement skipped: {e}")
+
+    # the THIRD family (yolov4-tiny) in the gate too: CSP grouped-route
+    # splits + split-balanced pruning are the round-4 machinery a
+    # regression would hit. Best-effort: never fails the gate.
+    v4tiny_ips = None
+    try:
+        slim4, p4s = setup_v4tiny()
+        v4tiny_ips, _, _ = bench_chip(
+            slim4, p4s, "v4tiny 75%-pruned+pf128+int8(auto:64)",
+            int8_layers=int8_layers_auto(slim4, min_channels=64))
+    except Exception as e:
+        log(f"[warn] v4tiny measurement skipped: {e}")
 
     # optional: BENCH_TRACE_DIR=<path> captures a jax.profiler trace of the
     # pruned fused step (perfetto/tensorboard format) for MFU forensics
@@ -480,6 +513,8 @@ def main(argv=None) -> int:
                 round(pruned_int8_ips, 1) if pruned_int8_ips else None,
             "tiny3_img_per_sec":
                 round(tiny3_ips, 1) if tiny3_ips else None,
+            "v4tiny_img_per_sec":
+                round(v4tiny_ips, 1) if v4tiny_ips else None,
             "pruned_b128_img_per_sec":
                 round(pruned_b128_ips, 1) if pruned_b128_ips else None,
             "streaming_img_per_sec": round(stream_ips, 1),
@@ -504,6 +539,8 @@ def main(argv=None) -> int:
             round(unpruned_int8_ips, 1) if unpruned_int8_ips else None,
         "tiny3_img_per_sec":
             round(tiny3_ips, 1) if tiny3_ips else None,
+        "v4tiny_img_per_sec":
+            round(v4tiny_ips, 1) if v4tiny_ips else None,
         "pruned_b128_img_per_sec":
             round(pruned_b128_ips, 1) if pruned_b128_ips else None,
         "streaming_img_per_sec": round(stream_ips, 1),
