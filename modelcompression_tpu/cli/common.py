@@ -38,6 +38,10 @@ def enable_compilation_cache():
 
 def add_model_args(p: argparse.ArgumentParser, weights_required=True):
     p.add_argument("--cfg", required=True, help="Darknet .cfg file")
+    p.add_argument("--strict-cfg", action="store_true",
+                   help="error (instead of warn) on cfg keys the parser "
+                        "does not consume — keys the framework would "
+                        "otherwise not act on (models/cfg.py audit)")
     p.add_argument("--weights", required=weights_required, default=None,
                    help="Darknet .weights file (omit for random init)")
     p.add_argument("--partial", action="store_true",
@@ -146,7 +150,13 @@ def add_serving_nms_args(p: argparse.ArgumentParser):
                         "(accuracy knob for dense/overlapping scenes)")
     p.add_argument("--diou-nms", action="store_true",
                    help="DIoU-NMS: greedy suppression on IoU minus the "
-                        "center-distance penalty (occluded objects)")
+                        "center-distance penalty (occluded objects). "
+                        "Defaults ON when the cfg's [yolo] heads carry "
+                        "nms_kind=diounms")
+    p.add_argument("--diou-beta", type=float, default=None,
+                   help="DIoU-NMS penalty exponent (rho^2/c^2)^beta "
+                        "(darknet beta_nms; default 1.0, or the cfg's "
+                        "beta_nms when nms_kind=diounms)")
     p.add_argument("--deployment", action="store_true",
                    help="apply bench.py's measured deployment "
                         "configuration (conf 0.01, K=32, NMS prefilter "
@@ -154,11 +164,16 @@ def add_serving_nms_args(p: argparse.ArgumentParser):
                         "still win")
 
 
-def resolve_serving_eval_config(args):
+def resolve_serving_eval_config(args, spec=None):
     """(serve/detect) --conf/--nms/--max-detections/--nms-prefilter/
     --soft-nms/--diou-nms/--deployment -> EvalConfig. Explicit flags
     override the --deployment preset; without --deployment the classic
-    demo defaults (conf 0.25, K=50, prefilter off) apply."""
+    demo defaults (conf 0.25, K=50, prefilter off) apply.
+
+    With ``spec``: the cfg's [yolo] ``nms_kind=diounms`` / ``beta_nms``
+    keys become the NMS defaults (the cfg is the config system,
+    SURVEY.md §5.6) — explicit --diou-nms/--diou-beta/--soft-nms flags
+    still win."""
     from modelcompression_tpu.evaluation import EvalConfig
     preset = DEPLOYMENT_PRESET if getattr(args, "deployment", False) \
         else {"conf": 0.25, "max_detections": 50, "nms_prefilter": 0}
@@ -167,13 +182,23 @@ def resolve_serving_eval_config(args):
         v = getattr(args, name, None)
         return preset[name] if v is None else v
 
+    diou = bool(getattr(args, "diou_nms", False))
+    beta = getattr(args, "diou_beta", None)
+    if spec is not None and not diou and not getattr(args, "soft_nms", None):
+        diou_heads = [spec.layers[i] for i in spec.head_indices()
+                      if getattr(spec.layers[i], "nms_kind", "") == "diounms"]
+        if diou_heads:
+            diou = True
+            if beta is None:
+                beta = diou_heads[0].beta_nms
     return EvalConfig(conf_thresh=pick("conf"), nms_thresh=args.nms,
                       max_detections=pick("max_detections"),
                       nms_prefilter=pick("nms_prefilter"),
                       nms_prefilter_impl=getattr(args, "nms_prefilter_impl",
                                                  "topk"),
                       soft_nms=args.soft_nms or "",
-                      diou_nms=args.diou_nms)
+                      diou_nms=diou,
+                      diou_beta=1.0 if beta is None else beta)
 
 
 def resolve_mask_backend(args) -> str:
@@ -184,7 +209,7 @@ def resolve_mask_backend(args) -> str:
 
 
 def load_model(args, seed: int = 0):
-    spec = load_cfg(args.cfg)
+    spec = load_cfg(args.cfg, strict=getattr(args, "strict_cfg", False))
     partial = bool(getattr(args, "partial", False))
     if args.weights:
         params, seen = load_weights(args.weights, spec, partial=partial)
@@ -252,11 +277,13 @@ def load_serving_model(args):
     time). Raises ValueError on an architecture-guard mismatch."""
     if getattr(args, "qmodel", None):
         from modelcompression_tpu.compress import load_qmodel
-        params, spec = load_qmodel(args.qmodel, spec=load_cfg(args.cfg))
+        params, spec = load_qmodel(args.qmodel, spec=load_cfg(
+            args.cfg, strict=getattr(args, "strict_cfg", False)))
         return spec, params, True
     if getattr(args, "cmodel", None):
         from modelcompression_tpu.compress import load_cmodel
-        params, spec = load_cmodel(args.cmodel, spec=load_cfg(args.cfg))
+        params, spec = load_cmodel(args.cmodel, spec=load_cfg(
+            args.cfg, strict=getattr(args, "strict_cfg", False)))
         return spec, params, False
     spec, params, _ = load_model(args)
     return spec, params, False

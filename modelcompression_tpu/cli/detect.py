@@ -61,7 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "over this many devices on a 'data' mesh axis "
                         "(params replicated, GSPMD partitions the fused "
                         "program — same mechanism as serve/eval --dp). "
-                        "--batch must divide evenly. 0 = single device")
+                        "--batch must divide evenly. 0 = single device "
+                        "(no mesh); any N >= 1 builds an N-device mesh "
+                        "and requires --dir/--video")
     add_serving_nms_args(p)
     p.add_argument("--names", default=None, help=".names file")
     p.add_argument("--qmodel", default=None, metavar="PATH",
@@ -278,11 +280,14 @@ def main(argv=None) -> int:
     if len(names) != spec.classes:
         names = [f"class{i}" for i in range(spec.classes)]
 
-    cfg = resolve_serving_eval_config(args)
+    cfg = resolve_serving_eval_config(args, spec=spec)
     folded = prepare_serving(spec, params, quantized, cfg)
 
     mesh = None
-    if args.dp > 1:
+    # dp >= 1 (not just > 1) takes the mesh path: --dp 1 must get the
+    # same mode/divisibility validation as --dp 2 rather than silently
+    # behaving like 0 (ADVICE r4) — a 1-device mesh is valid GSPMD.
+    if args.dp >= 1:
         if not (args.dir or args.video):
             print("error: --dp applies to the batched --dir/--video "
                   "modes only", file=sys.stderr)

@@ -56,8 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "forward, fastest on TPU when memory allows)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--max-boxes", type=int, default=30)
-    p.add_argument("--mosaic", action="store_true",
-                   help="4-image mosaic augmentation")
+    p.add_argument("--mosaic", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="4-image mosaic augmentation. Default: the "
+                        "cfg's [net] mosaic= flag")
     p.add_argument("--hsv", action="store_true",
                    help="Darknet HSV distortion (knobs from the cfg's "
                         "[net] hue/saturation/exposure)")
@@ -346,8 +348,10 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"error: --gmp: {e}", file=sys.stderr)
             return 2
+    mosaic = (args.mosaic if args.mosaic is not None
+              else spec.net.mosaic)
     config = TrainConfig.from_spec(spec, max_boxes=args.max_boxes,
-                                   augment_mosaic=args.mosaic,
+                                   augment_mosaic=mosaic,
                                    augment_hsv=args.hsv,
                                    subdivisions=subdiv, qat=qat_spec,
                                    bn_l1=args.bn_l1, gmp=gmp_spec,

@@ -412,7 +412,7 @@ def build_server(args) -> "tuple[ThreadingHTTPServer, ServeState]":
     names = read_names(args.names) if args.names else list(VOC_CLASSES)
     if len(names) != spec.classes:
         names = [f"class{i}" for i in range(spec.classes)]
-    cfg = resolve_serving_eval_config(args)
+    cfg = resolve_serving_eval_config(args, spec=spec)
     folded = prepare_serving(spec, params, quantized, cfg)
     step = make_eval_step(spec, cfg)
     mesh = None

@@ -57,7 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "counting; pairs with --partial backbone files): "
                         "inference BN, no gradients or updates for the "
                         "prefix")
-    p.add_argument("--mosaic", action="store_true")
+    p.add_argument("--mosaic", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="4-image mosaic augmentation. Default: the "
+                        "cfg's [net] mosaic= flag")
     p.add_argument("--hsv", action="store_true")
     p.add_argument("--jitter", type=float, default=None,
                    help="Darknet crop-jitter fraction in [0, 0.5); "
@@ -116,8 +119,12 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    # cfg-driven defaults (SURVEY.md §5.6): [net] mosaic=1 turns the
+    # mosaic augmentation on unless --no-mosaic overrides
+    mosaic = (args.mosaic if args.mosaic is not None
+              else spec.net.mosaic)
     config = TrainConfig.from_spec(
-        spec, augment_mosaic=args.mosaic, augment_hsv=args.hsv,
+        spec, augment_mosaic=mosaic, augment_hsv=args.hsv,
         augment_jitter=jitter, subdivisions=subdiv,
         max_boxes=args.max_boxes, bn_l1=args.bn_l1,
         freeze_prefix=args.freeze, **overrides)
@@ -125,7 +132,18 @@ def main(argv=None) -> int:
     # whenever random=1; [region] and [yolo] both carry it)
     use_ms = (args.multi_scale if args.multi_scale is not None
               else head0.random)
-    multi_scale = (320, 608) if use_ms else None
+    # range: the [yolo] resize= multiplier when the cfg carries one
+    # (AlexeyAB semantics: resize between net/resize and net*resize,
+    # snapped to multiples of 32); otherwise the classic 320..608 band
+    rs = getattr(head0, "resize", 1.0)
+    if use_ms and rs > 1.0:
+        lo = max(32, int(spec.net.width / rs) // 32 * 32)
+        hi = max(lo + 32, -(-int(spec.net.width * rs) // 32) * 32)
+        multi_scale = (lo, hi)
+    elif use_ms:
+        multi_scale = (320, 608)
+    else:
+        multi_scale = None
     loader = BatchLoader(samples, batch_size=batch,
                          net_h=spec.net.height, net_w=spec.net.width,
                          max_boxes=args.max_boxes, seed=args.seed,

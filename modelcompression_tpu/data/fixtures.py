@@ -458,13 +458,24 @@ random=0
 """
 
 def tiny_yolo4_cfg(num_classes: int = 3, width: int = 64,
-                   height: int = 64) -> str:
+                   height: int = 64, iou_loss: str = "mse",
+                   iou_normalizer: float = 0.07) -> str:
     """A minimal YOLOv4-TINY-family cfg for fixture tests: exercises the
     v4-only pieces — a CSP block ([route] groups=2 group_id=1 split,
     partial concat, transition, full concat), mish activation, and two
     scale_x_y=1.05 [yolo] heads — on top of the v3 machinery (upsample,
-    route-concat FPN). Downsamples to stride 4 (coarse head) / 2."""
+    route-concat FPN). Downsamples to stride 4 (coarse head) / 2.
+
+    ``iou_loss="ciou"`` switches both heads to the canonical v4 training
+    loss (the upstream yolov4-tiny.cfg keys: iou_loss=ciou,
+    iou_normalizer, cls_normalizer=1.0) — the learnability/recovery
+    fixtures train with it so the family's accuracy evidence uses the
+    loss the family actually ships with. Default stays "mse" so tests
+    that pin v3-form loss values are unaffected."""
     det = 2 * (5 + num_classes)
+    iou_keys = ("" if iou_loss == "mse" else
+                f"iou_loss={iou_loss}\niou_normalizer={iou_normalizer}\n"
+                "cls_normalizer=1.0")
     return f"""
 [net]
 batch=4
@@ -558,6 +569,7 @@ ignore_thresh = .7
 truth_thresh = 1
 random=0
 scale_x_y = 1.05
+{iou_keys}
 
 [route]
 layers=-3
@@ -601,4 +613,5 @@ ignore_thresh = .7
 truth_thresh = 1
 random=0
 scale_x_y = 1.05
+{iou_keys}
 """

@@ -50,10 +50,12 @@ def iou_corners(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "diou"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "diou", "diou_beta"))
 def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
                iou_thresh: float = 0.45, score_thresh: float = 0.0,
-               max_out: int = 100, diou: bool = False
+               max_out: int = 100, diou: bool = False,
+               diou_beta: float = 1.0
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with static output size.
 
@@ -82,7 +84,7 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
         out_scores = out_scores.at[i].set(jnp.where(keep, s, 0.0))
         iou = iou_corners(boxes[j], boxes)
         if diou:
-            iou = iou - diou_penalty(boxes[j], boxes)
+            iou = iou - diou_penalty(boxes[j], boxes, diou_beta)
         suppress = (iou > iou_thresh) & keep
         live = jnp.where(suppress, 0.0, live)
         live = live.at[j].set(0.0)
@@ -98,10 +100,12 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
     return sel_boxes, out_scores, valid
 
 
-def diou_penalty(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
-    """DIoU center-distance penalty rho^2/c^2 (Zheng et al. 2020) of one
-    (4,) corner box against (N, 4): squared center distance over the
-    squared diagonal of the smallest enclosing box."""
+def diou_penalty(box: jnp.ndarray, boxes: jnp.ndarray,
+                 beta: float = 1.0) -> jnp.ndarray:
+    """DIoU center-distance penalty (rho^2/c^2)^beta (Zheng et al. 2020;
+    darknet's diounms beta_nms exponent) of one (4,) corner box against
+    (N, 4): squared center distance over the squared diagonal of the
+    smallest enclosing box. beta=1 is the paper form."""
     cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
     cxs = (boxes[:, 0] + boxes[:, 2]) / 2
     cys = (boxes[:, 1] + boxes[:, 3]) / 2
@@ -111,10 +115,12 @@ def diou_penalty(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     ex2 = jnp.maximum(box[2], boxes[:, 2])
     ey2 = jnp.maximum(box[3], boxes[:, 3])
     c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
-    return jnp.where(c2 > 0, rho2 / c2, 0.0)
+    pen = jnp.where(c2 > 0, rho2 / c2, 0.0)
+    return pen if beta == 1.0 else pen ** beta
 
 
-def pairwise_diou_penalty(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_diou_penalty(a: jnp.ndarray, b: jnp.ndarray,
+                          beta: float = 1.0) -> jnp.ndarray:
     """DIoU penalty of (N, 4) against (M, 4) -> (N, M), all-parallel."""
     acx, acy = (a[:, 0] + a[:, 2]) / 2, (a[:, 1] + a[:, 3]) / 2
     bcx, bcy = (b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2
@@ -125,7 +131,8 @@ def pairwise_diou_penalty(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ex2 = jnp.maximum(a[:, None, 2], b[None, :, 2])
     ey2 = jnp.maximum(a[:, None, 3], b[None, :, 3])
     c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
-    return jnp.where(c2 > 0, rho2 / c2, 0.0)
+    pen = jnp.where(c2 > 0, rho2 / c2, 0.0)
+    return pen if beta == 1.0 else pen ** beta
 
 
 def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -144,11 +151,12 @@ def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_out", "exact_prefilter", "diou"))
+                   static_argnames=("max_out", "exact_prefilter", "diou",
+                                    "diou_beta"))
 def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
              iou_thresh: float = 0.45, score_thresh: float = 0.0,
              max_out: int = 100, exact_prefilter: bool = True,
-             diou: bool = False
+             diou: bool = False, diou_beta: float = 1.0
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over the top-``max_out`` scoring candidates (module
     docstring). Output order is score-descending.
@@ -187,7 +195,7 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
     crit = pairwise_iou(cand, cand)          # (K, K)
     if diou:  # DIoU-NMS (Zheng et al. 2020): still a STATIC pairwise
         # criterion, so the one-shot suppression scan applies unchanged
-        crit = crit - pairwise_diou_penalty(cand, cand)
+        crit = crit - pairwise_diou_penalty(cand, cand, diou_beta)
     suppress = crit > iou_thresh
     js = jnp.arange(k)
 
@@ -212,7 +220,7 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
 def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                   iou_thresh: float = 0.45, score_thresh: float = 1e-3,
                   max_out: int = 100, exact_prefilter: bool = True,
-                  diou: bool = False
+                  diou: bool = False, diou_beta: float = 1.0
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS independently per class (top-k production path).
 
@@ -224,7 +232,7 @@ def per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
     """
     f = jax.vmap(
         lambda s: nms_topk(boxes, s, iou_thresh, score_thresh, max_out,
-                           exact_prefilter, diou),
+                           exact_prefilter, diou, diou_beta),
         in_axes=1)
     return f(class_scores)
 
@@ -233,10 +241,11 @@ def batched_per_class_nms(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                           iou_thresh: float = 0.45,
                           score_thresh: float = 1e-3,
                           max_out: int = 100, exact_prefilter: bool = True,
-                          diou: bool = False):
+                          diou: bool = False, diou_beta: float = 1.0):
     """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
     f = jax.vmap(lambda b, s: per_class_nms(
-        b, s, iou_thresh, score_thresh, max_out, exact_prefilter, diou))
+        b, s, iou_thresh, score_thresh, max_out, exact_prefilter, diou,
+        diou_beta))
     return f(boxes, class_scores)
 
 
@@ -245,7 +254,7 @@ def per_class_nms_prefiltered(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                               score_thresh: float = 1e-3,
                               max_out: int = 100, prefilter: int = 256,
                               exact_prefilter: bool = True,
-                              diou: bool = False
+                              diou: bool = False, diou_beta: float = 1.0
                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                          jnp.ndarray]:
     """Per-class NMS behind a CLASS-AGNOSTIC candidate prefilter
@@ -276,7 +285,7 @@ def per_class_nms_prefiltered(boxes: jnp.ndarray, class_scores: jnp.ndarray,
     b2 = boxes[idx]                                          # (N', 4)
     cs2 = jnp.where(vals[:, None] > 0, class_scores[idx], 0.0)
     return per_class_nms(b2, cs2, iou_thresh, score_thresh, max_out,
-                         exact_prefilter, diou)
+                         exact_prefilter, diou, diou_beta)
 
 
 def batched_bisect_prefilter(boxes: jnp.ndarray, class_scores: jnp.ndarray,
@@ -342,6 +351,7 @@ def batched_per_class_nms_prefiltered(boxes: jnp.ndarray,
                                       prefilter: int = 256,
                                       exact_prefilter: bool = True,
                                       diou: bool = False,
+                                      diou_beta: float = 1.0,
                                       impl: str = "topk"):
     """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...).
 
@@ -353,13 +363,13 @@ def batched_per_class_nms_prefiltered(boxes: jnp.ndarray,
                                            score_thresh, prefilter)
         f = jax.vmap(lambda b, s: per_class_nms(
             b, s, iou_thresh, score_thresh, max_out, exact_prefilter,
-            diou))
+            diou, diou_beta))
         return f(b2, cs2)
     if impl != "topk":
         raise ValueError(f"impl must be 'topk' or 'bisect', got {impl!r}")
     f = jax.vmap(lambda b, s: per_class_nms_prefiltered(
         b, s, iou_thresh, score_thresh, max_out, prefilter,
-        exact_prefilter, diou))
+        exact_prefilter, diou, diou_beta))
     return f(boxes, class_scores)
 
 
@@ -470,7 +480,7 @@ def batched_per_class_soft_nms(boxes: jnp.ndarray,
 def per_class_nms_padded(boxes: jnp.ndarray, class_scores: jnp.ndarray,
                          iou_thresh: float = 0.45,
                          score_thresh: float = 1e-3, max_out: int = 100,
-                         diou: bool = False
+                         diou: bool = False, diou_beta: float = 1.0
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """EXACT greedy NMS per class over ALL N candidates (``nms_padded``),
     no top-K candidate prefilter: correct even when more than ``max_out``
@@ -480,7 +490,7 @@ def per_class_nms_padded(boxes: jnp.ndarray, class_scores: jnp.ndarray,
     class. (C, K, 4), (C, K), (C, K)."""
     f = jax.vmap(
         lambda s: nms_padded(boxes, s, iou_thresh, score_thresh, max_out,
-                             diou),
+                             diou, diou_beta),
         in_axes=1)
     return f(class_scores)
 
@@ -490,8 +500,8 @@ def batched_per_class_nms_padded(boxes: jnp.ndarray,
                                  iou_thresh: float = 0.45,
                                  score_thresh: float = 1e-3,
                                  max_out: int = 100,
-                                 diou: bool = False):
+                                 diou: bool = False, diou_beta: float = 1.0):
     """vmap over the batch dim: (B,N,4), (B,N,C) -> (B,C,K,...)."""
     f = jax.vmap(lambda b, s: per_class_nms_padded(
-        b, s, iou_thresh, score_thresh, max_out, diou))
+        b, s, iou_thresh, score_thresh, max_out, diou, diou_beta))
     return f(boxes, class_scores)

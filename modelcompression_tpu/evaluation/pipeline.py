@@ -129,7 +129,11 @@ class EvalConfig:
     # so it rides the one-shot suppression scan at unchanged cost;
     # composes with exact_nms and nms_prefilter. Mutually exclusive
     # with soft_nms (that replaces the erasure rule itself).
+    # diou_beta: exponent on the center-distance penalty,
+    # (rho^2/c^2)^beta — darknet's diounms beta_nms knob (its cfgs ship
+    # 0.6); 1.0 is the DIoU-NMS paper form. Ignored when diou_nms off.
     diou_nms: bool = False
+    diou_beta: float = 1.0
     # conv1+pool as the fused phase-matmul op (ops/input_stage.py).
     # Default OFF: the reformulation is exact and tested, but measured
     # SLOWER than XLA's plain conv+pool on this toolchain (docs/PERF.md
@@ -281,7 +285,8 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                 iou_thresh=config.nms_thresh,
                 score_thresh=config.conf_thresh,
                 max_out=config.max_detections,
-                diou=config.diou_nms)
+                diou=config.diou_nms,
+                diou_beta=config.diou_beta)
         elif config.nms_prefilter > 0:
             sel, scores, valid = batched_per_class_nms_prefiltered(
                 corners, class_scores,
@@ -291,6 +296,7 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                 prefilter=config.nms_prefilter,
                 exact_prefilter=config.exact_nms_prefilter,
                 diou=config.diou_nms,
+                diou_beta=config.diou_beta,
                 impl=config.nms_prefilter_impl)
         else:
             sel, scores, valid = batched_per_class_nms(
@@ -299,7 +305,8 @@ def make_eval_step(spec: NetworkSpec, config: EvalConfig,
                 score_thresh=config.conf_thresh,
                 max_out=config.max_detections,
                 exact_prefilter=config.exact_nms_prefilter,
-                diou=config.diou_nms)
+                diou=config.diou_nms,
+                diou_beta=config.diou_beta)
         # (B, C, K, 4) normalized -> source pixels, on device
         sel = corners_to_image(sel, img_w[:, None, None],
                                img_h[:, None, None],

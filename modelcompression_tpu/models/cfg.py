@@ -17,7 +17,19 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import math
+import warnings
 from typing import List, Tuple, Union
+
+
+class UnknownCfgKeyWarning(UserWarning):
+    """A cfg section carried keys the parser does not consume.
+
+    The cfg IS the config system (SURVEY.md §5.6): a silently-dropped key
+    means a network trains or evaluates with different semantics than its
+    cfg states (e.g. an upstream ``iou_loss=ciou`` falling back to the
+    MSE-form loss). ``parse_cfg(strict=True)`` upgrades this to an error.
+    """
 
 
 @dataclasses.dataclass
@@ -44,6 +56,11 @@ class NetConfig:
     saturation: float = 1.5
     exposure: float = 1.5
     hue: float = 0.1
+    # [net] mosaic=1 (AlexeyAB cfg convention, yolov4 era): train with
+    # 4-image mosaic composition by default. The train/finetune CLIs use
+    # this as the default for their --mosaic flag (data/preprocess.py
+    # implements the augmentation on device).
+    mosaic: bool = False
 
 
 @dataclasses.dataclass
@@ -131,6 +148,36 @@ class YoloLayer:
     # on cell boundaries without saturating the logistic. 1.0 = classic
     # YOLOv3 decode.
     scale_x_y: float = 1.0
+    # YOLOv4 box-regression loss family (AlexeyAB darknet [yolo] keys;
+    # train/yolo_loss.py implements the semantics):
+    #   iou_loss: "mse" (classic v3 BCE/half-SE coord form) | "giou" |
+    #     "diou" | "ciou" — the IoU-based regression losses (Rezatofighi
+    #     et al. 2019; Zheng et al. 2020 DIoU/CIoU).
+    #   iou_normalizer: scale on the IoU-loss coord deltas (darknet
+    #     default 0.75; yolov4 cfgs ship 0.07).
+    #   cls_normalizer: scale on the OBJECTNESS deltas — in the
+    #     yolov4-release darknet, cls_normalizer multiplies the obj/noobj
+    #     delta, NOT the per-class deltas (the later obj_normalizer split
+    #     postdates the v4 cfgs); documented quirk, train/yolo_loss.py.
+    #   max_delta: symmetric clip on the 4 coord deltas AFTER the
+    #     normalizer (darknet delta_yolo_box order). inf = no clip.
+    iou_loss: str = "mse"
+    iou_normalizer: float = 0.75
+    cls_normalizer: float = 1.0
+    max_delta: float = math.inf
+    # serving-side NMS defaults from the cfg (darknet nms_kind/beta_nms):
+    # "greedynms" = classic greedy IoU suppression (darknet's DEFAULT_NMS
+    # and GREEDY_NMS behave identically at inference); "diounms" =
+    # DIoU-NMS with penalty (rho^2/c^2)^beta_nms (evaluation/nms.py).
+    # cli/common.resolve_serving_eval_config consumes these as defaults.
+    nms_kind: str = "greedynms"
+    beta_nms: float = 0.6
+    # random-resize range multiplier for multi-scale training (AlexeyAB
+    # [yolo] resize=1.5): with random=1 the loader resizes the network
+    # between net/resize and net*resize (rounded to stride multiples);
+    # 1.0 = keep the classic (320, 608) default range. cli/train.py
+    # consumes it.
+    resize: float = 1.0
 
     @property
     def anchor_pairs(self) -> Tuple[Tuple[float, float], ...]:
@@ -209,19 +256,43 @@ class NetworkSpec:
                 if isinstance(l, ConvLayer)]
 
 
-def _parse_sections(text: str) -> List[Tuple[str, dict]]:
-    sections: List[Tuple[str, dict]] = []
+class _Section(dict):
+    """Section key/value dict that RECORDS which keys the parser consumed
+    (via get / [] / ``in``) — the unknown-key audit compares the recorded
+    set against the keys present, so the audit can never drift from the
+    parser code itself (a new key is 'known' exactly when some parse
+    branch reads it)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.accessed = set()
+
+    def get(self, k, default=None):
+        self.accessed.add(k)
+        return super().get(k, default)
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self.accessed.add(k)
+        return super().__contains__(k)
+
+
+def _parse_sections(text: str) -> List[Tuple[str, "_Section"]]:
+    sections: List[Tuple[str, _Section]] = []
     current = None
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith(("#", ";")):
             continue
         if line.startswith("["):
-            current = (line.strip("[]").lower(), {})
+            current = (line.strip("[]").lower(), _Section())
             sections.append(current)
         elif current is not None and "=" in line:
             k, v = line.split("=", 1)
-            current[1][k.strip()] = v.strip()
+            dict.__setitem__(current[1], k.strip(), v.strip())
     return sections
 
 
@@ -233,7 +304,21 @@ def _floats(s: str) -> Tuple[float, ...]:
     return tuple(float(x) for x in s.replace(" ", "").split(",") if x)
 
 
-def parse_cfg(text: str) -> NetworkSpec:
+IOU_LOSSES = ("mse", "giou", "diou", "ciou")
+NMS_KINDS = ("greedynms", "diounms")
+
+
+def parse_cfg(text: str, strict: bool = False) -> NetworkSpec:
+    """Parse Darknet cfg text into a NetworkSpec.
+
+    Every key the parser does not consume is REPORTED: warned as
+    ``UnknownCfgKeyWarning`` by default, raised as ValueError under
+    ``strict=True`` (the CLIs expose ``--strict-cfg``). No key is ever
+    silently dropped — a cfg key the framework does not implement must
+    be visible, because the cfg is the config system (SURVEY.md §5.6)
+    and a dropped key changes training/eval semantics behind the
+    operator's back (e.g. ``iou_loss=ciou`` falling back to MSE).
+    """
     sections = _parse_sections(text)
     if not sections or sections[0][0] not in ("net", "network"):
         raise ValueError("cfg must start with a [net] section")
@@ -260,6 +345,7 @@ def parse_cfg(text: str) -> NetworkSpec:
         saturation=float(o.get("saturation", 1.5)),
         exposure=float(o.get("exposure", 1.5)),
         hue=float(o.get("hue", 0.1)),
+        mosaic=bool(int(o.get("mosaic", 0))),
     )
 
     layers: List[Layer] = []
@@ -310,6 +396,20 @@ def parse_cfg(text: str) -> NetworkSpec:
         elif name == "upsample":
             layers.append(UpsampleLayer(stride=int(o.get("stride", 2))))
         elif name == "yolo":
+            iou_loss = o.get("iou_loss", "mse").strip().lower()
+            if iou_loss not in IOU_LOSSES:
+                raise ValueError(
+                    f"[yolo] at layer {idx}: iou_loss={iou_loss!r} is not "
+                    f"one of {IOU_LOSSES}")
+            nms_kind = o.get("nms_kind", "greedynms").strip().lower()
+            # darknet's DEFAULT_NMS and GREEDY_NMS are the same greedy
+            # IoU suppression at inference; normalize the alias
+            if nms_kind == "default":
+                nms_kind = "greedynms"
+            if nms_kind not in NMS_KINDS:
+                raise ValueError(
+                    f"[yolo] at layer {idx}: nms_kind={nms_kind!r} is not "
+                    f"one of {NMS_KINDS} (or 'default')")
             layers.append(YoloLayer(
                 mask=_ints(o.get("mask", "")),
                 anchors=_floats(o.get("anchors", "")),
@@ -320,6 +420,13 @@ def parse_cfg(text: str) -> NetworkSpec:
                 truth_thresh=float(o.get("truth_thresh", 1.0)),
                 random=bool(int(float(o.get("random", 0)))),
                 scale_x_y=float(o.get("scale_x_y", 1.0)),
+                iou_loss=iou_loss,
+                iou_normalizer=float(o.get("iou_normalizer", 0.75)),
+                cls_normalizer=float(o.get("cls_normalizer", 1.0)),
+                max_delta=float(o.get("max_delta", math.inf)),
+                nms_kind=nms_kind,
+                beta_nms=float(o.get("beta_nms", 0.6)),
+                resize=float(o.get("resize", 1.0)),
             ))
         elif name == "region":
             layers.append(RegionLayer(
@@ -342,14 +449,32 @@ def parse_cfg(text: str) -> NetworkSpec:
         else:
             raise ValueError(f"unsupported cfg section [{name}]")
 
+    # unknown-key audit: unsupported SECTIONS fail loudly above;
+    # unsupported KEYS must be just as visible (warn, or error under
+    # strict) — they are the mechanism that would otherwise let an
+    # upstream cfg silently train/eval with different semantics.
+    unknown = []
+    for si, (name, o) in enumerate(sections):
+        extra = sorted(set(o) - o.accessed)
+        if extra:
+            where = "[net]" if si == 0 else f"[{name}] (layer {si - 1})"
+            unknown.append(f"{where}: {', '.join(extra)}")
+    if unknown:
+        msg = ("cfg keys not consumed by the parser — the framework does "
+               "not implement them and they will NOT take effect: "
+               + "; ".join(unknown))
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, UnknownCfgKeyWarning, stacklevel=2)
+
     spec = NetworkSpec(net=net, layers=layers)
     _resolve_channels(spec)
     return spec
 
 
-def load_cfg(path: str) -> NetworkSpec:
+def load_cfg(path: str, strict: bool = False) -> NetworkSpec:
     with open(path) as f:
-        return parse_cfg(f.read())
+        return parse_cfg(f.read(), strict=strict)
 
 
 def _resolve_channels(spec: NetworkSpec) -> None:
@@ -420,6 +545,8 @@ def dump_cfg(spec: NetworkSpec) -> str:
     out.write(f"power={n.power:g}\ngamma={n.gamma:g}\nstep={n.step}\n")
     out.write(f"angle={n.angle:g}\nsaturation={n.saturation:g}\n"
               f"exposure={n.exposure:g}\nhue={n.hue:g}\n")
+    if n.mosaic:
+        out.write("mosaic=1\n")
     for i, l in enumerate(spec.layers):
         out.write("\n")
         if isinstance(l, ConvLayer):
@@ -457,6 +584,23 @@ def dump_cfg(spec: NetworkSpec) -> str:
                       f"random={int(l.random)}\n"
                       + (f"scale_x_y = {l.scale_x_y:g}\n"
                          if l.scale_x_y != 1.0 else ""))
+            # v4-era train/serve keys: a checkpoint's arch.cfg must
+            # round-trip every non-default field or resume trains with
+            # the wrong loss (non-defaults only, like scale_x_y)
+            if l.iou_loss != "mse":
+                out.write(f"iou_loss={l.iou_loss}\n")
+            if l.iou_normalizer != 0.75:
+                out.write(f"iou_normalizer={l.iou_normalizer:g}\n")
+            if l.cls_normalizer != 1.0:
+                out.write(f"cls_normalizer={l.cls_normalizer:g}\n")
+            if math.isfinite(l.max_delta):
+                out.write(f"max_delta={l.max_delta:g}\n")
+            if l.nms_kind != "greedynms":
+                out.write(f"nms_kind={l.nms_kind}\n")
+            if l.beta_nms != 0.6:
+                out.write(f"beta_nms={l.beta_nms:g}\n")
+            if l.resize != 1.0:
+                out.write(f"resize={l.resize:g}\n")
         elif isinstance(l, RegionLayer):
             out.write("[region]\n")
             out.write("anchors = " + ",".join(

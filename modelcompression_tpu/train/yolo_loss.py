@@ -38,6 +38,29 @@ NOT implemented — every public yolov3 cfg ships ``truth_thresh = 1``,
 which makes the branch dead; a spec that enables it fails loudly here
 rather than silently training a different objective.
 
+YOLOv4 loss keys (models/cfg.YoloLayer; AlexeyAB-darknet [yolo]):
+
+* ``iou_loss = giou|diou|ciou`` replaces the coord term with the
+  IoU-based regression penalty ``iou_normalizer * (1 - XIoU)`` per
+  assigned predictor (Rezatofighi et al. 2019 GIoU; Zheng et al. 2020
+  DIoU/CIoU). The (2 - gw*gh) size weight applies only to the MSE form
+  (darknet's delta_yolo_box uses it in the MSE branch only). Gradient
+  follows darknet's EXACT delta convention, which truncates the chain
+  rule (see ``_iou_box_penalty`` + the surrogate in ``yolo_loss``):
+  the x/y gradients land on the logits unchanged (no sigmoid' — the
+  layer's backward never applies it — and no scale_x_y/grid factor),
+  and the w/h gradients carry ONLY the ``exp(raw)`` factor (darknet's
+  ``dw *= exp(x[...])`` drops the anchor/net scale of the true chain
+  rule). ``max_delta`` clips the four coord deltas symmetrically AFTER
+  ``iou_normalizer`` (darknet's order).
+* ``cls_normalizer`` scales the OBJECTNESS deltas (obj and noobj). This
+  is the yolov4-release darknet behavior: despite the name,
+  ``l.cls_normalizer`` multiplies ``delta[obj_index]`` in
+  forward_yolo_layer while delta_yolo_class leaves the per-class deltas
+  unscaled; the separate ``obj_normalizer`` knob postdates the v4 cfgs.
+  Both canonical v4 cfgs ship 1.0, so the quirk is only visible to
+  custom cfgs — documented here so nobody "fixes" it into a divergence.
+
 TPU-first shape discipline: identical to region_loss — (B, M, 5) padded
 targets, scatter-built assignment grids, duplicate (cell, anchor) slots
 resolved last-row-wins, one XLA program covering ALL heads (the per-head
@@ -56,6 +79,62 @@ from modelcompression_tpu.models.cfg import NetworkSpec, YoloLayer
 from modelcompression_tpu.train.region_loss import (
     RegionLossMetrics, _bce_kl, _pair_iou, region_loss,
 )
+
+
+def _iou_box_penalty(kind: str, px, py, pw, ph, tx, ty, tw, th):
+    """Elementwise IoU-family box penalty ``1 - XIoU`` on center-format
+    normalized boxes (pred vs target grids), with the published gradient
+    conventions built in so plain autodiff of this function yields the
+    darknet/paper partials w.r.t. the DECODED pred coords:
+
+    * ``giou``: 1 - (IoU - (C - U)/C), C = enclosing-box area
+      (Rezatofighi et al. 2019).
+    * ``diou``: 1 - IoU + rho^2/c^2 — center distance over the squared
+      enclosing-box diagonal (Zheng et al. 2020).
+    * ``ciou``: DIoU + alpha*v aspect-ratio term, with the paper's two
+      gradient conventions: (1) alpha is a CONSTANT in the backward
+      (stop_gradient); (2) d atan(pw/ph)/d{pw,ph} = {ph, -pw} — the
+      paper replaces the true 1/(pw^2+ph^2) factor by 1 ("dominant
+      gradient direction", avoids the small-box explosion; darknet's
+      ar_dw/ar_dh implement the same). Built as a linearized surrogate
+      whose value equals the true atan and whose autodiff yields exactly
+      those partials.
+
+    Every division is eps-guarded so cells whose target row is empty
+    (tw == th == 0, masked out by the caller) contribute finite values —
+    0 * finite, never 0 * NaN, in both the forward and the VJP.
+    """
+    sg = jax.lax.stop_gradient
+    eps = 1e-9
+    pl, pr = px - pw * 0.5, px + pw * 0.5
+    pt, pb = py - ph * 0.5, py + ph * 0.5
+    tl, tr = tx - tw * 0.5, tx + tw * 0.5
+    tt, tb = ty - th * 0.5, ty + th * 0.5
+    iw = jnp.maximum(jnp.minimum(pr, tr) - jnp.maximum(pl, tl), 0.0)
+    ih = jnp.maximum(jnp.minimum(pb, tb) - jnp.maximum(pt, tt), 0.0)
+    inter = iw * ih
+    union = pw * ph + tw * th - inter
+    iou = inter / jnp.maximum(union, eps)
+    cw = jnp.maximum(pr, tr) - jnp.minimum(pl, tl)
+    ch = jnp.maximum(pb, tb) - jnp.minimum(pt, tt)
+    if kind == "giou":
+        c_area = cw * ch
+        return 1.0 - (iou - (c_area - union) / jnp.maximum(c_area, eps))
+    c2 = cw * cw + ch * ch
+    s2 = (px - tx) ** 2 + (py - ty) ** 2
+    dterm = s2 / jnp.maximum(c2, eps)
+    if kind == "diou":
+        return 1.0 - iou + dterm
+    if kind != "ciou":
+        raise ValueError(f"unknown iou_loss kind {kind!r}")
+    atan_p = jnp.arctan(pw / jnp.maximum(ph, eps))
+    # surrogate: value == atan_p, d/dpw == ph, d/dph == -pw (convention 2)
+    lin = pw * sg(ph) - ph * sg(pw)
+    atan_p = sg(atan_p) + lin  # lin's VALUE is identically 0
+    atan_t = jnp.arctan(tw / jnp.maximum(th, eps))
+    v = (4.0 / np.pi ** 2) * (atan_t - atan_p) ** 2
+    alpha = sg(v / jnp.maximum(1.0 - iou + v, eps))  # convention 1
+    return 1.0 - iou + dterm + alpha * v
 
 
 def _head_layers(spec: NetworkSpec) -> Tuple[YoloLayer, ...]:
@@ -184,32 +263,78 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
             batch_idx, gj_s, gi, ga].set(True, mode="drop")
 
         eps = 1e-9
-        t_x = scat(gt_boxes[..., 0] * w - gi.astype(jnp.float32))
-        t_y = scat(gt_boxes[..., 1] * h - gj.astype(jnp.float32))
-        t_w = scat(jnp.log(jnp.maximum(gt_boxes[..., 2] * net_w, eps)
-                           / anchors[ga][..., 0]))
-        t_h = scat(jnp.log(jnp.maximum(gt_boxes[..., 3] * net_h, eps)
-                           / anchors[ga][..., 1]))
-        coord_w = scat(2.0 - gt_boxes[..., 2] * gt_boxes[..., 3])
         t_cls = scat(gt_cls.astype(jnp.float32)).astype(jnp.int32)
-
-        # exact-gradient terms (module docstring / region_loss._bce_kl):
-        # KL-BCE on logistic logits, half-SE on the linear tw/th.
-        # scale_x_y: darknet's delta (wrt the logit, via its no-sigmoid'
-        # convention times the scal_add factor s) is
-        #   s*(t - (s*sig - (s-1)/2)) = s^2 * ((t + (s-1)/2)/s - sig),
-        # i.e. the gradient of s^2 * BCE with the RESCALED target
-        # t' = (t + (s-1)/2)/s — implemented exactly below (t' stays in
-        # [0,1] because the fractional target is, and s >= 1).
         amask = assigned.astype(jnp.float32)
         zx, zy, zo = raw[..., 0], raw[..., 1], raw[..., 4]
-        t_x_s = (t_x + off_xy) / s_xy
-        t_y_s = (t_y + off_xy) / s_xy
-        acc["coord"] += jnp.sum(coord_w * amask * (
-            s_xy * s_xy * (_bce_kl(zx, t_x_s) + _bce_kl(zy, t_y_s))
-            + 0.5 * ((tw - t_w) ** 2 + (th - t_h) ** 2)))
-        acc["obj"] += jnp.sum(amask * jax.nn.softplus(-zo))  # KL(1||s(zo))
-        acc["noobj"] += jnp.sum(                             # KL(0||s(zo))
+
+        if layer.iou_loss == "mse":
+            t_x = scat(gt_boxes[..., 0] * w - gi.astype(jnp.float32))
+            t_y = scat(gt_boxes[..., 1] * h - gj.astype(jnp.float32))
+            t_w = scat(jnp.log(jnp.maximum(gt_boxes[..., 2] * net_w, eps)
+                               / anchors[ga][..., 0]))
+            t_h = scat(jnp.log(jnp.maximum(gt_boxes[..., 3] * net_h, eps)
+                               / anchors[ga][..., 1]))
+            coord_w = scat(2.0 - gt_boxes[..., 2] * gt_boxes[..., 3])
+
+            # exact-gradient terms (module docstring / _bce_kl):
+            # KL-BCE on logistic logits, half-SE on the linear tw/th.
+            # scale_x_y: darknet's delta (wrt the logit, via its
+            # no-sigmoid' convention times the scal_add factor s) is
+            #   s*(t - (s*sig - (s-1)/2)) = s^2 * ((t + (s-1)/2)/s - sig),
+            # i.e. the gradient of s^2 * BCE with the RESCALED target
+            # t' = (t + (s-1)/2)/s — implemented exactly below (t' stays
+            # in [0,1] because the fractional target is, and s >= 1).
+            t_x_s = (t_x + off_xy) / s_xy
+            t_y_s = (t_y + off_xy) / s_xy
+            acc["coord"] += jnp.sum(coord_w * amask * (
+                s_xy * s_xy * (_bce_kl(zx, t_x_s) + _bce_kl(zy, t_y_s))
+                + 0.5 * ((tw - t_w) ** 2 + (th - t_h) ** 2)))
+        else:
+            # IoU-family regression loss (iou_loss = giou|diou|ciou).
+            # Value: iou_normalizer * sum(1 - XIoU) over assigned
+            # predictors. Gradient: darknet's delta_yolo_box convention
+            # EXACTLY — the penalty gradients w.r.t. the DECODED box
+            # (from autodiff of _iou_box_penalty, conventions inside)
+            # land on the raw outputs with darknet's truncated chain
+            # rule: x/y straight onto the logits (no sigmoid', no
+            # scale_x_y/grid factor), w/h times exp(raw) only (the
+            # anchor/net factor of the true chain rule is dropped, as
+            # darknet's `dw *= exp(x[...])` does). max_delta clips the
+            # deltas AFTER iou_normalizer (darknet's order). The
+            # linearized surrogate below has exactly that gradient while
+            # its VALUE contribution is the true penalty sum.
+            sg = jax.lax.stop_gradient
+            tbx = scat(gt_boxes[..., 0])
+            tby = scat(gt_boxes[..., 1])
+            tbw = scat(gt_boxes[..., 2])
+            tbh = scat(gt_boxes[..., 3])
+            iou_n = layer.iou_normalizer
+
+            def _pen_sum(a, b, c, d):
+                return jnp.sum(amask * _iou_box_penalty(
+                    layer.iou_loss, a, b, c, d, tbx, tby, tbw, tbh))
+
+            val, grads = jax.value_and_grad(_pen_sum, argnums=(0, 1, 2, 3))(
+                sg(px), sg(py), sg(pw), sg(ph))
+            gx, gy, gw, gh = grads
+            deltas = [iou_n * gx, iou_n * gy,
+                      iou_n * gw * jnp.exp(sg(tw)),
+                      iou_n * gh * jnp.exp(sg(th))]
+            if np.isfinite(layer.max_delta):
+                deltas = [jnp.clip(t, -layer.max_delta, layer.max_delta)
+                          for t in deltas]
+            deltas = [sg(t * amask) for t in deltas]
+            lin = jnp.sum(deltas[0] * zx + deltas[1] * zy
+                          + deltas[2] * tw + deltas[3] * th)
+            acc["coord"] += sg(iou_n * val) + lin - sg(lin)
+
+        # cls_normalizer scales the OBJECTNESS deltas (module docstring:
+        # the yolov4-release darknet multiplies delta[obj_index] by
+        # l.cls_normalizer — obj AND noobj — while class deltas stay
+        # unscaled; default 1.0 keeps the classic v3 behavior exactly)
+        cn = layer.cls_normalizer
+        acc["obj"] += cn * jnp.sum(amask * jax.nn.softplus(-zo))
+        acc["noobj"] += cn * jnp.sum(  # KL(0||s(zo))
             jnp.where(noobj_mask & ~assigned, jax.nn.softplus(zo), 0.0))
         onehot = jax.nn.one_hot(t_cls, c, dtype=jnp.float32)
         acc["cls"] += jnp.sum(amask[..., None]

@@ -725,6 +725,12 @@ def test_detect_cli_dir_mode(tmp_path):
     assert detect.main(["--cfg", cfg_path, "--weights", wpath,
                         "--image", os.path.join(img_dir, "img0000.png"),
                         "--dp", "2"]) == 2
+    # --dp 1 is a real (1-device) mesh, not a silent alias of 0: the
+    # --image mode validation applies to it exactly like --dp 2
+    # (ADVICE r4)
+    assert detect.main(["--cfg", cfg_path, "--weights", wpath,
+                        "--image", os.path.join(img_dir, "img0000.png"),
+                        "--dp", "1"]) == 2
 
 
 def test_prep_calibration_validates_and_keeps_tail(tmp_path):
