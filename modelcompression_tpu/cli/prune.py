@@ -149,17 +149,20 @@ _FILTER_MODE_CRITERION = {"l1_filter": "l1", "bn_gamma": "bn_gamma",
                           "fpgm": "fpgm"}
 
 
-def _taylor_scores(args, spec, params, seen, with_groups=False):
+def _taylor_scores(args, spec, params, seen, with_groups=False,
+                   full=False):
     """Gate-gradient Taylor scores from --score-batches training batches
     (compress/taylor.py). One XLA program, device-side accumulation.
     ``with_groups=True`` returns ``(untied_scores, group_scores)`` from
     the same pass (taylor_scores_with_groups — the --tied group rank
-    input)."""
+    input); ``full=True`` returns ``(untied, group, csp)`` — the budget
+    allocator's full input (taylor_scores_all)."""
     import itertools
 
     from modelcompression_tpu.cli.common import load_train_dataset
     from modelcompression_tpu.compress import (
-        taylor_filter_scores_device, taylor_scores_with_groups,
+        taylor_filter_scores_device, taylor_scores_all,
+        taylor_scores_with_groups,
     )
     from modelcompression_tpu.train.loader import BatchLoader
 
@@ -168,6 +171,9 @@ def _taylor_scores(args, spec, params, seen, with_groups=False):
                          spec.net.width, seed=args.score_seed,
                          drop_last=False)
     batches = itertools.islice(iter(loader), args.score_batches)
+    if full:
+        return taylor_scores_all(params, spec, batches, seen=seen,
+                                 second_moment=args.taylor_sq)
     if with_groups:
         return taylor_scores_with_groups(params, spec, batches, seen=seen,
                                          second_moment=args.taylor_sq)
@@ -353,13 +359,18 @@ def main(argv=None) -> int:
             print(f"error: --fraction must be in [0, 1), got "
                   f"{args.fraction}", file=sys.stderr)
             return 2
-        tay_scores = tay_gscores = None
+        tay_scores = tay_gscores = tay_cscores = None
         if args.mode == "taylor":
             if not args.data:
                 print("error: taylor mode needs --data (scores are "
                       "measured on training batches)", file=sys.stderr)
                 return 2
-            if args.tied == "group":
+            if args.target_flops is not None:
+                # untied + tied-group + balanced-CSP gate scores from
+                # ONE scoring pass (the budget allocator's full input)
+                tay_scores, tay_gscores, tay_cscores = _taylor_scores(
+                    args, spec, params, seen, full=True)
+            elif args.tied == "group":
                 # untied + group-summed gate scores from ONE scoring pass
                 tay_scores, tay_gscores = _taylor_scores(
                     args, spec, params, seen, with_groups=True)
@@ -367,12 +378,21 @@ def main(argv=None) -> int:
                 tay_scores = _taylor_scores(args, spec, params, seen)
         if args.target_flops is not None:
             from modelcompression_tpu.compress import (
-                filter_scores_device, flop_targeted_keep_sets,
-                tied_group_scores_device, total_conv_flops,
+                csp_balanced_scores_device, filter_scores_device,
+                flop_targeted_keep_sets, tied_group_scores_device,
+                total_conv_flops,
             )
             scores = (tay_scores if args.mode == "taylor"
                       else filter_scores_device(params, spec,
                                                 criterion=criterion))
+            # balance-constrainable CSP grouped-route sources join the
+            # allocation as balanced-step rank units (one per-block-
+            # balanced drop per step — flops.flop_targeted_keep_sets
+            # docstring), so yolov4-tiny's best pruning mode composes
+            # with FLOP budgets instead of protecting the CSP sources
+            cscores = (tay_cscores if args.mode == "taylor"
+                       else csp_balanced_scores_device(
+                           params, spec, criterion=criterion))
             gscores = None
             if args.tied == "group":
                 # tied groups join the budget allocation as single rank
@@ -385,7 +405,7 @@ def main(argv=None) -> int:
                 keep, sched = flop_targeted_keep_sets(
                     spec, scores, args.target_flops,
                     min_filters=args.min_filters, norm=args.score_norm,
-                    group_scores=gscores)
+                    group_scores=gscores, csp_scores=cscores)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2

@@ -6,7 +6,9 @@ from modelcompression_tpu.compress.criteria import (
     filter_scores_device, fpgm_filter_scores, fpgm_scores_device,
     global_threshold, keep_sets_from_scores,
     l1_filter_keep, l1_filter_keep_sets, l1_filter_keep_sets_scheduled,
-    csp_balanced_keep_sets, tied_group_keep_sets, tied_group_scores_device,
+    csp_balanced_keep_sets, csp_balanced_scores_device,
+    csp_constrainable_indices, tied_group_keep_sets,
+    tied_group_scores_device,
     l1_filter_scores, l1_filter_scores_device, magnitude_mask_layer,
     magnitude_masks_global, magnitude_masks_perlayer, mask_sparsity,
 )
@@ -19,7 +21,7 @@ from modelcompression_tpu.compress.lamp import (
 )
 from modelcompression_tpu.compress.taylor import (
     taylor_filter_keep_sets, taylor_filter_scores_device,
-    taylor_gate_indices, taylor_scores_with_groups,
+    taylor_gate_indices, taylor_scores_all, taylor_scores_with_groups,
 )
 from modelcompression_tpu.compress.codebook import (
     cluster_layer, cluster_network, load_cmodel, reconstruct, save_cmodel,
@@ -59,13 +61,14 @@ __all__ = [
     "total_conv_flops",
     "keep_sets_from_scores", "taylor_filter_keep_sets",
     "taylor_filter_scores_device", "taylor_gate_indices",
-    "taylor_scores_with_groups",
+    "taylor_scores_all", "taylor_scores_with_groups",
     "cluster_layer", "cluster_network", "load_cmodel", "reconstruct",
     "save_cmodel",
     "DEFAULT_MASK_BACKEND", "MASK_BACKENDS", "magnitude_mask_fn",
     "apply_masks", "global_threshold", "l1_filter_keep",
     "l1_filter_keep_sets", "l1_filter_keep_sets_scheduled",
-    "csp_balanced_keep_sets",
+    "csp_balanced_keep_sets", "csp_balanced_scores_device",
+    "csp_constrainable_indices",
     "tied_group_keep_sets", "tied_group_scores_device",
     "l1_filter_scores", "l1_filter_scores_device",
     "magnitude_mask_layer",

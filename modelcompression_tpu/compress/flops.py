@@ -70,9 +70,11 @@ def conv_flops_by_layer(spec: NetworkSpec,
             h, w = h * l.stride, w * l.stride
         elif isinstance(l, RouteLayer):
             h, w = hist[l.layers[0]][:2]
-            # grouped route: each source contributes C/groups channels
-            # (sources are protected from pruning, so the live count is
-            # the original and the integer division is exact)
+            # grouped route: each source contributes C/groups channels.
+            # The integer division stays exact because sources are either
+            # fully protected or pruned split-BALANCED (same count kept
+            # per block — criteria.csp_balanced_keep_sets), so the live
+            # count remains a multiple of groups.
             c = sum(hist[a][2] // l.groups for a in l.layers)
         elif isinstance(l, ShortcutLayer):
             pass  # add: channels/dims unchanged (equality checked at parse)
@@ -96,6 +98,7 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
                             min_filters: int = 1,
                             norm: str = "l2",
                             group_scores: Dict[tuple, np.ndarray] = None,
+                            csp_scores: Dict[int, tuple] = None,
                             ) -> Tuple[Dict[int, np.ndarray],
                                        Dict[int, float]]:
     """Keep-sets hitting a conv-FLOP budget: drop globally-lowest
@@ -114,6 +117,23 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
     keep-sets stay group-aligned, repack's invariant), and whose FLOP
     delta spans all members. Group scores are normalized as one unit so
     they rank against single-conv filters on the same footing.
+
+    ``csp_scores`` (``criteria.csp_balanced_scores_device``) extends it
+    to CSP grouped-route source convs: ``{conv_idx: (n_parts, (O,)
+    scores)}``. Each such conv is one rank unit whose k-th DROP STEP
+    removes the k-th-lowest-scored remaining filter from EVERY split
+    block at once (``n_parts`` filters per step) — the keep-set stays
+    split-BALANCED, repack's slice invariant, the same move that made
+    tied groups budget-composable. The step's rank score is the MEAN of
+    the dropped filters' normalized scores — per-CHANNEL importance, so
+    a step ranks on the same footing as a single-conv filter (a sum
+    would be ~n_parts x larger and starve the csp convs of pruning;
+    tied groups rank by one entry of their unit-normalized vector, the
+    same per-channel footing). Steps apply in ascending order by
+    construction (per-block sorted sequences give a non-decreasing step
+    sequence). The conv keeps at least
+    ``max(n_parts, ceil(min_filters / n_parts) * n_parts)`` filters
+    (at least one per block AND the min_filters floor, balanced).
 
     Returns ``(keep_sets, fractions)`` where ``fractions`` is the
     discovered per-layer drop schedule (conv idx -> dropped fraction) —
@@ -149,6 +169,23 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
                 raise ValueError(
                     f"group {g}: conv[{i}] has {spec.layers[i].filters} "
                     f"filters but {len(s)} group scores")
+    csp_scores = csp_scores or {}
+    for i, (parts, s) in csp_scores.items():
+        if not (0 <= i < len(spec.layers)
+                and isinstance(spec.layers[i], ConvLayer)):
+            raise ValueError(f"csp_scores: non-conv layer index {i}")
+        if i in scores or any(i in g for g in group_scores):
+            raise ValueError(
+                f"conv[{i}] appears both in csp_scores and in "
+                "scores/group_scores")
+        o = spec.layers[i].filters
+        if len(s) != o:
+            raise ValueError(
+                f"csp conv[{i}] has {o} filters but {len(s)} scores")
+        if parts < 2 or o % parts:
+            raise ValueError(
+                f"csp conv[{i}]: {o} filters not divisible by "
+                f"parts={parts}")
 
     # rank UNITS: ungrouped convs singly, each tied group as one whole
     # (key = the member tuple; dropping its filter j shrinks every member)
@@ -160,7 +197,14 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
     base = total_conv_flops(spec)
     budget = target * base
     alive = {i: spec.layers[i].filters for u in units for i in u}
-    floor = total_conv_flops(spec, {i: min_filters for i in alive})
+    alive.update({i: spec.layers[i].filters for i in csp_scores})
+    # per-conv floors: min_filters for plain units; at least one filter
+    # per split block (balanced) for csp units
+    floors = {i: min_filters for u in units for i in u}
+    floors.update({
+        i: max(parts, -(-min_filters // parts) * parts)
+        for i, (parts, _) in csp_scores.items()})
+    floor = total_conv_flops(spec, floors)
     if budget < floor:
         raise ValueError(
             f"target {target:.4f} of conv FLOPs is below the reachable "
@@ -186,20 +230,54 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
         return s
 
     ns = {u: _norm_one(s) for u, s in units.items()}
-    # global ascending rank; ties broken (unit, filter idx) so the
-    # allocation is deterministic like every criterion in criteria.py
-    cand = sorted(((float(ns[u][j]), u, j)
-                   for u in ns for j in range(len(ns[u]))))
+    # csp units: precompute the balanced DROP STEPS from the normalized
+    # (O,) vector — step k = {each block's k-th lowest remaining filter},
+    # step score = sum of those normalized scores (docstring)
+    csp_steps: Dict[tuple, List[List[int]]] = {}
+    csp_step_scores: Dict[tuple, List[float]] = {}
+    for i, (parts, s) in csp_scores.items():
+        nsv = _norm_one(s)
+        block = len(nsv) // parts
+        order = [np.argsort(nsv[b * block:(b + 1) * block],
+                            kind="stable") + b * block
+                 for b in range(parts)]
+        steps = [[int(order[b][k]) for b in range(parts)]
+                 for k in range(block)]
+        csp_steps[(i,)] = steps
+        csp_step_scores[(i,)] = [float(np.mean([nsv[j] for j in st]))
+                                 for st in steps]
+
+    # global ascending rank; ties broken (unit, index) so the allocation
+    # is deterministic like every criterion in criteria.py. csp steps
+    # join the same rank with their per-step score mass; their ascending
+    # per-unit order is preserved by the sort (non-decreasing scores,
+    # index tiebreak).
+    cand = sorted(
+        [(float(ns[u][j]), u, j) for u in ns for j in range(len(ns[u]))]
+        + [(sc, u, k) for u, scs in csp_step_scores.items()
+           for k, sc in enumerate(scs)])
     dropped: Dict[tuple, List[int]] = {u: [] for u in units}
+    dropped.update({u: [] for u in csp_steps})
+    next_step = {u: 0 for u in csp_steps}
     cur = total_conv_flops(spec, alive)
     for _, u, j in cand:
         if cur <= budget:
             break
-        if alive[u[0]] - 1 < min_filters:
-            continue
-        for i in u:
-            alive[i] -= 1
-        dropped[u].append(j)
+        if u in csp_steps:
+            (i,) = u
+            parts = csp_scores[i][0]
+            if alive[i] - parts < floors[i]:
+                continue
+            assert j == next_step[u], "csp steps must apply in order"
+            next_step[u] += 1
+            alive[i] -= parts
+            dropped[u].extend(csp_steps[u][j])
+        else:
+            if alive[u[0]] - 1 < min_filters:
+                continue
+            for i in u:
+                alive[i] -= 1
+            dropped[u].append(j)
         cur = total_conv_flops(spec, alive)
 
     keep = {}
@@ -211,4 +289,11 @@ def flop_targeted_keep_sets(spec: NetworkSpec,
         for i in u:
             keep[i] = ks
             fractions[i] = len(gone) / len(s)
+    for u in csp_steps:
+        (i,) = u
+        o = spec.layers[i].filters
+        gone = set(dropped[u])
+        keep[i] = np.asarray([j for j in range(o) if j not in gone],
+                             np.int32)
+        fractions[i] = len(gone) / o
     return keep, fractions

@@ -137,8 +137,12 @@ def grouped_route_protected_convs(spec: NetworkSpec) -> Set[int]:
 
 def grouped_route_source_convs(spec: NetworkSpec) -> Set[int]:
     """All convs feeding a GROUPED [route] (balanceable or not) — the
-    set the schedule/budget paths still protect (their per-layer
-    fractions can't express the balance constraint)."""
+    set excluded from PLAIN per-filter score maps. Balance-constrainable
+    members (criteria.csp_constrainable_indices) are pruned separately
+    with split-BALANCED keep-sets on every path: the uniform fraction
+    (criteria.csp_balanced_keep_sets), per-layer schedules
+    (l1_filter_keep_sets_scheduled) and the FLOP-budget allocator
+    (flops.flop_targeted_keep_sets csp_scores units)."""
     sources = channel_source_convs(spec)
     out: Set[int] = set()
     for i, l in enumerate(spec.layers):

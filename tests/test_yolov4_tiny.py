@@ -370,3 +370,87 @@ def test_v4_int8_ptq_tracks_f32():
         # PTQ error, not equality: bounded relative to the f32 range
         scale = max(float(np.abs(b).max()), 1e-3)
         assert float(np.abs(a - b).max()) / scale < 0.15
+
+
+def test_multi_provenance_grouped_route_source_not_balanced():
+    """ADVICE r4: a conv that is the SOLE source of one grouped route
+    (so it lands in csp_split_constraints) while ALSO contributing to a
+    multi-conv tensor sliced by another grouped route must stay fully
+    protected — balancing one source cannot keep the multi-source
+    slice boundary valid. Before the fix, csp_balanced_keep_sets pruned
+    it and repack failed late; now it is excluded up front."""
+    from modelcompression_tpu.compress import (
+        uniform_filter_fraction_keep_sets,
+    )
+    from modelcompression_tpu.compress.criteria import (
+        csp_balanced_keep_sets,
+    )
+    from modelcompression_tpu.compress.graph import (
+        csp_split_constraints, grouped_route_protected_convs,
+    )
+
+    txt = """
+[net]
+width=16
+height=16
+channels=3
+batch=1
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=0,1
+
+[route]
+layers=2
+groups=2
+group_id=0
+
+[route]
+layers=0
+groups=2
+group_id=1
+
+[route]
+layers=3,4
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=18
+activation=linear
+
+[region]
+anchors = 1,1, 2,2
+classes=4
+num=2
+"""
+    spec = parse_cfg(txt)
+    # conv0: sole source of route@4 -> in the balance-constraint map...
+    assert 0 in csp_split_constraints(spec)
+    # ...but ALSO a contributor to route@2's concat, sliced by route@3
+    # (multi-conv provenance) -> hard-protected
+    assert grouped_route_protected_convs(spec) == {0, 1}
+    # so the balanced builder must NOT emit a keep-set for it
+    assert csp_balanced_keep_sets(params_for(spec), spec, 0.5) == {}
+    keep = uniform_filter_fraction_keep_sets(spec, params_for(spec), 0.5)
+    assert 0 not in keep and 1 not in keep
+
+
+def params_for(spec):
+    return init_params(spec, jax.random.key(11))
