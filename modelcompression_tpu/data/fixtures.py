@@ -459,7 +459,8 @@ random=0
 
 def tiny_yolo4_cfg(num_classes: int = 3, width: int = 64,
                    height: int = 64, iou_loss: str = "mse",
-                   iou_normalizer: float = 0.07) -> str:
+                   iou_normalizer: float = 0.07,
+                   chmul: int = 1) -> str:
     """A minimal YOLOv4-TINY-family cfg for fixture tests: exercises the
     v4-only pieces — a CSP block ([route] groups=2 group_id=1 split,
     partial concat, transition, full concat), mish activation, and two
@@ -476,6 +477,12 @@ def tiny_yolo4_cfg(num_classes: int = 3, width: int = 64,
     iou_keys = ("" if iou_loss == "mse" else
                 f"iou_loss={iou_loss}\niou_normalizer={iou_normalizer}\n"
                 "cls_normalizer=1.0")
+    # chmul scales every non-detection conv width (the CSP source stays
+    # a multiple of groups=2 for any integer multiplier): the
+    # accuracy-evidence sweeps widen the fixture so its 75%-pruned
+    # REMNANT has capacity comparable to the v2 fixture's (docs/PERF.md
+    # "YOLOv4-tiny iterative") without changing the default tests
+    c16, c20, c32, c40 = (16 * chmul, 20 * chmul, 32 * chmul, 40 * chmul)
     return f"""
 [net]
 batch=4
@@ -491,7 +498,7 @@ policy=constant
 
 [convolutional]
 batch_normalize=1
-filters=16
+filters={c16}
 size=3
 stride=2
 pad=1
@@ -499,7 +506,7 @@ activation=leaky
 
 [convolutional]
 batch_normalize=1
-filters=40
+filters={c40}
 size=3
 stride=1
 pad=1
@@ -512,7 +519,7 @@ group_id=1
 
 [convolutional]
 batch_normalize=1
-filters=20
+filters={c20}
 size=3
 stride=1
 pad=1
@@ -520,7 +527,7 @@ activation=leaky
 
 [convolutional]
 batch_normalize=1
-filters=20
+filters={c20}
 size=3
 stride=1
 pad=1
@@ -531,7 +538,7 @@ layers=-1,-2
 
 [convolutional]
 batch_normalize=1
-filters=40
+filters={c40}
 size=1
 stride=1
 pad=1
@@ -546,7 +553,7 @@ stride=2
 
 [convolutional]
 batch_normalize=1
-filters=40
+filters={c40}
 size=3
 stride=1
 pad=1
@@ -576,7 +583,7 @@ layers=-3
 
 [convolutional]
 batch_normalize=1
-filters=20
+filters={c20}
 size=1
 stride=1
 pad=1
@@ -590,7 +597,7 @@ layers=-1,1
 
 [convolutional]
 batch_normalize=1
-filters=32
+filters={c32}
 size=3
 stride=1
 pad=1

@@ -11,8 +11,8 @@ from modelcompression_tpu.models.weights_io import load_weights, save_weights
 from modelcompression_tpu.models.zoo import (
     CONFIG_DIR, coco_names_path, tiny_yolov2_coco, tiny_yolov2_voc,
     yolov2_coco, yolov2_voc, yolov3_coco, yolov3_spp_coco,
-    yolov3_tiny_coco, yolov3_tiny_voc, yolov3_voc, yolov4_tiny_coco,
-    yolov4_tiny_voc,
+    yolov3_tiny_coco, yolov3_tiny_voc, yolov3_voc, yolov4_coco,
+    yolov4_tiny_coco, yolov4_tiny_voc, yolov4_voc,
 )
 
 __all__ = [
@@ -26,6 +26,6 @@ __all__ = [
     "tiny_yolov2_coco", "tiny_yolov2_voc",
     "yolov2_coco", "yolov2_voc",
     "yolov3_coco", "yolov3_spp_coco", "yolov3_tiny_coco",
-    "yolov3_tiny_voc", "yolov3_voc", "yolov4_tiny_coco",
-    "yolov4_tiny_voc",
+    "yolov3_tiny_voc", "yolov3_voc", "yolov4_coco", "yolov4_tiny_coco",
+    "yolov4_tiny_voc", "yolov4_voc",
 ]

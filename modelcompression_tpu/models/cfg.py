@@ -165,6 +165,12 @@ class YoloLayer:
     iou_normalizer: float = 0.75
     cls_normalizer: float = 1.0
     max_delta: float = math.inf
+    # darknet multi-anchor assignment ([yolo] iou_thresh, yolov4.cfg
+    # ships 0.213): besides its best global anchor, a GT also trains
+    # EVERY anchor slot whose shape-only IoU clears this threshold (at
+    # the GT's cell, in the head owning that anchor). 1.0 = best-only
+    # (the classic v3 rule). train/yolo_loss.py implements it.
+    iou_thresh: float = 1.0
     # serving-side NMS defaults from the cfg (darknet nms_kind/beta_nms):
     # "greedynms" = classic greedy IoU suppression (darknet's DEFAULT_NMS
     # and GREEDY_NMS behave identically at inference); "diounms" =
@@ -424,6 +430,7 @@ def parse_cfg(text: str, strict: bool = False) -> NetworkSpec:
                 iou_normalizer=float(o.get("iou_normalizer", 0.75)),
                 cls_normalizer=float(o.get("cls_normalizer", 1.0)),
                 max_delta=float(o.get("max_delta", math.inf)),
+                iou_thresh=float(o.get("iou_thresh", 1.0)),
                 nms_kind=nms_kind,
                 beta_nms=float(o.get("beta_nms", 0.6)),
                 resize=float(o.get("resize", 1.0)),
@@ -595,6 +602,8 @@ def dump_cfg(spec: NetworkSpec) -> str:
                 out.write(f"cls_normalizer={l.cls_normalizer:g}\n")
             if math.isfinite(l.max_delta):
                 out.write(f"max_delta={l.max_delta:g}\n")
+            if l.iou_thresh != 1.0:
+                out.write(f"iou_thresh={l.iou_thresh:g}\n")
             if l.nms_kind != "greedynms":
                 out.write(f"nms_kind={l.nms_kind}\n")
             if l.beta_nms != 0.6:

@@ -59,6 +59,25 @@ def yolov3_tiny_voc() -> NetworkSpec:
     return load_cfg(os.path.join(CONFIG_DIR, "yolov3-tiny-voc.cfg"))
 
 
+def yolov4_coco() -> NetworkSpec:
+    """Full YOLOv4 (Bochkovskiy et al. 2020; public AlexeyAB yolov4.cfg
+    shape): CSPDarknet53 backbone (route-back CSP stages, 1/2/8/8/4
+    residual blocks, mish) + SPP + PANet head (leaky), three [yolo]
+    heads with scale_x_y 1.2/1.1/1.05 and the canonical CIoU training
+    keys (iou_loss=ciou, iou_normalizer=0.07, iou_thresh=0.213,
+    max_delta=5). 64.43M params / 128.39 conv-GFLOP at 608 — matching
+    the published 64M / 128.46 BFLOPS. Generated + index-asserted by
+    tools/gen_yolov4_cfg.py."""
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov4.cfg"))
+
+
+def yolov4_voc() -> NetworkSpec:
+    """Full YOLOv4 with the 20-class VOC head at 416 input (det convs
+    75ch; 64.11M params / 59.67 conv-GFLOP) — the VOC adaptation, like
+    the tiny variants."""
+    return load_cfg(os.path.join(CONFIG_DIR, "yolov4-voc.cfg"))
+
+
 def yolov4_tiny_coco() -> NetworkSpec:
     """yolov4-tiny (public AlexeyAB/darknet cfg shape): CSPOSANet
     backbone — grouped [route] splits (groups=2, group_id=1), two

@@ -60,6 +60,16 @@ YOLOv4 loss keys (models/cfg.YoloLayer; AlexeyAB-darknet [yolo]):
   unscaled; the separate ``obj_normalizer`` knob postdates the v4 cfgs.
   Both canonical v4 cfgs ship 1.0, so the quirk is only visible to
   custom cfgs — documented here so nobody "fixes" it into a divergence.
+* ``iou_thresh < 1`` (full yolov4.cfg ships 0.213) enables darknet's
+  MULTI-ANCHOR assignment: besides its best global anchor, a GT also
+  trains every anchor slot whose shape-only IoU clears the threshold,
+  at the GT's cell in the head owning that anchor. Implemented by
+  flattening (GT, slot) pairs into M*A scatter rows per head (GT-major,
+  so the last-row-wins duplicate rule stays darknet's sequential
+  overwrite); iou_thresh=1 reduces exactly to the classic best-only
+  rule. Unlike ``truth_thresh`` (prediction-IoU based, dead in every
+  public cfg, rejected loudly), iou_thresh is anchor-shape based and
+  live in yolov4.cfg — so it must work, not just be reported.
 
 TPU-first shape discipline: identical to region_loss — (B, M, 5) padded
 targets, scatter-built assignment grids, duplicate (cell, anchor) slots
@@ -234,21 +244,48 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
         best_iou = jnp.max(ious_all, axis=-1)  # (B,H,W,A)
         noobj_mask = best_iou < layer.ignore_thresh
 
-        # this head owns a GT iff its best GLOBAL anchor is in mask=
+        # per-slot eligibility (B, M, A): a GT trains this head's slot s
+        # when s holds its best GLOBAL anchor — and, under darknet's
+        # multi-anchor assignment ([yolo] iou_thresh < 1; yolov4.cfg
+        # ships 0.213), ALSO when slot s's own anchor clears the
+        # shape-IoU threshold. iou_thresh=1 (default) reduces exactly to
+        # the classic best-only rule.
         slot_of = np.full((layer.num,), -1, np.int32)
         for s, g in enumerate(layer.mask):
             slot_of[g] = s
-        slot = jnp.asarray(slot_of)[ga_global]  # (B, M), -1 = other head
-        wins0 = gt_valid & (slot >= 0)
-        ga = jnp.clip(slot, 0, a - 1)
+        slot_best = jnp.asarray(slot_of)[ga_global]  # (B, M), -1 = other
+        sl = jnp.arange(a)
+        elig = gt_valid[:, :, None] & (slot_best[:, :, None] == sl)
+        if layer.iou_thresh < 1.0:
+            head_iou = shape_iou[:, :, jnp.asarray(layer.mask, jnp.int32)]
+            elig = elig | (gt_valid[:, :, None]
+                           & (head_iou > layer.iou_thresh))
 
-        gi = jnp.clip((gt_boxes[..., 0] * w).astype(jnp.int32), 0, w - 1)
-        gj = jnp.clip((gt_boxes[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        gi1 = jnp.clip((gt_boxes[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        gj1 = jnp.clip((gt_boxes[..., 1] * h).astype(jnp.int32), 0, h - 1)
+
+        # flatten the (GT, slot) pairs into m2 = M*A rows, GT-major with
+        # slot minor, so the later-row-wins duplicate rule below remains
+        # darknet's sequential per-GT overwrite (two rows of the SAME GT
+        # never collide — distinct anchors give distinct keys)
+        m2 = m * a
+
+        def rows(x):  # (B, M, ...) -> (B, M*A, ...), tiled per slot
+            return jnp.repeat(x, a, axis=1)
+
+        ga2 = jnp.tile(sl, (b, m))            # (B, M*A): row r -> r % a
+        wins0 = elig.reshape(b, m2)
+        gi = rows(gi1)
+        gj = rows(gj1)
+        gt_boxes2 = rows(gt_boxes)            # (B, M*A, 4)
+        gt_cls2 = rows(gt_cls)
+        batch_idx2 = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m2))
 
         # duplicate (cell, anchor) slots: last valid row wins (the
         # reference-class sequential overwrite; see region_loss)
-        key = (gj * w + gi) * a + ga
-        later = jnp.arange(m)[None, :, None] < jnp.arange(m)[None, None, :]
+        key = (gj * w + gi) * a + ga2
+        later = (jnp.arange(m2)[None, :, None]
+                 < jnp.arange(m2)[None, None, :])
         dup_later = jnp.any(
             later & wins0[:, None, :] & (key[:, :, None] == key[:, None, :]),
             axis=-1)
@@ -257,24 +294,25 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
 
         def scat(values):
             grid = jnp.zeros((b, h, w, a), jnp.float32)
-            return grid.at[batch_idx, gj_s, gi, ga].set(values, mode="drop")
+            return grid.at[batch_idx2, gj_s, gi, ga2].set(values,
+                                                          mode="drop")
 
         assigned = jnp.zeros((b, h, w, a), jnp.bool_).at[
-            batch_idx, gj_s, gi, ga].set(True, mode="drop")
+            batch_idx2, gj_s, gi, ga2].set(True, mode="drop")
 
         eps = 1e-9
-        t_cls = scat(gt_cls.astype(jnp.float32)).astype(jnp.int32)
+        t_cls = scat(gt_cls2.astype(jnp.float32)).astype(jnp.int32)
         amask = assigned.astype(jnp.float32)
         zx, zy, zo = raw[..., 0], raw[..., 1], raw[..., 4]
 
         if layer.iou_loss == "mse":
-            t_x = scat(gt_boxes[..., 0] * w - gi.astype(jnp.float32))
-            t_y = scat(gt_boxes[..., 1] * h - gj.astype(jnp.float32))
-            t_w = scat(jnp.log(jnp.maximum(gt_boxes[..., 2] * net_w, eps)
-                               / anchors[ga][..., 0]))
-            t_h = scat(jnp.log(jnp.maximum(gt_boxes[..., 3] * net_h, eps)
-                               / anchors[ga][..., 1]))
-            coord_w = scat(2.0 - gt_boxes[..., 2] * gt_boxes[..., 3])
+            t_x = scat(gt_boxes2[..., 0] * w - gi.astype(jnp.float32))
+            t_y = scat(gt_boxes2[..., 1] * h - gj.astype(jnp.float32))
+            t_w = scat(jnp.log(jnp.maximum(gt_boxes2[..., 2] * net_w, eps)
+                               / anchors[ga2][..., 0]))
+            t_h = scat(jnp.log(jnp.maximum(gt_boxes2[..., 3] * net_h, eps)
+                               / anchors[ga2][..., 1]))
+            coord_w = scat(2.0 - gt_boxes2[..., 2] * gt_boxes2[..., 3])
 
             # exact-gradient terms (module docstring / _bce_kl):
             # KL-BCE on logistic logits, half-SE on the linear tw/th.
@@ -304,10 +342,10 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
             # linearized surrogate below has exactly that gradient while
             # its VALUE contribution is the true penalty sum.
             sg = jax.lax.stop_gradient
-            tbx = scat(gt_boxes[..., 0])
-            tby = scat(gt_boxes[..., 1])
-            tbw = scat(gt_boxes[..., 2])
-            tbh = scat(gt_boxes[..., 3])
+            tbx = scat(gt_boxes2[..., 0])
+            tby = scat(gt_boxes2[..., 1])
+            tbw = scat(gt_boxes2[..., 2])
+            tbh = scat(gt_boxes2[..., 3])
             iou_n = layer.iou_normalizer
 
             def _pen_sum(a, b, c, d):
@@ -340,10 +378,14 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
         acc["cls"] += jnp.sum(amask[..., None]
                               * _bce_kl(raw[..., 5:], onehot))
 
-        # metrics: IoU of each winning GT's assigned predictor (a TARGET
-        # for reporting only — see region_loss's stop_gradient rationale)
-        pred_at_gt = pred_boxes[batch_idx, gj, gi, ga]
-        iou_at_gt = jax.lax.stop_gradient(_pair_iou(pred_at_gt, gt_boxes))
+        # metrics: IoU of each winning (GT, slot) row's predictor (a
+        # TARGET for reporting only — see region_loss's stop_gradient
+        # rationale). With iou_thresh < 1 the rows include the extra
+        # multi-anchor positives, so avg_iou/recall50 normalize over all
+        # trained positives (identical to the classic per-GT metrics
+        # when iou_thresh = 1, the default).
+        pred_at_gt = pred_boxes[batch_idx2, gj, gi, ga2]
+        iou_at_gt = jax.lax.stop_gradient(_pair_iou(pred_at_gt, gt_boxes2))
         vw = wins.astype(jnp.float32)
         acc["iou_sum"] += jnp.sum(iou_at_gt * vw)
         acc["recall"] += jnp.sum((iou_at_gt > 0.5) * vw)

@@ -376,3 +376,64 @@ def test_diounms_cfg_keys_default_the_serving_nms():
     cfg = resolve_serving_eval_config(
         parser.parse_args(["--soft-nms", "gaussian"]), spec=spec)
     assert cfg.soft_nms == "gaussian" and not cfg.diou_nms
+
+
+# ------------------------------------------- iou_thresh (multi-anchor)
+
+
+def test_iou_thresh_multi_anchor_assignment():
+    """[yolo] iou_thresh < 1 (yolov4.cfg ships 0.213): a GT trains every
+    anchor slot whose shape-IoU clears the threshold, not just the best
+    one — visible as coord gradients at MULTIPLE slots of the same cell.
+    iou_thresh=1 (default) keeps the classic single-slot assignment."""
+    gt = jnp.asarray(GT)  # 0.7x0.7 GT -> coarse head (anchors 24, 48 px)
+
+    def nonzero_slots(spec):
+        def f(rs):
+            return yolo_loss(rs, gt, spec).loss_coord
+
+        grads = jax.grad(f)(raws_zero())
+        out = []
+        for k, (g, l) in enumerate(zip(GRIDS, HEADS)):
+            gk = np.asarray(grads[k]).reshape(g, g, l.n, 5 + C)
+            for (j, i, s) in zip(*np.nonzero(np.abs(gk[..., :4]).sum(-1))):
+                out.append((k, int(j), int(i), int(s)))
+        return sorted(set(out))
+
+    base = nonzero_slots(spec_with())
+    assert len(base) == 1  # classic: exactly one (head, cell, slot)
+    multi = nonzero_slots(spec_with(iou_thresh=0.2))
+    assert set(base) <= set(multi) and len(multi) > 1
+    # all extra positives sit at the SAME cell (the GT's center cell),
+    # different anchor slots — darknet's multi-anchor rule
+    cells = {(k, j, i) for k, j, i, _ in multi}
+    assert len(cells) >= 1
+    for k, j, i, _ in multi:
+        assert (k, j, i) in cells
+    # a threshold nothing clears except the best anchor: single again
+    tight = nonzero_slots(spec_with(iou_thresh=0.999))
+    assert tight == base
+
+
+def test_iou_thresh_one_bitwise_matches_classic():
+    """iou_thresh=1.0 must not change the loss AT ALL vs the pre-flag
+    implementation semantics (same value on a random batch)."""
+    rng = np.random.default_rng(3)
+    raws = tuple(jnp.asarray(rng.standard_normal(
+        (2, g, g, l.n * (5 + C))).astype(np.float32))
+        for g, l in zip(GRIDS, HEADS))
+    gt = jnp.asarray(rng.uniform(0.2, 0.6, (2, 6, 5)).astype(np.float32))
+    m1 = yolo_loss(raws, gt, spec_with())
+    m2 = yolo_loss(raws, gt, spec_with(iou_thresh=1.0))
+    assert float(m1.loss) == float(m2.loss)
+    assert float(m1.loss_coord) == float(m2.loss_coord)
+
+
+def test_iou_thresh_parsed_and_roundtrips():
+    txt = tiny_yolo3_cfg(num_classes=3).replace(
+        "truth_thresh = 1", "truth_thresh = 1\niou_thresh=0.213", 1)
+    spec = parse_cfg(txt)
+    from modelcompression_tpu.models.cfg import dump_cfg
+    hi = spec.head_indices()[0]
+    assert spec.layers[hi].iou_thresh == approx(0.213)
+    assert parse_cfg(dump_cfg(spec)) == spec

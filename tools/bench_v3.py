@@ -33,7 +33,7 @@ from modelcompression_tpu.compress import (
 from modelcompression_tpu.evaluation import EvalConfig, make_eval_step
 from modelcompression_tpu.models import (
     fold_batchnorm, init_params, num_conv_flops, yolov3_tiny_voc,
-    yolov3_voc, yolov4_tiny_voc,
+    yolov3_voc, yolov4_tiny_voc, yolov4_voc,
 )
 from modelcompression_tpu.utils.timing import (
     measure_rtt, salted_pipeline_loop, time_fn,
@@ -57,6 +57,31 @@ def build_v4_configs():
                                       dict(nms_prefilter=128), "off"),
         "v4tiny_pruned75_b64_pf128_int8auto": (
             v4_s, p4_s, 64, dict(nms_prefilter=128), "auto"),
+    }
+
+
+def build_v4full_configs():
+    """Full yolov4-voc rows (fourth family config, round 5): the
+    CSPDarknet53 + SPP + PAN graph at 416. The route-back CSP stages
+    tie 5 residual trunks (2/3/5/9/9 convs), so --tied group is the
+    deep-prune mode here exactly as on full v3; the protect-default row
+    quantifies what the Li et al. recipe leaves on the table."""
+    v4 = yolov4_voc()
+    p = init_params(v4, jax.random.key(3))
+    keep = uniform_filter_fraction_keep_sets(v4, p, 0.75)
+    s_p, p_p = repack(v4, p, keep)
+    keep_g = uniform_filter_fraction_keep_sets(v4, p, 0.75, tied="group")
+    s_g, p_g = repack(v4, p, keep_g)
+    return {
+        "v4_unpruned_b32": (v4, p, 32, {}, "off"),
+        "v4_unpruned_b64_pf128": (v4, p, 64, dict(nms_prefilter=128),
+                                  "off"),
+        "v4_pruned75_b32": (s_p, p_p, 32, {}, "off"),
+        "v4_pruned75_tied_b32": (s_g, p_g, 32, {}, "off"),
+        "v4_pruned75_tied_b64_pf128": (s_g, p_g, 64,
+                                       dict(nms_prefilter=128), "off"),
+        "v4_pruned75_tied_b64_pf128_int8auto": (
+            s_g, p_g, 64, dict(nms_prefilter=128), "auto"),
     }
 
 
@@ -160,6 +185,10 @@ def main():
     ap.add_argument("--v4", action="store_true",
                     help="measure the yolov4-tiny rows instead of the "
                          "v3 sweep (docs/PERF.md 'YOLOv4-tiny family')")
+    ap.add_argument("--v4full", action="store_true",
+                    help="measure the FULL yolov4-voc rows (64M params: "
+                         "~60 s of on-chip init + long compiles; "
+                         "docs/PERF.md 'Full YOLOv4')")
     args = ap.parse_args()
 
     if args.train:
@@ -172,8 +201,9 @@ def main():
     rtt = measure_rtt()
     print(f"rtt {rtt * 1e3:.0f} ms | src {SRC} | inner {INNER}",
           file=sys.stderr)
-    CONFIGS = build_v4_configs() if args.v4 \
-        else build_configs(args.skip_full)
+    CONFIGS = (build_v4full_configs() if args.v4full
+               else build_v4_configs() if args.v4
+               else build_configs(args.skip_full))
     names = (args.configs.split(",") if args.configs else list(CONFIGS))
 
     base = EvalConfig(batch_size=64, conf_thresh=0.01, max_detections=32)

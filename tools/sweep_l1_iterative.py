@@ -7,10 +7,21 @@ right after each prune (drop) and after each round's fine-tune
 exists (SURVEY.md §7.5). Deterministic on the CPU backend; results
 recorded in docs/PERF.md.
 
-``--criterion {l1,bn_gamma,taylor}`` selects the filter-ranking criterion
-so the three structured criteria can be compared head-to-head on the
-identical schedule/seeds (taylor scores on 4 training batches per round,
-compress/taylor.py)."""
+``--family {v2,v3,v4}`` selects the detector family's fixture
+(VERDICT r4 Missing #3: the iterative evidence must exist at every
+family's deployment config, not just v2's):
+
+* ``v2`` — the region-head chain graph (tiny_region_cfg).
+* ``v3`` — the [yolo] shortcut/FPN graph (tiny_yolo3_cfg); pair with
+  ``--tied group`` for the identity-path-slimming recipe.
+* ``v4`` — the CSP grouped-route graph (tiny_yolo4_cfg) trained with
+  its CANONICAL iou_loss=ciou keys; the CSP source convs prune with
+  split-BALANCED keep-sets (the uniform-path default).
+
+``--criterion {l1,bn_gamma,fpgm,taylor}`` selects the filter-ranking
+criterion so the structured criteria can be compared head-to-head on
+the identical schedule/seeds (taylor scores on 4 training batches per
+round, compress/taylor.py)."""
 import argparse
 import itertools
 import sys
@@ -27,7 +38,8 @@ from modelcompression_tpu.compress import (  # noqa: E402
     repack, taylor_filter_keep_sets, uniform_filter_fraction_keep_sets,
 )
 from modelcompression_tpu.data.fixtures import (  # noqa: E402
-    FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg,
+    FIXTURE_CLASSES, make_fake_voc, tiny_region_cfg, tiny_yolo3_cfg,
+    tiny_yolo4_cfg,
 )
 from modelcompression_tpu.data.voc import (  # noqa: E402
     load_list_dataset, read_data_cfg,
@@ -44,6 +56,13 @@ EVAL = EvalConfig(batch_size=8, conf_thresh=0.005, max_detections=20)
 FRACTIONS = (0.25, 0.5, 0.75)
 BASE_STEPS = 600
 ROUND_STEPS = 400
+
+FAMILY_CFGS = {
+    "v2": lambda mul: tiny_region_cfg(num_classes=3, width=96, height=96),
+    "v3": lambda mul: tiny_yolo3_cfg(num_classes=3, width=96, height=96),
+    "v4": lambda mul: tiny_yolo4_cfg(num_classes=3, width=96, height=96,
+                                     iou_loss="ciou", chmul=mul),
+}
 
 
 def train_steps(spec, params, samples, n, seed):
@@ -65,16 +84,31 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--criterion", default="l1",
                     choices=("l1", "bn_gamma", "fpgm", "taylor"))
+    ap.add_argument("--family", default="v2", choices=sorted(FAMILY_CFGS))
+    ap.add_argument("--tied", default="protect",
+                    choices=("protect", "group"),
+                    help="shortcut-tied conv policy (v3 graphs): "
+                         "'group' slims the identity paths with shared "
+                         "keep-sets")
+    ap.add_argument("--base-steps", type=int, default=BASE_STEPS)
+    ap.add_argument("--round-steps", type=int, default=ROUND_STEPS)
+    ap.add_argument("--chmul", type=int, default=1,
+                    help="v4 fixture channel multiplier: widens the net "
+                         "so the 75%%-pruned REMNANT has capacity "
+                         "comparable to the v2 fixture's (~10k params); "
+                         "chmul=2 leaves ~16k at 75%%")
     args = ap.parse_args()
     root = tempfile.mkdtemp(prefix="l1sweep")
     data_cfg = make_fake_voc(root, n_images=16, image_size=96, seed=0)
     samples = load_list_dataset(read_data_cfg(data_cfg)["valid"])
-    spec = parse_cfg(tiny_region_cfg(num_classes=3, width=96, height=96))
+    spec = parse_cfg(FAMILY_CFGS[args.family](args.chmul))
     params = init_params(spec, jax.random.key(0))
-    params, loss = train_steps(spec, params, samples, BASE_STEPS, seed=1)
+    params, loss = train_steps(spec, params, samples, args.base_steps,
+                               seed=1)
     base = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL).map50
-    print(f"criterion: {args.criterion}")
-    print(f"baseline: {BASE_STEPS} steps, loss {loss:.2f}, "
+    print(f"family: {args.family}  criterion: {args.criterion}"
+          + (f"  tied: {args.tied}" if args.tied != "protect" else ""))
+    print(f"baseline: {args.base_steps} steps, loss {loss:.2f}, "
           f"mAP@50 {base*100:.1f}, params {num_params(params)/1e3:.0f}k")
 
     prev_frac = 0.0
@@ -86,20 +120,21 @@ def main():
                                        seed=100 + ridx)
             keep = taylor_filter_keep_sets(
                 params, spec, itertools.islice(iter(score_loader), 4), inc,
-                seen=20000)
+                seen=20000, tied=args.tied)
         else:
             keep = uniform_filter_fraction_keep_sets(
-                spec, params, inc, criterion=args.criterion)
+                spec, params, inc, criterion=args.criterion,
+                tied=args.tied)
         spec, params = repack(spec, params, keep)
         pruned = evaluate(params, spec, samples, FIXTURE_CLASSES,
                           EVAL).map50
-        params, loss = train_steps(spec, params, samples, ROUND_STEPS,
-                                   seed=2 + ridx)
+        params, loss = train_steps(spec, params, samples,
+                                   args.round_steps, seed=2 + ridx)
         rec = evaluate(params, spec, samples, FIXTURE_CLASSES, EVAL).map50
         print(f"round {ridx}: cum {frac:.0%} filters pruned + repacked "
               f"(params {num_params(params)/1e3:.0f}k) | "
               f"mAP {pruned*100:5.1f} pruned -> {rec*100:5.1f} after "
-              f"{ROUND_STEPS}-step fine-tune (delta vs base "
+              f"{args.round_steps}-step fine-tune (delta vs base "
               f"{(rec-base)*100:+.1f})")
         prev_frac = frac
 
