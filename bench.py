@@ -26,8 +26,8 @@ reference published no numbers, BASELINE.json:13). The build target is
 
 The full run is SELF-CHECKING (VERDICT r4 Weak #1): exit status is
 nonzero when any gated section (int8 hybrid, b128 serving point, the
-tiny3/v4tiny family rows) fails — the failure reasons appear under
-"skipped" in the JSON — or when vs_baseline lands below the 3.0
+tiny3/v4tiny/v4full family rows) fails — the failure reasons appear
+under "skipped" in the JSON — or when vs_baseline lands below the 3.0
 contract. Sections still run independently so one broken family cannot
 hide the others' numbers. "value" is the best COMPRESSED deployment
 config of the run — pruning alone, or pruning composed with the int8
@@ -66,7 +66,7 @@ def log(msg):
 
 
 QUICK_CONFIGS = ("pruned", "unpruned", "pruned_int8", "unpruned_int8",
-                 "tiny3", "v4tiny")
+                 "tiny3", "v4tiny", "v4full")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -158,6 +158,27 @@ def main(argv=None) -> int:
             f"{num_params(p4s) / 1e6:.1f}M")
         return slim4, p4s
 
+    def setup_v4full():
+        """The FOURTH family's deployment model: full yolov4-voc (64M
+        params, CSPDarknet53+SPP+PAN) 75%-filter-pruned with
+        --tied group (the 5 CSP residual trunks slimmed — the measured
+        deployment mode, docs/PERF.md 'Full YOLOv4'). Prune/repack on
+        host CPU so only the ~4M-param slimmed tree crosses the
+        tunnel."""
+        from modelcompression_tpu.models import yolov4_voc
+        v4f = yolov4_voc()
+        with jax.default_device(cpu0):
+            pf_host = init_params(v4f, jax.random.key(4))
+            keepf = uniform_filter_fraction_keep_sets(v4f, pf_host,
+                                                      PRUNE_FRACTION,
+                                                      tied="group")
+            slimf, pf_s_host = repack(v4f, pf_host, keepf)
+        pf_s = jax.device_put(jax.tree.map(np.asarray, pf_s_host), tpu0)
+        jax.block_until_ready(pf_s)
+        log(f"v4full 75%-tied repacked params: "
+            f"{num_params(pf_s) / 1e6:.1f}M")
+        return slimf, pf_s
+
     def setup_tiny3():
         """The second detector family's deployment model: yolov3-tiny-voc
         75%-filter-pruned (its measured-best serving point pairs this
@@ -236,10 +257,14 @@ def main(argv=None) -> int:
         # ONE configuration, one compile (~1 min wall): the per-commit
         # regression / experiment-A/B mode. vs_baseline is null — no
         # in-run baseline is measured; compare ledger entries instead.
-        if args.quick in ("tiny3", "v4tiny"):
-            qspec, qparams = (setup_tiny3() if args.quick == "tiny3"
-                              else setup_v4tiny())
-            int8 = int8_layers_auto(qspec, min_channels=64)
+        if args.quick in ("tiny3", "v4tiny", "v4full"):
+            qspec, qparams = {"tiny3": setup_tiny3,
+                              "v4tiny": setup_v4tiny,
+                              "v4full": setup_v4full}[args.quick]()
+            # v4full's measured-best deployment point is bf16 (int8
+            # measured slower at these shapes — docs/PERF.md)
+            int8 = ("off" if args.quick == "v4full"
+                    else int8_layers_auto(qspec, min_channels=64))
         else:
             params, slim_spec, slim_params = setup_yolov2()
             qspec, qparams = ((slim_spec, slim_params)
@@ -254,7 +279,8 @@ def main(argv=None) -> int:
                  "pruned_int8": "75%-pruned+int8(auto:64)",
                  "unpruned_int8": "unpruned+int8",
                  "tiny3": "tiny3 75%-pruned+pf128+int8(auto:64)",
-                 "v4tiny": "v4tiny 75%-pruned+pf128+int8(auto:64)"
+                 "v4tiny": "v4tiny 75%-pruned+pf128+int8(auto:64)",
+                 "v4full": "v4full 75%-tied-pruned+pf128"
                  }[args.quick]
         ips, _, _ = bench_chip(qspec, qparams, label, int8_layers=int8)
         if not args.no_ledger:
@@ -265,8 +291,8 @@ def main(argv=None) -> int:
             log(f"ledger: {entry['commit']} {entry['mode']} "
                 f"{entry['img_per_sec']} img/s")
         family = {"tiny3": "yolov3_tiny_416",
-                  "v4tiny": "yolov4_tiny_416"}.get(args.quick,
-                                                   "yolov2_416")
+                  "v4tiny": "yolov4_tiny_416",
+                  "v4full": "yolov4_416"}.get(args.quick, "yolov2_416")
         print(json.dumps({
             "metric": f"{family} {label} fused "
                       "letterbox+infer+decode+NMS, batch 64 (quick)",
@@ -366,6 +392,18 @@ def main(argv=None) -> int:
     except Exception as e:
         gate_skipped["v4tiny_img_per_sec"] = str(e)
         log(f"[gate] v4tiny measurement FAILED: {e}")
+
+    # the FOURTH family (full yolov4, round 5): CSPDarknet53+SPP+PAN
+    # with tied-group pruning of the 5 CSP residual trunks — the graph
+    # a PAN/route/shortcut/mish regression would hit. Gated: rc=1.
+    v4full_ips = None
+    try:
+        slimf, pfs = setup_v4full()
+        v4full_ips, _, _ = bench_chip(
+            slimf, pfs, "v4full 75%-tied-pruned+pf128")
+    except Exception as e:
+        gate_skipped["v4full_img_per_sec"] = str(e)
+        log(f"[gate] v4full measurement FAILED: {e}")
 
     # optional: BENCH_TRACE_DIR=<path> captures a jax.profiler trace of the
     # pruned fused step (perfetto/tensorboard format) for MFU forensics
@@ -532,6 +570,8 @@ def main(argv=None) -> int:
                 round(tiny3_ips, 1) if tiny3_ips else None,
             "v4tiny_img_per_sec":
                 round(v4tiny_ips, 1) if v4tiny_ips else None,
+            "v4full_img_per_sec":
+                round(v4full_ips, 1) if v4full_ips else None,
             "pruned_b128_img_per_sec":
                 round(pruned_b128_ips, 1) if pruned_b128_ips else None,
             "streaming_img_per_sec": round(stream_ips, 1),
@@ -558,6 +598,8 @@ def main(argv=None) -> int:
             round(tiny3_ips, 1) if tiny3_ips else None,
         "v4tiny_img_per_sec":
             round(v4tiny_ips, 1) if v4tiny_ips else None,
+        "v4full_img_per_sec":
+            round(v4full_ips, 1) if v4full_ips else None,
         "pruned_b128_img_per_sec":
             round(pruned_b128_ips, 1) if pruned_b128_ips else None,
         "streaming_img_per_sec": round(stream_ips, 1),
