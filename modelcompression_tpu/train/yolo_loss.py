@@ -348,9 +348,9 @@ def yolo_loss(raws: Sequence[jnp.ndarray], targets: jnp.ndarray,
             tbh = scat(gt_boxes2[..., 3])
             iou_n = layer.iou_normalizer
 
-            def _pen_sum(a, b, c, d):
+            def _pen_sum(bx, by, bw, bh):
                 return jnp.sum(amask * _iou_box_penalty(
-                    layer.iou_loss, a, b, c, d, tbx, tby, tbw, tbh))
+                    layer.iou_loss, bx, by, bw, bh, tbx, tby, tbw, tbh))
 
             val, grads = jax.value_and_grad(_pen_sum, argnums=(0, 1, 2, 3))(
                 sg(px), sg(py), sg(pw), sg(ph))

@@ -143,6 +143,14 @@ def bench_train(skip_full: bool, rng, rtt):
                                                    tied="group")
         full_g, p_full_g = repack(full, p_full, keep_g)
         configs["v3_pruned75_tied_train_b32"] = (full_g, p_full_g, 32)
+        # full yolov4's deployment graph trained at its slimmed speed
+        # (CIoU loss — the canonical keys ride the cfg)
+        v4f = yolov4_voc()
+        p_v4f = init_params(v4f, jax.random.key(3))
+        keep_v4 = uniform_filter_fraction_keep_sets(v4f, p_v4f, 0.75,
+                                                    tied="group")
+        v4f_g, p_v4f_g = repack(v4f, p_v4f, keep_v4)
+        configs["v4_pruned75_tied_train_b32"] = (v4f_g, p_v4f_g, 32)
 
     for name, (sp, pr, b) in configs.items():
         tcfg = TrainConfig.from_spec(sp, augment_flip=True,
