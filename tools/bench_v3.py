@@ -43,12 +43,23 @@ SRC = (384, 512)
 INNER = 10  # pipeline steps per dispatch (dispatch-proof, as bench.py)
 
 
+def host_init(spec, key):
+    """init_params on the CPU backend (bench.py's trick): per-layer RNG
+    programs over the tunnel take minutes for the 60M+ graphs; one bulk
+    transfer of the finished tree takes seconds. The configs below
+    prune/repack on host too, so only the final trees cross the link
+    (the bench loop device_puts them)."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        p = init_params(spec, key)
+    return jax.tree.map(np.asarray, p)
+
+
 def build_v4_configs():
     """yolov4-tiny rows: unpruned, 75%-pruned (split-balanced CSP
     sources — the default uniform path), and the pruned deployment
     config with the int8 hybrid."""
     v4 = yolov4_tiny_voc()
-    p4 = init_params(v4, jax.random.key(2))
+    p4 = host_init(v4, jax.random.key(2))
     keep = uniform_filter_fraction_keep_sets(v4, p4, 0.75)
     v4_s, p4_s = repack(v4, p4, keep)
     return {
@@ -57,6 +68,9 @@ def build_v4_configs():
                                       dict(nms_prefilter=128), "off"),
         "v4tiny_pruned75_b64_pf128_int8auto": (
             v4_s, p4_s, 64, dict(nms_prefilter=128), "auto"),
+        # peak-throughput serving point (docs/PERF.md batch scaling)
+        "v4tiny_pruned75_b128_pf128_int8auto": (
+            v4_s, p4_s, 128, dict(nms_prefilter=128), "auto"),
     }
 
 
@@ -67,7 +81,7 @@ def build_v4full_configs():
     deep-prune mode here exactly as on full v3; the protect-default row
     quantifies what the Li et al. recipe leaves on the table."""
     v4 = yolov4_voc()
-    p = init_params(v4, jax.random.key(3))
+    p = host_init(v4, jax.random.key(3))
     keep = uniform_filter_fraction_keep_sets(v4, p, 0.75)
     s_p, p_p = repack(v4, p, keep)
     keep_g = uniform_filter_fraction_keep_sets(v4, p, 0.75, tied="group")
@@ -82,12 +96,14 @@ def build_v4full_configs():
                                        dict(nms_prefilter=128), "off"),
         "v4_pruned75_tied_b64_pf128_int8auto": (
             s_g, p_g, 64, dict(nms_prefilter=128), "auto"),
+        "v4_pruned75_tied_b128_pf128": (s_g, p_g, 128,
+                                        dict(nms_prefilter=128), "off"),
     }
 
 
 def build_configs(skip_full: bool):
     tiny = yolov3_tiny_voc()
-    p_tiny = init_params(tiny, jax.random.key(0))
+    p_tiny = host_init(tiny, jax.random.key(0))
     keep = uniform_filter_fraction_keep_sets(tiny, p_tiny, 0.75)
     tiny_s, p_tiny_s = repack(tiny, p_tiny, keep)
 
@@ -99,10 +115,12 @@ def build_configs(skip_full: bool):
                                      dict(nms_prefilter=128), "off"),
         "tiny3_pruned75_b64_pf128_int8auto": (
             tiny_s, p_tiny_s, 64, dict(nms_prefilter=128), "auto"),
+        "tiny3_pruned75_b128_pf128_int8auto": (
+            tiny_s, p_tiny_s, 128, dict(nms_prefilter=128), "auto"),
     }
     if not skip_full:
         full = yolov3_voc()
-        p_full = init_params(full, jax.random.key(1))
+        p_full = host_init(full, jax.random.key(1))
         keep_f = uniform_filter_fraction_keep_sets(full, p_full, 0.75)
         full_s, p_full_s = repack(full, p_full, keep_f)
         # --tied group: residual identity paths pruned too (72/75 convs)
@@ -129,7 +147,7 @@ def bench_train(skip_full: bool, rng, rtt):
     )
 
     tiny = yolov3_tiny_voc()
-    p_tiny = init_params(tiny, jax.random.key(0))
+    p_tiny = host_init(tiny, jax.random.key(0))
     keep = uniform_filter_fraction_keep_sets(tiny, p_tiny, 0.75)
     tiny_s, p_tiny_s = repack(tiny, p_tiny, keep)
     configs = {
@@ -138,7 +156,7 @@ def bench_train(skip_full: bool, rng, rtt):
     }
     if not skip_full:
         full = yolov3_voc()
-        p_full = init_params(full, jax.random.key(1))
+        p_full = host_init(full, jax.random.key(1))
         keep_g = uniform_filter_fraction_keep_sets(full, p_full, 0.75,
                                                    tied="group")
         full_g, p_full_g = repack(full, p_full, keep_g)
@@ -146,7 +164,7 @@ def bench_train(skip_full: bool, rng, rtt):
         # full yolov4's deployment graph trained at its slimmed speed
         # (CIoU loss — the canonical keys ride the cfg)
         v4f = yolov4_voc()
-        p_v4f = init_params(v4f, jax.random.key(3))
+        p_v4f = host_init(v4f, jax.random.key(3))
         keep_v4 = uniform_filter_fraction_keep_sets(v4f, p_v4f, 0.75,
                                                     tied="group")
         v4f_g, p_v4f_g = repack(v4f, p_v4f, keep_v4)

@@ -13,8 +13,9 @@ grid-sensitivity scale_x_y 1.2/1.1/1.05 and the canonical CIoU training
 keys (iou_loss=ciou, iou_normalizer=0.07, cls_normalizer=1.0,
 max_delta=5, beta_nms=0.6).
 
-162 sections is too regular to hand-type without drift, so the bundled
-configs/yolov4*.cfg are emitted by this script and the canonical layer
+A 163-section cfg (162 layers + [net]) is too regular to hand-type
+without drift, so the bundled configs/yolov4*.cfg are emitted by this
+script and the canonical layer
 indices are ASSERTED (the PAN routes must hit layer 85 — end of the
 512-channel stage — and layer 54 — end of the 256-channel stage; the
 SPP concat must gather -1,-3,-5,-6; the bottom-up concats hit 126/116 —
